@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); production posture is a
+multi-executor cluster, so every tunable here is chosen to survive a
+100 TB scale-up: AQE for runtime re-planning (skew joins, partition
+coalescing), explicit shuffle parallelism, Arrow for the few pandas-UDF
+extension operators, and a UTC session timezone so results are
+bit-comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "scats_transis_kinesis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    At cluster scale the same config applies unchanged except ``master``:
+    AQE coalesces post-shuffle partitions and splits skewed ones at
+    runtime, so the static ``shuffle_partitions`` only needs to be an
+    upper bound (~2-3x total cores).
+    """
+    cpus = int(DEFAULT_CPUS) if str(DEFAULT_CPUS).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's synthetic parquet carries TIMESTAMP(NANOS) columns
+        # (pandas-written); Spark's reader rejects them outright.  Read
+        # them as int64 nanos and convert in the loader (integer division
+        # — float division would lose precision above 2^53 ns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,107 @@
+"""Batch and streaming loaders for the driver's parquet tables.
+
+Batch pulls in the reference are parameterized time-range REST scans
+(reference: transis_consumer.py:166-216); here they are parquet scans with
+the predicate expressed declaratively so Catalyst pushes it into the
+row-group reader (check ``PushedFilters`` in ``.explain``).  The push
+stream (reference: transis_consumer.py:115-151) becomes a Structured
+Streaming file source in tests and a Kinesis/Kafka source in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Timestamp columns in the driver's parquet are physical INT64
+# TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong they scan
+# as int64 and are converted here to microsecond timestamps — integer
+# `div` (not `/`) so ns values ~1.7e18 keep full precision, truncation
+# toward zero matching DuckDB's ns→µs read of the same files.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one synthetic table as a DataFrame (columnar scan, pushdown-able)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = schemas.TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for n, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(n)
+
+
+def time_range_scan(
+    spark: SparkSession,
+    name: str,
+    ts_col: str,
+    from_ts: str,
+    to_ts: str | None = None,
+    sf_dir: str = DEFAULT_SF_DIR,
+) -> DataFrame:
+    """The reference's getFromDate/getWithinDates query family
+    (reference: transis_consumer.py:30-39, 166-201) as a pruned scan:
+    ``ts >= from`` (+ optional ``ts <= to``) reaches the parquet reader
+    as a pushed filter — at 100 TB this is partition pruning, not a scan.
+    """
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if ts_col in raw.columns and isinstance(raw.schema[ts_col].dataType, T.LongType):
+        # Nano-typed column: compare in int64 nanos *before* converting,
+        # so the range predicate reaches the parquet row-group reader
+        # (PushedFilters) instead of evaluating post-conversion.
+        def to_ns(s: str) -> int:
+            dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000_000
+
+        raw = raw.where(F.col(ts_col) >= F.lit(to_ns(from_ts)))
+        if to_ts is not None:
+            raw = raw.where(F.col(ts_col) <= F.lit(to_ns(to_ts)))
+        return raw.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    df = raw.where(F.col(ts_col) >= F.lit(from_ts).cast("timestamp"))
+    if to_ts is not None:
+        df = df.where(F.col(ts_col) <= F.lit(to_ts).cast("timestamp"))
+    return df
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """``events`` as an unbounded stream — the test stand-in for the
+    reference's push-stream source (reference: transis_consumer.py:115-151).
+    File source + explicit schema; in production swap ``format`` for
+    kinesis/kafka with the same downstream plan.
+    """
+    return (
+        spark.readStream.format("parquet")
+        .schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(f"{sf_dir}/events.parquet")
+    )
