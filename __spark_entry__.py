@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship windowed-traffic rollup at sf0.001;
+``queries``/``oracle_sql`` re-export the engine's query registry
+(scats_transis_kinesis_spark/plans/registry.py) — one entry per
+implemented operator from SURVEY.md §2 plus the north-star extension
+operators, each paired with its DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -14,25 +14,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_engine_conf(spark: SparkSession) -> None:
+    """Apply the engine's session-level settings to a driver-provided
+    session (the driver builds its own SparkSession, so the settings in
+    session.py must also be applied here)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; loaders handle both layouts
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_engine_conf(spark)
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+
+    return REGISTRY["flagship_window_traffic"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from scats_transis_kinesis_spark.plans.registry import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    wrapped = {}
+    for name, fn in _queries().items():
+        def make(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _ensure_engine_conf(spark)
+                return f(spark, sf_dir)
+
+            return run
+
+        wrapped[name] = make(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
+    from scats_transis_kinesis_spark.plans.registry import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

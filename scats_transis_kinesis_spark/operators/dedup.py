@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines (north star):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup = hash-groupBy on a 60-bit content hash — one shuffle of
+  (hash, id), never of the payload.
+- MinHash+LSH: signatures via explode + k grouped ``min`` aggregates
+  (one shuffle), banding turns the O(n²) pair space into per-bucket
+  self-joins — only near-identical docs collide.  Sketch parameters
+  (k=32, 8 bands × 4 rows) target Jaccard ≳ 0.5 recall.
+- SimHash: per-bit majority vote over token hashes as k conditional
+  sums in one aggregation.
+- All hashing is the portable md5-based family (functions/hashing.py)
+  so the DuckDB oracle replicates results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, portable_hash32, portable_hash64
+
+# --- shared deterministic parameters (mirrored into the oracle SQL) -------
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SIMHASH_BITS = 24
+# Jaccard over 3-word shingle sets (order-sensitive — Broder's
+# resemblance construction): random docs over even a tiny shared
+# vocabulary have near-disjoint shingle sets, so 0.5 cleanly separates
+# true near-copies.
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+_rng = random.Random(42)
+# a odd in [1, 2^30): a*h < 2^62 for 32-bit h — no int64 overflow in
+# either engine.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, 1 << 30)) for _ in range(NUM_HASHES)
+]
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: content-hash groupBy keeping the min id.
+
+    Only (hash, id) pairs shuffle; payloads stay columnar at the scan."""
+    return (
+        df.select(portable_hash64(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, distinct n-word shingle ARRAY) — the set representation used
+    by minhash and Jaccard verification.  Docs shorter than n words are
+    excluded (no shingle — and Spark's sequence() would go descending)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per document over 3-word
+    shingle sets.
+
+    explode(distinct shingles) → hash32 → k grouped mins in ONE
+    hash-aggregate (single shuffle keyed by id; partial aggregation
+    reduces map-side)."""
+    hashed = (
+        shingle_sets(df, text_col, id_col)
+        .select(F.col(id_col), F.explode("shingles").alias("token"))
+        .select(id_col, portable_hash32("token").alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and self-join per (band, bucket).
+
+    The join key is (band_index, hash of the band's rows): docs agreeing
+    on all rows of any band become a candidate pair exactly once
+    (distinct).  At scale this is a shuffle of |docs|×BANDS small rows —
+    never the O(n²) pair space."""
+    bands = []
+    for band in range(BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                portable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band", "b.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step).
+
+    Joins the candidate list back to the shingle arrays — proportional to
+    |candidates|, not |docs|²."""
+    sets = shingle_sets(df, text_col, id_col).withColumnRenamed("shingles", "toks")
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return (
+        jaccard_pairs(cands, df, text_col, id_col)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram shingle Jaccard near-dup via inverted index.
+
+    Candidate generation: docs sharing at least one shingle (join on the
+    shingle hash — an inverted index, not a cross join); verification:
+    exact Jaccard on distinct shingle sets.  Shingles preserve word
+    order, so this catches true near-copies rather than bag-of-words
+    shuffles."""
+    toks = F.split(F.col(text_col), " ")
+    # Guard BEFORE sequence(): Spark's sequence(0, size-n) with size<n
+    # produces a *descending* sequence, not an empty one.
+    shingled = (
+        df.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+    )
+    inverted = shingled.select(
+        id_col, F.explode("shingles").alias("sh"), F.size("shingles").alias("n_sh")
+    ).select(id_col, portable_hash64("sh").alias("shash"), "n_sh")
+    l, r = inverted.alias("l"), inverted.alias("r")
+    overlap = (
+        l.join(r, (F.col("l.shash") == F.col("r.shash"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        overlap.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash: per-bit majority over (all, non-distinct) token hashes.
+
+    One explode + one grouped aggregation with SIMHASH_BITS conditional
+    sums — a single shuffle keyed by id."""
+    hashed = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).select(id_col, portable_hash32("token").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.cast("long").alias("simhash"))

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (north star).
+
+- ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+  set against the corpus; one pass, no shuffle of the corpus.  The
+  baseline and the oracle-checked path.
+- ``cosine_topk_bucketed`` — the scale path: cluster-pruned search.
+  Corpus vectors are assigned to the nearest of C coarse centroids
+  (IVF-style); a query only scans its nprobe closest clusters.  At 100
+  TB the corpus is partitioned by centroid id, so a query touches
+  nprobe/C of the data.  Centroids here are seeded samples of the
+  corpus itself (deterministic), refreshed offline in a real
+  deployment.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` in double precision —
+JVM-side, no UDF.  Outputs round to 6 digits so partial-sum order can
+never flip a comparison against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    The query side is a broadcast nested-loop against the corpus scan —
+    the corpus is read once and never shuffled; the final top-k is a
+    per-query window over |queries|·|corpus| rows."""
+    from pyspark.sql import Window as W
+
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = embeddings.alias("c").join(
+        F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(f"c.{vec_col}")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = the ``num_centroids`` corpus
+    vectors with the smallest ids (deterministic seed sample); every
+    vector is assigned to its nearest centroid by cosine.
+
+    Returns (centroids, assigned corpus with ``centroid_id``)."""
+    cents = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return cents, assigned
+
+
+def cosine_topk_bucketed(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned approximate top-k: scan only the ``nprobe`` clusters
+    closest to each query.  Recall < 1 by design; the brute-force
+    operator is the correctness baseline."""
+    from pyspark.sql import Window as W
+
+    cents, assigned = assign_centroids(embeddings, num_centroids, id_col, vec_col)
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("c_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    pairs = assigned.join(F.broadcast(q_probe), "centroid_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

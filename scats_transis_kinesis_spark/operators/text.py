@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines (north star):
+tokenization stats, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All pure column expressions (codegen'd, no UDFs): at 100 TB each of
+these is a single narrow scan — no shuffle at all until a downstream
+aggregation.  Tokenization is a plain single-space split, mirrored
+exactly by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+# Tiny English stopword list shared with the oracle SQL (keep sorted).
+EN_STOPWORDS = ("a", "and", "for", "in", "is", "of", "on", "the", "to", "with")
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token count, char count, mean token length."""
+    toks = tokens(text_col)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = tokens(text_col)
+    stop = F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    return F.size(stop) / F.size(toks)
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    """Fraction of characters outside [a-z0-9 ] (lowercased text)."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[a-z0-9 ]", "")
+    return F.length(stripped) / F.length(text_col)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristic: length saturation + stopword
+    presence + punctuation cleanliness, each in [0,1]."""
+    toks = tokens(text_col)
+    length_part = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(
+            0.4 * length_part + 0.3 * stopword_ratio(text_col) + 0.3 * (1 - punct_ratio(text_col)),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density.
+
+    A real deployment would score character n-grams against per-language
+    profiles; the engine-relevant part — a deterministic, vectorized
+    classification over tokens — is identical, and the oracle mirrors it
+    exactly."""
+    ratio = stopword_ratio(text_col)
+    return df.select(
+        id_col,
+        F.round(ratio, 6).alias("en_stop_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit document fingerprints: raw and normalized (lowercase,
+    punctuation stripped, whitespace collapsed) — the normalized one
+    catches formatting-only duplicates."""
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return df.select(
+        id_col,
+        portable_hash64(text_col).alias("fp"),
+        portable_hash64(normalized).alias("fp_norm"),
+    )
