@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's registered queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink — full plan execution,
+no driver-side collection, no disk write — so the number measures the
+engine, not the harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the streaming-parity flagship, the relational spine, and
+# every north-star extension family.  (Cheap projection-only parity
+# queries are correctness-gated but not timed — they measure the scan,
+# not the engine.)
+HEADLINE = [
+    "flagship_window_traffic",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_nation_revenue",
+    "join_outer_counts",
+    "window_order_ranks",
+    "topk_orders_per_customer",
+    "range_join_ship_lag",
+    "asof_purchase_last_click",
+    "sessionize_users",
+    "setops_users",
+    "pivot_event_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_payload_stats",
+]
+
+
+def main() -> None:
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+    from scats_transis_kinesis_spark.session import get_session
+
+    spark = get_session(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    # Warm the JVM + parquet footers once so per-query times measure
+    # execution, not first-touch classloading.
+    REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
