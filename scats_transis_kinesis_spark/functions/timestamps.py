@@ -32,14 +32,33 @@ def sydney_local(ts: Column | str) -> Column:
     return F.from_utc_timestamp(c, SYDNEY_TZ)
 
 
+def format_with_tz_offset(ts: Column, tz: str = SYDNEY_TZ) -> Column:
+    """Render a UTC timestamp as local wall time with the zone's
+    numeric offset (``±hh:mm``), DST-aware.
+
+    ``date_format``'s offset patterns render the *session* timezone, so
+    the offset is derived arithmetically per row instead: the gap
+    between the zone-shifted clock and the original instant.
+    """
+    local = F.from_utc_timestamp(ts, tz)
+    offset_min = ((F.unix_timestamp(local) - F.unix_timestamp(ts)) / 60).cast("long")
+    sign = F.when(offset_min < 0, F.lit("-")).otherwise(F.lit("+"))
+    abs_min = F.abs(offset_min)
+    offset_str = F.concat(
+        sign,
+        F.lpad((abs_min / 60).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((abs_min % 60).cast("string"), 2, "0"),
+    )
+    return F.concat(F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), offset_str)
+
+
 def formatted_current_timestamp() -> Column:
     """now() in Australia/Sydney as ``%Y-%m-%dT%H:%M:%S±hh:mm``.
 
     Parity with the reference's ingest-time stamp (reference:
-    utils.py:15-19, applied at transis_response_models.py:286): it
-    renders local time and inserts the colon into the UTC offset; the
-    ``xxx`` pattern produces the colon form directly.
+    utils.py:15-19, applied at transis_response_models.py:286): local
+    wall time with the colon-form UTC offset (+11:00 AEDT / +10:00
+    AEST).
     """
-    return F.date_format(
-        F.from_utc_timestamp(F.current_timestamp(), SYDNEY_TZ), "yyyy-MM-dd'T'HH:mm:ssxxx"
-    )
+    return format_with_tz_offset(F.current_timestamp(), SYDNEY_TZ)

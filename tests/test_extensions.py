@@ -1,0 +1,111 @@
+"""Extension-operator tests: dedup recall, similarity recall,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.operators import dedup as D
+from scats_transis_kinesis_spark.operators import multimodal as M
+from scats_transis_kinesis_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_flags_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "unique text here")], "doc_id long, text string"
+    )
+    groups = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, documents):
+    # Every exact shingle-Jaccard pair ≥ threshold should be recovered
+    # by the LSH path on this corpus (8×4 bands at J≥0.5 → per-pair
+    # recall ≈ 1 - (1 - 0.5^4)^8 ≈ 0.66 theoretical worst case at the
+    # threshold boundary; actual near-dups here sit at J≈1 where recall
+    # ≈ 1).  Assert recall ≥ 0.8 and no false positives below threshold.
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(documents, n=3, threshold=0.5).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_near_dups(documents).collect()}
+    assert lsh <= exact  # Jaccard-verified: no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    hashes = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+    assert all(0 <= h < (1 << D.SIMHASH_BITS) for h in hashes.values())
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    qids = [0, 1, 2]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(embeddings, qids, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bucketed(embeddings, qids, k=5, num_centroids=8, nprobe=4).collect()
+    }
+    assert len(ivf & bf) / len(bf) >= 0.5  # approximate path: bounded recall loss
+    for q in qids:  # every query returns a full k
+        assert sum(1 for a, _ in ivf if a == q) == 5
+
+
+def test_cosine_sim_bounds(spark, embeddings):
+    out = S.cosine_topk_bruteforce(embeddings, [0], k=3).collect()
+    assert len(out) == 3
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in out)
+
+
+def test_multimodal_feature_stub(spark, documents):
+    media = M.documents_as_media(documents.limit(20))
+    feats = M.extract_features(media, strict=False, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert r["n_bytes"] > 0
+    # Determinism: same payload → same feature.
+    again = M.extract_features(media, strict=False, dim=8).collect()
+    assert {(r["media_id"], tuple(r["feature"])) for r in feats} == {
+        (r["media_id"], tuple(r["feature"])) for r in again
+    }
+
+
+def test_multimodal_strict_mode_raises(spark, documents):
+    media = M.documents_as_media(documents.limit(2))
+    with pytest.raises(Exception) as exc_info:
+        M.extract_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("video/mp4", None, None, 3500)),
+         (2, bytearray(b"y"), ("audio/wav", None, None, None))],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {(r["media_id"], r["frame_idx"], r["offset_ms"]) for r in M.sample_frames(media, 1000).collect()}
+    assert rows == {(1, 0, 0), (1, 1, 1000), (1, 2, 2000), (2, 0, 0)}

@@ -1,0 +1,165 @@
+"""Operator unit tests: flatten/unnest joins, envelope, scalar
+functions, relational compositions."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.functions.timestamps import (
+    epoch_from_iso8601,
+    formatted_current_timestamp,
+)
+from scats_transis_kinesis_spark.operators.envelope import failed_subset, to_kinesis_envelope
+from scats_transis_kinesis_spark.operators.flatten import explode_phases, explode_site_children
+from scats_transis_kinesis_spark.operators.projection import kv_lookup
+from scats_transis_kinesis_spark.operators.relational import asof_join, sessionize
+
+
+LAYOUTS_DDL = (
+    "sId string, region string, "
+    "arms array<struct<aId string, name string>>, "
+    "detectors array<struct<dId string, arm string>>, "
+    "streets array<struct<name string, suburb string>>, "
+    "sgs array<struct<sgNo string, type string>>, "
+    "phases array<struct<name string, sgNos array<string>>>"
+)
+
+
+def _layouts(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "101",
+                "ROZ",
+                [("A1", "north"), ("A2", "south")],
+                [("D1", "A1")],
+                [("Main St", "Rozelle")],
+                [("1", "vehicle")],
+                [("A", ["1", "2"]), ("B", ["3"])],
+            ),
+            ("102", "ROZ", [], None, [("Side St", "Balmain")], [], []),
+        ],
+        LAYOUTS_DDL,
+    )
+
+
+def test_explode_site_children_prefixes_parent_key(spark):
+    # F3 — parent sId on every child row (reference:
+    # transis_response_models.py:175-198).
+    arms = explode_site_children(_layouts(spark), "arms")
+    assert sorted((r.asDict() for r in arms.collect()), key=str) == sorted(
+        [
+            {"site_id": "101", "aId": "A1", "name": "north"},
+            {"site_id": "101", "aId": "A2", "name": "south"},
+        ],
+        key=str,
+    )
+    # Empty child collections behave like absent — no rows for site 102.
+    assert arms.where(F.col("site_id") == "102").count() == 0
+
+
+def test_explode_phases_double_unnest(spark):
+    # F4 — site × phases × SGNos (reference:
+    # transis_response_models.py:194-197).
+    rows = {(r["site_id"], r["phase"], r["sg_no"]) for r in explode_phases(_layouts(spark)).collect()}
+    assert rows == {("101", "A", "1"), ("101", "A", "2"), ("101", "B", "3")}
+
+
+def test_envelope_keyed_by_column_and_literal(spark):
+    df = spark.createDataFrame([("ROZ", "2087"), ("XYZ", "8")], "region string, site_id string")
+    keyed = to_kinesis_envelope(df, partition_key_col="region").collect()
+    assert {r["partition_key"] for r in keyed} == {"ROZ", "XYZ"}
+    payload = json.loads(bytes(keyed[0]["data"]).decode("utf-8"))
+    assert set(payload) == {"region", "site_id"}
+    # Bug-compatible literal mode (reference: kinesis_producer.py:25,53-54).
+    literal = to_kinesis_envelope(df, literal_key="region").collect()
+    assert {r["partition_key"] for r in literal} == {"region"}
+
+
+def test_failed_subset_positional(spark):
+    # K4 — keep only the throttled subset by position (reference:
+    # kinesis_producer.py:87-98; mirrors tests.py:128-147).
+    req = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "pos int, payload string"
+    )
+    resp = spark.createDataFrame(
+        [
+            (0, None),
+            (1, "ProvisionedThroughputExceededException"),
+            (2, "SomeOtherError"),
+        ],
+        "pos int, error_code string",
+    )
+    kept = failed_subset(req, resp).collect()
+    assert [r["payload"] for r in kept] == ["b"]
+
+
+def test_epoch_from_iso8601(spark):
+    df = spark.createDataFrame([("2019-10-03T15:43:00+10:00",)], "date string")
+    assert df.select(epoch_from_iso8601("date").alias("e")).collect()[0]["e"] == 1570081380
+
+
+def test_formatted_current_timestamp_offset_has_colon(spark):
+    # P4 renders Sydney local time with a colon in the offset
+    # (reference: utils.py:15-19) — +11:00 (AEDT) or +10:00 (AEST).
+    val = spark.range(1).select(formatted_current_timestamp().alias("t")).collect()[0]["t"]
+    assert val[-6:] in ("+11:00", "+10:00")
+    datetime.datetime.strptime(val[:-6], "%Y-%m-%dT%H:%M:%S")
+
+
+def test_sydney_dst_both_offsets(spark):
+    # January = AEDT (+11), July = AEST (+10).
+    from scats_transis_kinesis_spark.functions.timestamps import format_with_tz_offset
+
+    df = spark.createDataFrame(
+        [("2024-01-15 00:00:00",), ("2024-07-15 00:00:00",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("ts"))
+    out = df.select("ts", format_with_tz_offset(F.col("ts")).alias("local")).collect()
+    offsets = {r["ts"].month: r["local"][-6:] for r in out}
+    assert offsets == {1: "+11:00", 7: "+10:00"}
+    # Wall time is shifted too: July UTC midnight → 10:00 local.
+    july = next(r["local"] for r in out if r["ts"].month == 7)
+    assert july == "2024-07-15T10:00:00+10:00"
+
+
+def test_kv_lookup(spark):
+    # P8 — DI proc response payload (reference: di_framework.py:44-55).
+    df = spark.createDataFrame(
+        [('[{"key":"job_id","value":"77"},{"key":"stus","value":"ok"}]',)], "resp string"
+    )
+    row = df.select(
+        kv_lookup("resp", "job_id").alias("job_id"), kv_lookup("resp", "missing").alias("m")
+    ).collect()[0]
+    assert row["job_id"] == "77" and row["m"] is None
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0)], "k int, ts int, lv double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (1, 25, "c"), (3, 1, "z")], "k int, ts int, rv string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "rv")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_value_cols=["rv"])
+    got = {(r["k"], r["ts"].timestamp(), r["asof_rv"]) for r in out.collect()}
+    # ts=10 → last right at 5 ('a'); ts=20 → equality matches ('b');
+    # key 2 has no right rows → NULL.
+    assert got == {(1, 10.0, "a"), (1, 20.0, "b"), (2, 15.0, None)}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 10 * 60), (1, 50 * 60), (1, 51 * 60), (2, 0)], "user_id int, t int"
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"))
+    out = sessionize(df, key="user_id", ts="ts", gap_minutes=30)
+    seqs = {(r["user_id"], r["ts"].timestamp(), r["session_seq"]) for r in out.collect()}
+    assert seqs == {
+        (1, 0.0, 1),
+        (1, 600.0, 1),
+        (1, 3000.0, 2),  # 40-min gap starts session 2
+        (1, 3060.0, 2),
+        (2, 0.0, 1),
+    }

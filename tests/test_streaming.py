@@ -1,0 +1,142 @@
+"""Streaming tests: watermarked window agg driven to completion with a
+file source, Kinesis sink subset-retry semantics, audit listener."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.streaming.audit import JobAuditListener
+from scats_transis_kinesis_spark.streaming.kinesis_sink import (
+    KinesisBatchWriter,
+    ThrottlingKinesisStub,
+)
+from scats_transis_kinesis_spark.streaming.pipeline import windowed_traffic
+
+
+def _write_events_parquet(spark, path: str) -> None:
+    rows = [
+        (i, f"2024-01-01 00:{m:02d}:30", 100 + (i % 3), "click" if i % 2 else "view", 1.5 * i)
+        for i, m in enumerate([0, 1, 4, 6, 7, 12, 13, 14])
+    ]
+    (
+        spark.createDataFrame(
+            rows, "event_id long, t string, user_id long, event_type string, value double"
+        )
+        .select(
+            "event_id", F.col("t").cast("timestamp").alias("ts"), "user_id", "event_type",
+            "value", F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_windowed_traffic_streaming_matches_batch(spark):
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        _write_events_parquet(spark, src)
+        batch_df = spark.read.parquet(src)
+        expected = {
+            (r["window_start"].isoformat(), r["event_type"], r["n_events"])
+            for r in windowed_traffic(batch_df).collect()
+        }
+
+        stream = (
+            spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            windowed_traffic(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wt_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["window_start"].isoformat(), r["event_type"], r["n_events"])
+                for r in spark.sql("SELECT * FROM wt_out").collect()
+            }
+        finally:
+            q.stop()
+        assert got == expected and len(got) > 0
+
+
+def test_kinesis_sink_retries_only_failed_subset(spark):
+    # Mirrors the reference's retry test (reference: tests.py:128-147):
+    # a throttled record is retried alone and succeeds; everything is
+    # delivered exactly once.
+    with tempfile.TemporaryDirectory() as d:
+        stub = ThrottlingKinesisStub(state_dir=d)
+        writer = KinesisBatchWriter(
+            client_factory=lambda: ThrottlingKinesisStub(state_dir=d),
+            stream_name="test-stream",
+            partition_key_col="region",
+            batch_size=2,
+            backoff_s=0.01,
+        )
+        df = spark.createDataFrame(
+            [("ROZ", "1", "ok"), ("ROZ", "2", "__throttle__"), ("XYZ", "3", "ok")],
+            "region string, site_id string, note string",
+        ).coalesce(1)
+        writer.write_batch(df, batch_id=0)
+        sent = stub.sent_records()
+        assert len(sent) == 3
+        payloads = {json.loads(r["Data"])["site_id"] for r in sent}
+        assert payloads == {"1", "2", "3"}
+        keys = {r["PartitionKey"] for r in sent}
+        assert keys == {"ROZ", "XYZ"}
+
+
+def test_kinesis_sink_raises_when_retry_exhausted(spark):
+    with tempfile.TemporaryDirectory() as d:
+        writer = KinesisBatchWriter(
+            client_factory=lambda: ThrottlingKinesisStub(state_dir=d, fail_always=True),
+            stream_name="test-stream",
+            partition_key_col="region",
+            backoff_s=0.01,
+        )
+        df = spark.createDataFrame(
+            [("ROZ", "__throttle__",)], "region string, note string"
+        ).coalesce(1)
+        with pytest.raises(Exception) as exc_info:
+            writer.write_batch(df, batch_id=1)
+        assert "still throttled" in str(exc_info.value)
+
+
+def test_audit_listener_lifecycle(spark):
+    listener = JobAuditListener(job_name="test_job")
+    spark.streams.addListener(listener)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "events")
+            _write_events_parquet(spark, src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                windowed_traffic(stream)
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName("audit_out")
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+        deadline = time.time() + 15
+        while time.time() < deadline and not listener.log.by_kind("end"):
+            time.sleep(0.2)
+        assert listener.log.by_kind("start"), "start event missing"
+        assert listener.log.by_kind("end"), "end event missing"
+        status = listener.log.by_kind("status")
+        assert any(json.loads(e.status_desc)["numInputRows"] > 0 for e in status)
+    finally:
+        spark.streams.removeListener(listener)

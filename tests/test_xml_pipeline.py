@@ -1,0 +1,94 @@
+"""Parity tests for the XML ingest pipeline — mirrors the reference's
+consumer + response-model suites (reference: tests.py:17-118)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.operators.flatten import explode_messages
+from scats_transis_kinesis_spark.operators.projection import (
+    assert_no_error_documents,
+    detector_counts_long,
+    is_empty_message,
+    non_empty_responses,
+    project_detector_count_record,
+)
+from scats_transis_kinesis_spark.sources.xml import (
+    parse_transis_documents,
+    split_documents,
+)
+
+from .conftest import XML_EMPTY, XML_ERROR, XML_TWO_SITES
+
+
+def _docs(spark, *xmls: str):
+    blob = "\x00".join(xmls) + "\x00"
+    df = spark.createDataFrame([(blob,)], "value string")
+    return parse_transis_documents(split_documents(df))
+
+
+def test_two_documents_from_one_stream(spark):
+    # Mirrors reference tests.py:39-44: two docs from one
+    # null-delimited byte stream.
+    parsed = _docs(spark, XML_TWO_SITES, XML_TWO_SITES)
+    assert parsed.count() == 2
+
+
+def test_multi_site_count(spark):
+    # Mirrors reference tests.py:78-81: snapshot carries 2 sites.
+    parsed = _docs(spark, XML_TWO_SITES)
+    assert explode_messages(parsed).count() == 2
+
+
+def test_error_predicate_both_ways(spark):
+    # Mirrors reference tests.py:65-72.
+    ok = _docs(spark, XML_TWO_SITES)
+    assert assert_no_error_documents(ok).count() == 1
+    bad = _docs(spark, XML_ERROR)
+    try:
+        assert_no_error_documents(bad).collect()
+        raised = False
+    except Exception as e:
+        raised = True
+        assert "Invalid something" in str(e)
+    assert raised
+
+
+def test_projection_golden(spark):
+    # Mirrors the golden-dict equality check (reference: tests.py:83-118)
+    # with the epoch-int semantic as authoritative (SURVEY.md §5: the
+    # reference's golden is stale — raw string ts vs code's epoch int).
+    rec = project_detector_count_record(explode_messages(_docs(spark, XML_TWO_SITES)))
+    rows = {r["site_id"]: r.asDict(recursive=True) for r in rec.collect()}
+    assert rows["2087"] == {
+        "region": "ROZ",
+        "site_id": "2087",
+        "collection_interval_secs": 300,
+        "collection_end_ts_plus_3m": 1570081380,  # epoch of 2019-10-03T15:43:00+10:00
+        "detector_counts": {"1": "5", "2": "3", "18": "12"},  # malformed dropped
+    }
+    # Empty Detectors container behaves like NULL, not {} (ElementTree
+    # truthiness, SURVEY.md §1.4).
+    assert rows["8"]["detector_counts"] is None
+
+
+def test_malformed_detector_dropped_in_long_form(spark):
+    long = detector_counts_long(explode_messages(_docs(spark, XML_TWO_SITES)))
+    ids = [r["detector_id"] for r in long.collect()]
+    assert sorted(ids) == ["1", "18", "2"]  # the Did-less detector is gone
+
+
+def test_empty_messages_filtered(spark):
+    # Empty DetectorCountMessages container == absent (SURVEY.md §1.4);
+    # P7 drops docs without messages (reference: transis_consumer.py:137-138).
+    parsed = _docs(spark, XML_TWO_SITES, XML_EMPTY)
+    assert parsed.count() == 2
+    assert non_empty_responses(parsed).count() == 1
+
+
+def test_is_empty_predicate(spark):
+    # P5 — dead code in the reference, implemented for parity
+    # (reference: transis_response_models.py:46-50).
+    msgs = explode_messages(_docs(spark, XML_TWO_SITES))
+    flags = {r["Sid"]: r["is_empty"] for r in is_empty_message(msgs).collect()}
+    assert flags == {"2087": False, "8": True}
