@@ -57,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
 # the decorators see the helpers above).
 from . import core_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
+from . import parity_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
