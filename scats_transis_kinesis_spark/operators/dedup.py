@@ -76,16 +76,15 @@ def shingle_sets(
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """k-permutation MinHash signature per document over 3-word
-    shingle sets.
+def minhash_signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per document from a prepared
+    (id, shingles) set DataFrame.
 
     explode(distinct shingles) → hash32 → k grouped mins in ONE
     hash-aggregate (single shuffle keyed by id; partial aggregation
     reduces map-side)."""
     hashed = (
-        shingle_sets(df, text_col, id_col)
-        .select(F.col(id_col), F.explode("shingles").alias("token"))
+        sets.select(F.col(id_col), F.explode("shingles").alias("token"))
         .select(id_col, portable_hash32("token").alias("h"))
     )
     aggs = [
@@ -93,6 +92,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return minhash_signatures_from_sets(shingle_sets(df, text_col, id_col), id_col)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -130,16 +133,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
-def jaccard_pairs(
-    candidates: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def jaccard_verify(candidates: DataFrame, sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step).
 
     Joins the candidate list back to the shingle arrays — proportional to
-    |candidates|, not |docs|²."""
-    sets = shingle_sets(df, text_col, id_col).withColumnRenamed("shingles", "toks")
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    |candidates|, not |docs|².  ``sets`` is the (id, shingles) frame from
+    :func:`shingle_sets` — pass the SAME (persisted) instance used for
+    candidate generation so shingling runs once."""
+    toked = sets.withColumnRenamed("shingles", "toks")
+    a = toked.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toked.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
@@ -159,11 +162,17 @@ def minhash_lsh_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
-    Jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    Jaccard ≥ threshold.
+
+    The shingle sets are persisted and shared between signature
+    computation and verification — shingling is the dominant narrow
+    stage, so it runs once (at cluster scale this materialization is a
+    checkpoint of the shingle table)."""
+    sets = shingle_sets(df, text_col, id_col).persist()
+    sigs = minhash_signatures_from_sets(sets, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return (
-        jaccard_pairs(cands, df, text_col, id_col)
+        jaccard_verify(cands, sets, id_col)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -175,52 +184,64 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Word n-gram shingle Jaccard near-dup via inverted index.
+    """Word n-gram shingle Jaccard near-dup via a prefix-filtered
+    inverted index (PPJoin-style; Bayardo et al., "Scaling Up All
+    Pairs", WWW'07 — public algorithm).
 
-    Candidate generation: docs sharing at least one shingle (join on the
-    shingle hash — an inverted index, not a cross join); verification:
-    exact Jaccard on distinct shingle sets.  Shingles preserve word
-    order, so this catches true near-copies rather than bag-of-words
-    shuffles."""
-    toks = F.split(F.col(text_col), " ")
-    # Guard BEFORE sequence(): Spark's sequence(0, size-n) with size<n
-    # produces a *descending* sequence, not an empty one.
-    shingled = (
-        df.where(F.size(toks) >= n)
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                )
-            ).alias("shingles"),
-        )
-        .where(F.size("shingles") > 0)
-    )
+    Candidate generation indexes only each doc's *prefix*: its
+    ``|s| - ceil(t*|s|) + 1`` rarest shingles under a global
+    (frequency, hash) canonical order.  Any pair with Jaccard ≥ t must
+    collide inside both prefixes, so the filter is lossless — while the
+    most frequent (hottest-bucket) shingles never enter the index.
+    Verification computes exact Jaccard on the full shingle sets for
+    candidates only.  At 100 TB this is the difference between a skewed
+    O(Σ bucket²) join and one proportional to true near-dup density."""
+    from pyspark.sql import Window as W
+
+    shingled = shingle_sets(df, text_col, id_col, n).persist()
     inverted = shingled.select(
-        id_col, F.explode("shingles").alias("sh"), F.size("shingles").alias("n_sh")
+        F.col(id_col), F.explode("shingles").alias("sh"), F.size("shingles").alias("n_sh")
     ).select(id_col, portable_hash64("sh").alias("shash"), "n_sh")
-    l, r = inverted.alias("l"), inverted.alias("r")
-    overlap = (
-        l.join(r, (F.col("l.shash") == F.col("r.shash"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.n_sh").alias("n_a"),
-            F.col("r.n_sh").alias("n_b"),
+    freq = inverted.groupBy("shash").agg(F.count("*").alias("df"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    ranked = (
+        inverted.join(freq, "shash")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shash"))
+            ),
         )
-        .agg(F.count("*").alias("n_common"))
+        .where(F.col("rank") <= prefix_len)
+        .select(id_col, "shash", "rank", "n_sh")
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    # Length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|).
+    length_ok = (F.col("r.n_sh") >= threshold * F.col("l.n_sh")) & (
+        F.col("l.n_sh") >= threshold * F.col("r.n_sh")
+    )
+    # Positional filter (PPJoin): matching at prefix positions (pa, pb)
+    # bounds the possible overlap by 1 + min(|a|-pa, |b|-pb), which must
+    # reach the t-equivalent overlap ⌈t/(1+t)·(|a|+|b|)⌉.
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("l.n_sh") + F.col("r.n_sh"))
+    )
+    positional_ok = (
+        1 + F.least(F.col("l.n_sh") - F.col("l.rank"), F.col("r.n_sh") - F.col("r.rank"))
+    ) >= overlap_needed
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.shash") == F.col("r.shash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & length_ok
+            & positional_ok,
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
     )
     return (
-        overlap.select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
+        jaccard_verify(candidates, shingled, id_col)
         .where(F.col("jaccard") >= threshold)
     )
 
