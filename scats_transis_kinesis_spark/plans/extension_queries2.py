@@ -1,0 +1,81 @@
+"""Second batch of north-star extension queries: embedding-cosine
+near-dup and BPE-style token counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine
+from ..sources.loaders import load_table
+from .registry import register
+
+# GPT-2-flavored coarse token classes: letter runs, digit runs, single
+# other non-space symbols.  Same regex semantics in Java (Spark) and
+# RE2 (DuckDB) for this class-only pattern.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+EMBED_DUP_THRESHOLD = 0.4  # tuned to the synthetic corpus (max pair ≈ 0.51)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= {EMBED_DUP_THRESHOLD}
+    """,
+    doc="""Embedding-cosine near-duplicate pairs (north star).  Declared
+    form is the exact all-pairs baseline (broadcast nested-loop —
+    fine at sf, O(n²) by definition); the 100 TB path runs the same
+    scoring inside IVF buckets (operators/similarity.py:
+    cosine_topk_bucketed's assignment) so only same-cluster pairs are
+    scored.""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= EMBED_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens,
+               round(length(text)::DOUBLE
+                     / len(regexp_extract_all(lower(text), '{BPE_PATTERN}')), 6)
+                   AS chars_per_token
+        FROM documents
+    """,
+    doc="""Token counting two ways (north star): whitespace tokens and a
+    BPE-ish regex class count (letter runs / digit runs / symbols) —
+    the standard cheap proxy for LLM token budgeting.  Pure codegen'd
+    column expressions.""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bpe_count = F.regexp_count(F.lower("text"), F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        bpe_count.alias("n_bpe_tokens"),
+        F.round(F.length("text") / bpe_count, 6).alias("chars_per_token"),
+    )
