@@ -1,0 +1,203 @@
+"""Coverage queries: K4 positional join as a driver-facing query, the
+multimodal mapInPandas plumbing (feature extraction + frame sampling)
+oracle-checked end-to-end, and the banded sign-LSH scale path for
+embedding near-dup (the O(n·bucket) alternative to the all-pairs
+baseline in extension_queries2.dedup_embedding_cosine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.envelope import THROTTLE_ERROR, failed_subset
+from ..operators.multimodal import extract_features, sample_frames
+from ..operators.similarity import cosine
+from ..sources.loaders import load_table
+from .registry import register
+
+
+@register(
+    "k4_failed_subset",
+    oracle=f"""
+        WITH req AS (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) AS pos
+            FROM orders WHERE o_orderkey < 500
+        ),
+        resp AS (
+            SELECT pos,
+                   CASE WHEN pos % 3 = 0
+                        THEN '{THROTTLE_ERROR}' END AS error_code
+            FROM req
+        )
+        SELECT req.o_orderkey, req.o_totalprice
+        FROM req JOIN resp USING (pos)
+        WHERE resp.error_code = '{THROTTLE_ERROR}'
+    """,
+    doc="""K4 — positional join of put-request records with per-record
+    response entries, keeping only the throttled subset (reference:
+    kinesis_producer.py:87-98, zip at :92).  Position is explicit (the
+    sink writer stamps it per request); the throttle pattern here is a
+    deterministic pos%3 stand-in for the mocked Kinesis response in
+    reference tests.py:156-169.""",
+)
+def k4_failed_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 500)
+    w = Window.orderBy("o_orderkey")
+    req = orders.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
+    )
+    resp = req.select(
+        "pos",
+        F.when(F.col("pos") % 3 == 0, F.lit(THROTTLE_ERROR)).alias("error_code"),
+    )
+    return failed_subset(req, resp)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               octet_length(text::BLOB) AS n_bytes,
+               md5(text) AS payload_hash,
+               list_transform(generate_series(0, 7),
+                   i -> ('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0)
+                   AS feature
+        FROM documents
+    """,
+    doc="""Multimodal feature extraction (north star): Arrow-batched
+    ``mapInPandas`` over opaque binary payloads.  The decode step is the
+    documented deterministic stub (md5-derived feature vector — codec
+    libraries aren't in this container); the Spark plumbing (binary
+    column, metadata struct, batch iterator, explicit output schema) is
+    the real production shape a PIL/ffmpeg decoder plugs into.""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    return extract_features(media, strict=False, dim=8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT media_id, frame_idx, frame_idx * 1000 AS offset_ms
+        FROM (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(
+                       0, greatest(1, (n_chars * 10) // 1000) - 1)) AS frame_idx
+            FROM documents
+        )
+    """,
+    doc="""Multimodal frame-sampling plumbing (north star): one row per
+    sampled frame offset from the metadata duration — pure relational
+    explode(sequence), no decode needed to *plan* the sampling.  The
+    synthetic duration is 10 ms per source char (the documents table has
+    no real media); each sampled (media_id, offset) row is what a frame
+    decoder (extract_features) would consume.""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
+LSH_BANDS = 4
+LSH_BITS = 8  # sign bits per band → 4×8 = first 32 of 64 dims
+LSH_DUP_THRESHOLD = 0.4  # same threshold as dedup_embedding_cosine
+
+
+def _sign_bucket(vec, band: int):
+    """Pack the sign bits of dims [band*LSH_BITS, (band+1)*LSH_BITS) into
+    one int — a sign-random-projection bucket with basis hyperplanes."""
+    bucket = F.lit(0)
+    for d in range(LSH_BITS):
+        bit = F.when(F.element_at(vec, band * LSH_BITS + d + 1) > 0, F.lit(1 << d)).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        buckets AS (
+            SELECT vec_id, v, band,
+                   list_sum(list_transform(generate_series(0, {LSH_BITS - 1}),
+                       d -> CASE WHEN v[band * {LSH_BITS} + d + 1] > 0
+                                 THEN (1 << d) ELSE 0 END)) AS bucket
+            FROM e CROSS JOIN (
+                SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine_sim
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.id_a
+        JOIN e eb ON eb.vec_id = cand.id_b
+        WHERE round(list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v))), 6)
+              >= {LSH_DUP_THRESHOLD}
+    """,
+    doc="""Embedding near-dup via banded sign-LSH (north star scale
+    path).  Each vector hashes into {LSH_BANDS} band buckets from the
+    sign pattern of 8 dims; only same-(band,bucket) pairs are scored —
+    candidate generation is a shuffle-partitioned equi-join on
+    (band, bucket) instead of the all-pairs nested loop in
+    dedup_embedding_cosine, so it scales to corpora where O(n²) cannot
+    run.  Approximate by construction (recall < 1 vs the exact
+    baseline); the oracle verifies the *declared LSH semantics*
+    exactly.""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _sign_bucket(F.col("v"), b).alias("bucket"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    buckets = e.select(
+        "vec_id", "v", F.explode(bands).alias("bb")
+    ).select("vec_id", "v", "bb.band", "bb.bucket")
+    a = buckets.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= LSH_DUP_THRESHOLD)
+    )
