@@ -1,0 +1,129 @@
+"""Custom stateful streaming operator: per-site liveness monitoring via
+``applyInPandasWithState``.
+
+The reference encodes liveness imperatively: a 20-minute stream idle
+timeout (reference: transis_consumer.py:13 ``stream_timeout=20*60``), a
+reconnect budget of 3 that decrements on each silent reconnect and
+resets on any successful document (reference: transis_consumer.py:41-47,
+reset :140).  That is per-key state with an event-time timeout — exactly
+the shape Spark's built-in windowed aggregations cannot express and
+``applyInPandasWithState`` exists for.
+
+Semantics per site:
+
+- every micro-batch with data for the site emits an ``active`` row with
+  the running message count and latest event time, and re-arms an
+  event-time timeout ``idle_timeout`` past that event time;
+- when the watermark passes the armed timeout with no new data the site
+  emits a ``silent`` row and its remaining reconnect budget decrements
+  (re-arming another timeout), mirroring the reference's recursive
+  re-subscribe;
+- after the budget is exhausted the site emits a final ``dead`` row and
+  its state is dropped (the reference fail-stops; a multi-site engine
+  drops just the dead key's state);
+- any new data resets the budget to full, like the reference's
+  counter reset on a successful document.
+
+State is bounded: one small tuple per live site, evicted on death.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+IDLE_TIMEOUT_MS = 20 * 60 * 1000  # reference: transis_consumer.py:13
+RECONNECT_BUDGET = 3  # reference: transis_consumer.py:41-47
+
+OUTPUT_SCHEMA = (
+    "site_id string, status string, n_messages long, "
+    "last_seen_ms long, budget_left int"
+)
+STATE_SCHEMA = "n_messages long, last_seen_ms long, budget_left int"
+
+
+def liveness_fn(
+    key: tuple,
+    pdf_iter: Iterator["pd.DataFrame"],  # noqa: F821
+    state: GroupState,
+    idle_timeout_ms: int = IDLE_TIMEOUT_MS,
+    budget: int = RECONNECT_BUDGET,
+) -> Iterator["pd.DataFrame"]:
+    """The per-key state transition.  Kept as a standalone function (not
+    a closure) so the timeout branch is unit-testable with a fake
+    ``GroupState``."""
+    import pandas as pd
+
+    (site_id,) = key
+
+    def out(status: str, n: int, last_ms: int, left: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "site_id": [site_id],
+                "status": [status],
+                "n_messages": [n],
+                "last_seen_ms": [last_ms],
+                "budget_left": [left],
+            }
+        )
+
+    if state.hasTimedOut:
+        n, last_ms, left = state.get
+        left -= 1
+        if left <= 0:
+            state.remove()
+            yield out("dead", n, last_ms, 0)
+        else:
+            state.update((n, last_ms, left))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
+            yield out("silent", n, last_ms, left)
+        return
+
+    n, last_ms, _ = state.get if state.exists else (0, 0, budget)
+    for pdf in pdf_iter:
+        if len(pdf):
+            n += len(pdf)
+            batch_max = int(pdf["ts"].astype("int64").max() // 1_000_000)
+            last_ms = max(last_ms, batch_max)
+    # fresh data refills the reconnect budget (reference resets the
+    # counter on any successful document, transis_consumer.py:140)
+    state.update((n, last_ms, budget))
+    state.setTimeoutTimestamp(last_ms + idle_timeout_ms)
+    yield out("active", n, last_ms, budget)
+
+
+def site_liveness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "site_id",
+    idle_timeout_ms: int = IDLE_TIMEOUT_MS,
+    budget: int = RECONNECT_BUDGET,
+) -> DataFrame:
+    """Apply the liveness state machine over a stream keyed by site.
+
+    Watermark delay 0: the timeout clock is pure event time, so tests
+    drive it deterministically by advancing other sites' event times."""
+
+    from pyspark.sql import functions as F
+
+    def fn(key: tuple, it: Iterator[Any], state: GroupState) -> Iterator[Any]:
+        return liveness_fn(key, it, state, idle_timeout_ms, budget)
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("site_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    return (
+        keyed.withWatermark("ts", "0 seconds")
+        .groupBy("site_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
