@@ -1,0 +1,88 @@
+"""Physical-plan audits — the 100 TB posture, asserted.
+
+Correctness says what a query returns; these tests pin *how* Spark will
+execute it at scale: filters reach the parquet scan (row-group /
+partition pruning), projections prune the read schema, small dimensions
+broadcast instead of shuffling the fact table, aggregations combine
+map-side before the exchange, and no registered query ever falls back to
+row-at-a-time Python (``BatchEvalPython``) — Arrow-batched pandas
+execution (``MapInPandas``/``ArrowEvalPython``) is the only sanctioned
+Python on the hot path, and only where declared (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+from scats_transis_kinesis_spark.plans.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def scan_blocks(plan: str) -> list[str]:
+    """The per-scan detail blocks (PushedFilters/ReadSchema lines)."""
+    return re.findall(r"\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    # TPC-H q3/q5 join lineitem against small dims: every join must be a
+    # broadcast hash join — a sort-merge shuffle of the fact table at
+    # 100 TB is the plan bug these queries exist to catch.
+    for name in ["q3_top_revenue", "q5_nation_revenue"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q3_top_revenue")
+    pushed = "".join(scan_blocks(plan))
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+
+    plan = plan_of(spark, "s5_time_range_scan")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(ts", plan)
+
+
+def test_column_pruning_on_fact_scan(spark):
+    # q1 touches 7 lineitem columns; the scan must not read the rest
+    # (l_orderkey, l_partkey, comments, dates beyond shipdate, ...).
+    plan = plan_of(spark, "q1_pricing_summary")
+    for block in scan_blocks(plan):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        assert m, block
+        cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+        assert len(cols) <= 7, f"q1 scan reads too many columns: {cols}"
+        assert "l_comment" not in cols
+
+
+def test_partial_aggregation_before_exchange(spark):
+    # groupBy must combine map-side: HashAggregate appears below the
+    # shuffle exchange as well as above it.
+    plan = plan_of(spark, "dedup_exact")
+    agg_then_exchange = re.search(
+        r"HashAggregate.*Exchange.*HashAggregate", plan, re.S
+    )
+    assert agg_then_exchange, "no map-side partial aggregate in dedup_exact"
+
+
+def test_no_rowwise_python_udf_anywhere(spark):
+    # The engine-wide invariant: no registered query may use
+    # row-at-a-time Python (BatchEvalPython). Arrow-batched pandas
+    # stages are allowed only for the declared multimodal decode.
+    offenders, pandas_users = [], []
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if "MapInPandas" in plan or "ArrowEvalPython" in plan:
+            pandas_users.append(name)
+    assert not offenders, f"row-wise Python UDF in: {offenders}"
+    assert set(pandas_users) <= {"multimodal_features"}, pandas_users
