@@ -44,12 +44,19 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality",
     "text_fingerprint",
+    "text_bpe_tokens",
     "multimodal_payload_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
+# dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
+# gated but not timed: it is O(n²) by construction — the timed scale
+# path over the same threshold is dedup_embedding_lsh.
 
 
 def main() -> None:

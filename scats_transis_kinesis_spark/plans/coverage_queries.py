@@ -181,20 +181,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = e.select(
         "vec_id", "v", F.explode(bands).alias("bb")
     ).select("vec_id", "v", "bb.band", "bb.bucket")
-    a = buckets.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
-    )
+    a = buckets.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    # candidates stay slim (two ids) through the distinct; vectors join
+    # back by key afterwards — the arrays never ride a shuffle they
+    # don't need (hash joins co-partitioned on vec_id at scale).
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
