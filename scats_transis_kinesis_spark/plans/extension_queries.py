@@ -213,15 +213,66 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
 @register(
     "sim_topk_ivf",
-    oracle=None,  # recall-bounded approximate path; rows-only check
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS centroid_id, v AS cvec FROM e
+            ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qvec FROM e
+            WHERE vec_id IN ({", ".join(map(str, _SIM_QUERY_IDS))})
+        ),
+        probe AS (
+            SELECT query_id, qvec, centroid_id FROM (
+                SELECT q.query_id, q.qvec, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COS.format(a="q.qvec", b="c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_COS.format(a="p.qvec", b="a.v")} AS cosine_sim
+            FROM probe p JOIN assigned a USING (centroid_id)
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
     doc="""IVF-bucketed approximate top-k (scale path): corpus assigned
-    to 16 coarse centroids, queries probe the 4 nearest clusters —
-    scans nprobe/C of the data at 100 TB
-    (operators/similarity.py:cosine_topk_bucketed).  Approximate by
-    design → no SQL oracle; recall is measured against the brute-force
-    twin in tests.""",
+    to 16 coarse centroids (deterministic seed = lowest vec_ids),
+    queries probe the 4 nearest clusters — scans nprobe/C of the data
+    at 100 TB (operators/similarity.py:cosine_topk_bucketed).
+    Approximate relative to the brute-force twin (recall measured in
+    tests), but its own semantics are fully deterministic — the oracle
+    replicates centroid seeding, rounded-cosine assignment with
+    centroid-id tiebreaks, probing, and final top-k exactly.""",
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_bucketed(
