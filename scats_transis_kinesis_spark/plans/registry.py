@@ -57,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
 # the decorators see the helpers above).
 from . import core_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
+from . import relational_queries2  # noqa: E402,F401
 from . import parity_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
 from . import extension_queries2  # noqa: E402,F401
