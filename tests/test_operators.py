@@ -163,3 +163,25 @@ def test_sessionize_gap(spark):
         (1, 3060.0, 2),
         (2, 0.0, 1),
     }
+
+
+def test_quote_all_csv_roundtrip(spark, tmp_path):
+    # K6 — every field double-quoted, header from the explicit schema
+    # (reference: transis_response_models.py:113-117,200-209).
+    from scats_transis_kinesis_spark.operators.flatten import quote_all_csv
+
+    df = spark.createDataFrame(
+        [("2087", "ROZ", 5), ("11", "CBD", 0)], "site_id string, region string, n int"
+    )
+    out = str(tmp_path / "csv_out")
+    quote_all_csv(df.coalesce(1), out)
+
+    import glob
+
+    [part] = glob.glob(out + "/part-*.csv")
+    lines = open(part).read().strip().splitlines()
+    assert lines[0] == '"site_id","region","n"'
+    assert '"2087","ROZ","5"' in lines
+    # read back through Spark: values survive the quoting
+    back = spark.read.option("header", True).csv(out)
+    assert {tuple(r) for r in back.collect()} == {("2087", "ROZ", "5"), ("11", "CBD", "0")}
