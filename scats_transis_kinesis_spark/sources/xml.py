@@ -41,6 +41,14 @@ def read_null_delimited(spark: SparkSession, path: str) -> DataFrame:
     return docs.where(F.length(F.trim(F.col("value"))) > 0)
 
 
+def read_null_delimited_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2 streaming form — the unbounded twin of
+    :func:`read_null_delimited`; in production the same option set goes
+    on a Kinesis/Kafka source and ``split_documents`` handles blobs."""
+    docs = spark.readStream.option("lineSep", NULL_DELIM).text(path)
+    return docs.where(F.length(F.trim(F.col("value"))) > 0)
+
+
 def split_documents(col_df: DataFrame, column: str = "value") -> DataFrame:
     """S2 (column form) — split a pre-batched blob column on the null
     delimiter and explode to one row per document."""

@@ -23,6 +23,39 @@ WATERMARK = "10 minutes"
 WINDOW = "5 minutes"
 
 
+def scats_records(docs: DataFrame) -> DataFrame:
+    """§3.1 transform spine: null-delimited XML documents → flat
+    detector-count records, batch or streaming alike.
+
+    parse (S3) → fail-stop error assert (P6) → non-empty filter (P7) →
+    explode messages (F1) → project/rename/map-pivot (P1–P3).  Mirrors
+    the reference's per-document loop (reference:
+    transis_kinesis_connector.py:19-26, 37-38) as one declarative plan —
+    every step is a narrow transformation, so the streaming form has no
+    state and no shuffle before the sink."""
+    from ..operators.flatten import explode_messages
+    from ..operators.projection import (
+        assert_no_error_documents,
+        non_empty_responses,
+        project_detector_count_record,
+    )
+    from ..sources.xml import parse_transis_documents
+
+    parsed = assert_no_error_documents(parse_transis_documents(docs))
+    return project_detector_count_record(explode_messages(non_empty_responses(parsed)))
+
+
+def run_scats_pipeline(docs_stream: DataFrame, writer, checkpoint_dir: str):
+    """The reference's main loop (reference: main.py:21-37,
+    transis_kinesis_connector.py:19-26) end-to-end: streaming documents
+    → :func:`scats_records` → Kinesis-envelope ``foreachBatch`` sink
+    with bounded subset retry.  Returns the started StreamingQuery;
+    fail-stop semantics surface as query termination (O5) and restart
+    recovery comes from the checkpoint."""
+    records = scats_records(docs_stream)
+    return writer.attach(records, checkpoint_dir).start()
+
+
 def windowed_traffic(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Watermarked tumbling-window rollup per (window, event_type) —
     the streaming twin of ``flagship_window_traffic``.

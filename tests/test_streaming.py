@@ -140,3 +140,90 @@ def test_audit_listener_lifecycle(spark):
         assert any(json.loads(e.status_desc)["numInputRows"] > 0 for e in status)
     finally:
         spark.streams.removeListener(listener)
+
+
+def _scats_doc(sid="2087", reg="ROZ", count="5", date="2019-10-03T15:43:00+10:00"):
+    return (
+        f'<TransisResponse error="false"><DetectorCountMessages>'
+        f'<DetectorCountMessage reg="{reg}" Sid="{sid}" date="{date}">'
+        f'<Detectors><Detector Did="1" count="{count}"/></Detectors>'
+        f"</DetectorCountMessage></DetectorCountMessages></TransisResponse>"
+    )
+
+
+def test_scats_pipeline_end_to_end(spark):
+    # The reference's main loop (§3.1) as one streaming query:
+    # null-delimited XML files -> parse -> project -> envelope ->
+    # Kinesis stub, with the throttled-subset retry exercised in-stream.
+    from scats_transis_kinesis_spark.streaming.pipeline import run_scats_pipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "xml_in")
+        os.makedirs(src)
+        # doc 2 carries the stub's throttle marker in its region value so
+        # the first put_records attempt fails exactly that record.
+        docs = [_scats_doc(sid="2087"), _scats_doc(sid="11", reg="__throttle__")]
+        with open(os.path.join(src, "stream.txt"), "w") as f:
+            f.write("\x00".join(docs) + "\x00")
+
+        from scats_transis_kinesis_spark.sources.xml import read_null_delimited_stream
+
+        stub_dir = os.path.join(d, "stub")
+        os.makedirs(stub_dir)
+        writer = KinesisBatchWriter(
+            client_factory=lambda: ThrottlingKinesisStub(state_dir=stub_dir),
+            stream_name="scats",
+            partition_key_col="region",
+            backoff_s=0.01,
+        )
+        q = run_scats_pipeline(
+            read_null_delimited_stream(spark, src), writer, os.path.join(d, "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        sent = ThrottlingKinesisStub(state_dir=stub_dir).sent_records()
+        assert len(sent) == 2
+        by_site = {json.loads(r["Data"])["site_id"]: r for r in sent}
+        assert set(by_site) == {"2087", "11"}
+        rec = json.loads(by_site["2087"]["Data"])
+        assert rec["region"] == "ROZ"
+        assert rec["collection_interval_secs"] == 300
+        assert rec["collection_end_ts_plus_3m"] == 1570081380  # golden epoch
+        assert rec["detector_counts"] == {"1": "5"}
+        assert by_site["2087"]["PartitionKey"] == "ROZ"
+
+
+def test_scats_pipeline_fail_stop_on_error_document(spark):
+    # P6/O5: an error="true" document kills the streaming query
+    # (reference fail-stop: main.py:31-37).
+    from scats_transis_kinesis_spark.sources.xml import read_null_delimited_stream
+    from scats_transis_kinesis_spark.streaming.pipeline import run_scats_pipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "xml_in")
+        os.makedirs(src)
+        poison = (
+            '<TransisResponse error="true"><Errors><Error msg="boom"/></Errors>'
+            "</TransisResponse>"
+        )
+        with open(os.path.join(src, "stream.txt"), "w") as f:
+            f.write(_scats_doc() + "\x00" + poison + "\x00")
+
+        stub_dir = os.path.join(d, "stub")
+        os.makedirs(stub_dir)
+        writer = KinesisBatchWriter(
+            client_factory=lambda: ThrottlingKinesisStub(state_dir=stub_dir),
+            stream_name="scats",
+            backoff_s=0.01,
+        )
+        q = run_scats_pipeline(
+            read_null_delimited_stream(spark, src), writer, os.path.join(d, "ckpt")
+        )
+        with pytest.raises(Exception) as exc_info:
+            q.processAllAvailable()
+            q.awaitTermination(30)
+        assert "Transis error document" in str(exc_info.value)
+        q.stop()
