@@ -204,3 +204,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine_sim") >= LSH_DUP_THRESHOLD)
     )
+
+
+# The SQL front door: one ANSI-SQL text, executed verbatim by BOTH
+# engines — spark.sql over registered temp views on the Spark side, the
+# oracle on the DuckDB side.  Proves the engine's SQL interface without
+# a separate translation layer.
+_SQL_INTERFACE_TEXT = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_interface_orders",
+    oracle=_SQL_INTERFACE_TEXT,
+    doc="""SQL-text interface parity: the exact same ANSI string runs
+    through spark.sql (temp views over the parquet tables) and DuckDB.
+    Catalyst plans it identically to the DataFrame form — pushdown,
+    pruning, partial aggregation all apply.""",
+)
+def sql_interface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_SQL_INTERFACE_TEXT)

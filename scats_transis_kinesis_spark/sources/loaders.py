@@ -105,3 +105,24 @@ def stream_events(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(f"{sf_dir}/events.parquet")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("event_date",),
+    derive_date_from: str | None = "ts",
+) -> None:
+    """Write the 100 TB storage layout: parquet partitioned by date (and
+    any further keys), so time-range scans prune whole directories
+    before reading a byte (SCALE.md §2).
+
+    ``derive_date_from`` adds an ``event_date`` column from a timestamp
+    when the frame doesn't carry one; pass ``None`` if it already does.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    if derive_date_from is not None and "event_date" in partition_cols:
+        out = out.withColumn("event_date", F.to_date(F.col(derive_date_from)))
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -185,3 +185,27 @@ def test_quote_all_csv_roundtrip(spark, tmp_path):
     # read back through Spark: values survive the quoting
     back = spark.read.option("header", True).csv(out)
     assert {tuple(r) for r in back.collect()} == {("2087", "ROZ", "5"), ("11", "CBD", "0")}
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    # SCALE.md §2: with the date-partitioned layout, a time-range
+    # predicate becomes a PartitionFilter — directories outside the
+    # range are never opened.
+    from scats_transis_kinesis_spark.sources.loaders import load_table, write_partitioned
+
+    events = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(events, out)
+
+    from pyspark.sql import functions as F
+
+    scan = spark.read.parquet(out).where(F.col("event_date") == "2024-01-02")
+    jvm = spark.sparkContext._jvm
+    plan = jvm.PythonSQLUtils.explainString(scan._jdf.queryExecution(), "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # the filter really prunes: only matching-date rows come back
+    got_dates = {str(r["event_date"]) for r in scan.select("event_date").distinct().collect()}
+    assert got_dates <= {"2024-01-02"}
