@@ -33,6 +33,8 @@ HEADLINE = [
     "q3_top_revenue",
     "q5_nation_revenue",
     "join_outer_counts",
+    "q18_large_volume_orders",
+    "salted_join_skew",
     "window_order_ranks",
     "topk_orders_per_customer",
     "range_join_ship_lag",
