@@ -266,3 +266,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation + exact
+    Hamming verification.
+
+    Pigeonhole: two 24-bit simhashes within Hamming distance 3 must
+    agree exactly on at least one of 4 disjoint 6-bit bands — so the
+    banded equi-join is a lossless candidate filter (same guarantee
+    structure as MinHash banding, Charikar '02 / Manku et al. WWW'07,
+    public algorithms).  The join shuffles |docs|×4 tiny (band, 6-bit
+    chunk) rows, never the pair space; verification is one
+    ``bit_count(xor)`` per candidate."""
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    sims = simhash(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), band * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for band in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sims.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col, "simhash", "b.band", "b.chunk"
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -176,6 +176,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, "documents", sf_dir))
 
 
+def _simhash_pairs_oracle() -> str:
+    bpb = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    mask = (1 << bpb) - 1
+    return f"""
+        WITH sims AS ({_simhash_oracle()}),
+        banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {bpb})) & {mask} AS chunk
+            FROM sims CROSS JOIN (
+                SELECT unnest(generate_series(0, {D.SIMHASH_BANDS - 1})) AS band)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_HAMMING_MAX}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    doc="""SimHash near-dup *pairs*: banded candidate join + exact
+    Hamming verify (operators/dedup.py:simhash_near_dup_pairs).
+    Pigeonhole over 4 disjoint 6-bit bands makes the candidate filter
+    lossless for Hamming ≤ 3 — the join shuffles |docs|×4 tiny rows,
+    never the O(n²) pair space.""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search ----------------------------------------------------
 
 _SIM_QUERY_IDS = [0, 1, 2, 3, 4]

@@ -109,3 +109,16 @@ def test_frame_sampling(spark):
     )
     rows = {(r["media_id"], r["frame_idx"], r["offset_ms"]) for r in M.sample_frames(media, 1000).collect()}
     assert rows == {(1, 0, 0), (1, 1, 1000), (1, 2, 2000), (2, 0, 0)}
+
+
+def test_simhash_pairs_find_planted_duplicates(spark):
+    from scats_transis_kinesis_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "completely different words about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs -> identical simhash
