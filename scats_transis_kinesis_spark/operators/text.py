@@ -96,3 +96,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         portable_hash64(text_col).alias("fp"),
         portable_hash64(normalized).alias("fp_norm"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    Two grouped aggregations (term frequency per doc, document frequency
+    per term) + a per-doc window — every stage keyed and partial-agg
+    friendly.  The corpus size joins in as a broadcast 1-row frame (no
+    driver collect in the plan).  Ranking uses only integers
+    (tf desc, df asc, term asc): the float score is reported but never
+    decides order, so cross-engine log() ulp differences cannot flip
+    rows."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

@@ -79,3 +79,33 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_count.alias("n_bpe_tokens"),
         F.round(F.length("text") / bpe_count, 6).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df,
+               round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3
+    """,
+    doc="""Top-3 TF-IDF keywords per document (north star text
+    analysis; operators/text.py:tfidf_top_terms).  Integer-only ranking
+    (tf, df, term) so the reported float score never decides order.""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, "documents", sf_dir))
