@@ -46,12 +46,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality",
     "text_fingerprint",
     "text_bpe_tokens",
+    "text_tfidf_top_terms",
     "multimodal_payload_stats",
     "multimodal_features",
     "multimodal_frame_sample",
