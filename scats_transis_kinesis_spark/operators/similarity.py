@@ -159,3 +159,74 @@ def cosine_topk_bucketed(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def cosine_topk_vectorized(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul — the extreme-throughput
+    twin of :func:`cosine_topk_bruteforce` (SCALE.md §5).
+
+    The (tiny) normalized query matrix ships to executors inside the UDF
+    closure; each Arrow batch of corpus vectors scores against ALL
+    queries in one BLAS ``C @ Q.T`` and emits only its per-batch top-k
+    candidates — the shuffle carries |batches|·|queries|·k rows, then a
+    window takes the global top-k.  Same semantics as the column-wise
+    baseline (round-6 scores, id tiebreak); FP sum order differs (BLAS
+    vs sequential), so equality is up to the rounding — the unit test
+    pins it against the baseline."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    q_rows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )  # |queries| rows only — the corpus never touches the driver
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            scores = c @ q_mat.T  # (n_batch, n_queries)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                keep = ids != qid
+                cand_idx = np.nonzero(keep)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[: k]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[top],
+                            "cosine_sim": np.round(col[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from pyspark.sql import Window as W
+
+    candidates = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

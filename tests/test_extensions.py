@@ -122,3 +122,21 @@ def test_simhash_pairs_find_planted_duplicates(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs -> identical simhash
+
+
+def test_vectorized_topk_matches_columnwise_baseline(spark, embeddings):
+    from scats_transis_kinesis_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_vectorized,
+    )
+
+    qids = [0, 1, 2]
+    base = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk_bruteforce(embeddings, qids, k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk_vectorized(embeddings, qids, k=5).collect()
+    }
+    assert fast == base

@@ -227,3 +227,38 @@ def test_scats_pipeline_fail_stop_on_error_document(spark):
             q.awaitTermination(30)
         assert "Transis error document" in str(exc_info.value)
         q.stop()
+
+
+def test_sessionized_traffic_streaming_matches_batch(spark):
+    from scats_transis_kinesis_spark.streaming.pipeline import sessionized_traffic
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        _write_events_parquet(spark, src)
+        batch_df = spark.read.parquet(src)
+        expected = {
+            (r["session_start"].isoformat(), r["user_id"], r["n_events"])
+            for r in sessionized_traffic(batch_df, gap="5 minutes").collect()
+        }
+        assert expected, "batch sessionization produced no sessions"
+
+        stream = (
+            spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            sessionized_traffic(stream, gap="5 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sess_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt_sess"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["session_start"].isoformat(), r["user_id"], r["n_events"])
+                for r in spark.sql("SELECT * FROM sess_out").collect()
+            }
+        finally:
+            q.stop()
+        assert got == expected
