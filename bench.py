@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "sim_topk_vectorized",
     "text_quality",
     "text_fingerprint",
     "text_bpe_tokens",

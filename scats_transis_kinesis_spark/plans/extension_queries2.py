@@ -109,3 +109,41 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "sim_topk_vectorized",
+    # Same oracle as sim_topk_bruteforce: the vectorized operator is an
+    # exact computation of the same top-k (round-6 scores, id tiebreak).
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), pairs AS (
+            SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                   round(
+                     list_dot_product(q.qv, c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                     6) AS cosine_sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.qid
+        )
+        SELECT query_id, neighbor_id, cosine_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    """,
+    doc="""Exact top-5 cosine via Arrow-batched numpy matmul with
+    per-batch partial top-k (operators/similarity.py:
+    cosine_topk_vectorized) — the extreme-throughput twin of
+    sim_topk_bruteforce, hash-checked against the same independent
+    oracle.  The one sanctioned ArrowEvalPython/MapInPandas stage
+    besides the multimodal decode.""",
+)
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_vectorized
+
+    return cosine_topk_vectorized(
+        load_table(spark, "embeddings", sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
+    )

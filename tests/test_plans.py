@@ -85,4 +85,4 @@ def test_no_rowwise_python_udf_anywhere(spark):
         if "MapInPandas" in plan or "ArrowEvalPython" in plan:
             pandas_users.append(name)
     assert not offenders, f"row-wise Python UDF in: {offenders}"
-    assert set(pandas_users) <= {"multimodal_features"}, pandas_users
+    assert set(pandas_users) <= {"multimodal_features", "sim_topk_vectorized"}, pandas_users
