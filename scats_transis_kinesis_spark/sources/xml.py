@@ -155,3 +155,56 @@ def _parse_with_elementtree(docs: DataFrame, column: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(parse_batch, schema=schemas.TRANSIS_RESPONSE)
+
+
+# from_xml schema for a topology <TransisResponse> carrying SiteLayouts
+# (reference: transis_response_models.py:129-268; attributes prefixed
+# "_", repeated children under their container element, SGNo as element
+# text).
+TOPOLOGY_XML_SCHEMA = (
+    "struct<_error:string, SiteLayouts:struct<SiteLayout:array<struct<"
+    "_sId:string, _region:string, "
+    "Arms:struct<Arm:array<struct<_aId:string,_name:string>>>, "
+    "Detectors:struct<Detector:array<struct<_dId:string,_arm:string>>>, "
+    "Streets:struct<Street:array<struct<_name:string,_suburb:string>>>, "
+    "SGs:struct<SG:array<struct<_sgNo:string,_type:string>>>, "
+    "Phases:struct<Phase:array<struct<_name:string, SGNos:struct<SGNo:array<string>>>>>"
+    ">>>>"
+)
+
+
+def parse_site_layouts(docs: DataFrame, column: str = "value") -> DataFrame:
+    """S4/§3.2 — topology XML documents → one row per site in the
+    ``schemas.SITE_LAYOUT`` shape (sId, region + five child-collection
+    arrays), ready for the F3/F4 unnest joins and the K6 CSV sink.
+
+    Empty child containers parse as NULL arrays — matching the
+    reference's ElementTree truthiness semantics (empty container ==
+    absent, reference: transis_response_models.py:139-152; SURVEY.md
+    §1.4)."""
+    parsed = docs.select(F.from_xml(F.col(column), TOPOLOGY_XML_SCHEMA).alias("r"))
+    site = F.explode(F.col("r.SiteLayouts.SiteLayout")).alias("s")
+    return parsed.select(site).select(
+        F.col("s._sId").alias("sId"),
+        F.col("s._region").alias("region"),
+        F.transform(
+            "s.Arms.Arm",
+            lambda a: F.struct(a["_aId"].alias("aId"), a["_name"].alias("name")),
+        ).alias("arms"),
+        F.transform(
+            "s.Detectors.Detector",
+            lambda d: F.struct(d["_dId"].alias("dId"), d["_arm"].alias("arm")),
+        ).alias("detectors"),
+        F.transform(
+            "s.Streets.Street",
+            lambda st: F.struct(st["_name"].alias("name"), st["_suburb"].alias("suburb")),
+        ).alias("streets"),
+        F.transform(
+            "s.SGs.SG",
+            lambda g: F.struct(g["_sgNo"].alias("sgNo"), g["_type"].alias("type")),
+        ).alias("sgs"),
+        F.transform(
+            "s.Phases.Phase",
+            lambda p: F.struct(p["_name"].alias("name"), p["SGNos"]["SGNo"].alias("sgNos")),
+        ).alias("phases"),
+    )

@@ -92,3 +92,62 @@ def test_is_empty_predicate(spark):
     msgs = explode_messages(_docs(spark, XML_TWO_SITES))
     flags = {r["Sid"]: r["is_empty"] for r in is_empty_message(msgs).collect()}
     assert flags == {"2087": False, "8": True}
+
+
+def test_topology_xml_to_dimension_csvs(spark, tmp_path):
+    # §3.2 end-to-end: topology snapshot XML -> SiteLayouts rows ->
+    # five unnest-joined dimension frames -> quote-all CSVs with the
+    # parent sId prefixed on every child row (reference:
+    # transis_response_models.py:163-209).
+    from scats_transis_kinesis_spark.operators.flatten import (
+        explode_phases,
+        explode_site_children,
+        quote_all_csv,
+    )
+    from scats_transis_kinesis_spark.sources.xml import parse_site_layouts
+
+    xml = (
+        '<TransisResponse error="false"><SiteLayouts>'
+        '<SiteLayout sId="2087" region="ROZ">'
+        '<Arms><Arm aId="1" name="north"/><Arm aId="2" name="south"/></Arms>'
+        '<Detectors><Detector dId="21" arm="1"/></Detectors>'
+        '<Streets><Street name="Main St" suburb="Rozelle"/></Streets>'
+        '<SGs><SG sgNo="7" type="veh"/></SGs>'
+        '<Phases><Phase name="A"><SGNos><SGNo>7</SGNo><SGNo>8</SGNo></SGNos></Phase></Phases>'
+        "</SiteLayout>"
+        '<SiteLayout sId="11" region="CBD"><Arms/></SiteLayout>'
+        "</SiteLayouts></TransisResponse>"
+    )
+    docs = spark.createDataFrame([(xml,)], "value string")
+    sites = parse_site_layouts(docs)
+    assert sites.count() == 2
+
+    arms = explode_site_children(sites, "arms")
+    assert {(r["site_id"], r["aId"], r["name"]) for r in arms.collect()} == {
+        ("2087", "1", "north"),
+        ("2087", "2", "south"),
+    }
+    # empty <Arms/> container behaves as NULL -> site 11 contributes no rows
+    assert arms.where(arms.site_id == "11").count() == 0
+
+    phases = explode_phases(sites)
+    assert {(r["site_id"], r["phase"], r["sg_no"]) for r in phases.collect()} == {
+        ("2087", "A", "7"),
+        ("2087", "A", "8"),
+    }
+
+    for name, frame in {
+        "arms": arms,
+        "detectors": explode_site_children(sites, "detectors"),
+        "streets": explode_site_children(sites, "streets"),
+        "sgs": explode_site_children(sites, "sgs"),
+        "phases": phases,
+    }.items():
+        out = str(tmp_path / name)
+        quote_all_csv(frame.coalesce(1), out)
+        import glob
+
+        [part] = glob.glob(out + "/part-*.csv")
+        lines = open(part).read().strip().splitlines()
+        assert lines[0].startswith('"site_id"'), (name, lines[0])
+        assert all(l.startswith('"') for l in lines[1:]), name
