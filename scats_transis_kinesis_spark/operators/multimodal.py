@@ -110,3 +110,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("offset_ms"))
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched media resize plumbing (north star).
+
+    Same ``mapInPandas`` shape as :func:`extract_features`: batches of
+    (media_id, payload, meta) in, same schema out with the metadata
+    dimensions rewritten.  STUB: strict mode raises (no codec libraries
+    in this container); test mode passes the payload through untouched
+    so the batch plumbing and schema contract are exercised for real —
+    a PIL/ffmpeg implementation replaces only the body marked below."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media resize requires codec libraries not present in this "
+                    "container; run with strict=False for the pass-through stub"
+                )
+            # --- real decoder/encoder goes here ---
+            out = pdf.copy()
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height} for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

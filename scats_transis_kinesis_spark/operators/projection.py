@@ -119,3 +119,17 @@ def kv_lookup(json_array_col: Column | str, key: str) -> Column:
         F.map_from_entries(F.transform(entries, lambda e: F.struct(e["key"], e["value"]))),
         key,
     )
+
+
+def split_error_documents(responses: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P6 dead-letter variant — route ``error="true"`` documents to a
+    side output instead of killing the query.
+
+    The reference only fail-stops (transis_consumer.py:134-136,
+    main.py:31-37); :func:`assert_no_error_documents` preserves that.
+    This split is the production alternative: the good stream continues,
+    the poison stream lands in a dead-letter sink for inspection.  Both
+    filters push to the same scan — Catalyst evaluates the predicate
+    once per branch, no extra pass over the data."""
+    is_err = F.coalesce(F.lower(F.col("error")) == F.lit("true"), F.lit(False))
+    return responses.where(~is_err), responses.where(is_err)

@@ -140,3 +140,33 @@ def test_vectorized_topk_matches_columnwise_baseline(spark, embeddings):
         for r in cosine_topk_vectorized(embeddings, qids, k=5).collect()
     }
     assert fast == base
+
+
+def test_resize_media_rewrites_meta_keeps_payload(spark, documents):
+    import scats_transis_kinesis_spark.operators.multimodal as M
+
+    media = M.documents_as_media(documents.limit(5))
+    before = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    resized = M.resize_media(media, width=64, height=64).collect()
+    assert len(resized) == 5
+    for r in resized:
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+        assert r["meta"]["mime"] == "text/plain"  # untouched fields survive
+        assert bytes(r["payload"]) == before[r["media_id"]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.resize_media(media, 1, 1, strict=True).collect()
+
+
+def test_split_error_documents_dead_letter(spark):
+    from scats_transis_kinesis_spark.operators.projection import split_error_documents
+
+    df = spark.createDataFrame(
+        [("false", None), ("true", "boom"), (None, None)],
+        "error string, error_msg string",
+    )
+    good, bad = split_error_documents(df)
+    assert good.count() == 2  # 'false' and NULL error both flow on
+    assert [r["error_msg"] for r in bad.collect()] == ["boom"]
