@@ -61,9 +61,11 @@ def shingle_sets(
     """(id, distinct n-word shingle ARRAY) — the set representation used
     by minhash and Jaccard verification.  Docs shorter than n words are
     excluded (no shingle — and Spark's sequence() would go descending)."""
+    from ..sources.loaders import ensure_parallelism
+
     toks = F.split(F.col(text_col), " ")
     return (
-        df.where(F.size(toks) >= n)
+        ensure_parallelism(df).where(F.size(toks) >= n)
         .select(
             F.col(id_col),
             F.array_distinct(
@@ -251,7 +253,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     One explode + one grouped aggregation with SIMHASH_BITS conditional
     sums — a single shuffle keyed by id."""
-    hashed = df.select(
+    from ..sources.loaders import ensure_parallelism
+
+    hashed = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).select(id_col, portable_hash32("token").alias("h"))
     bit_sums = [

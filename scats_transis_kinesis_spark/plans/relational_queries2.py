@@ -154,3 +154,29 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 4) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 1.5 * avg(o2.o_totalprice)
+        FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register(
+    "correlated_subquery_orders",
+    oracle=_CORRELATED_SQL,
+    doc="""Correlated scalar subquery (orders 1.5× above their
+    customer's average), same ANSI text in both engines.  Catalyst
+    decorrelates it into an aggregate + self-join on o_custkey — one
+    keyed shuffle, no per-row re-execution; the plan is the same shape
+    a hand-written window/join would produce.""",
+)
+def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)

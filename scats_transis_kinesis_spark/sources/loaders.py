@@ -126,3 +126,20 @@ def write_partitioned(
     if derive_date_from is not None and "event_date" in partition_cols:
         out = out.withColumn("event_date", F.to_date(F.col(derive_date_from)))
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Fan a narrow CPU-bound pipeline out to the cluster when the scan
+    produced fewer splits than cores (small files, single-file tables).
+
+    A 0.6 MB parquet file scans as ONE partition — and every narrow
+    stage chained on it (shingling, hashing, parsing) then runs on one
+    core.  The round-robin repartition here shuffles only the small raw
+    input, after which all downstream work parallelizes.  At 100 TB
+    scans already produce ~1 split per 128 MB and this is a no-op —
+    the guard matters exactly when inputs are small but per-row work is
+    heavy (the CPU-bound dedup/sketch operators)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
