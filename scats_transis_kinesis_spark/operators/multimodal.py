@@ -96,7 +96,9 @@ def extract_features(media: DataFrame, strict: bool = False, dim: int = 8) -> Da
             )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from ..sources.loaders import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -140,4 +142,6 @@ def resize_media(
             ]
             yield out
 
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+    from ..sources.loaders import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -223,6 +223,9 @@ def cosine_topk_vectorized(
 
     from pyspark.sql import Window as W
 
+    # NOTE: no forced fan-out here — per-batch BLAS work is microseconds
+    # at small corpus sizes, so extra partitions only add Arrow-worker
+    # round-trips; at real scale the scan itself provides the splits.
     candidates = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
