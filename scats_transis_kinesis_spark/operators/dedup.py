@@ -322,3 +322,63 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (member_id,
+    cluster_id=min id in component).  The canonicalization step after
+    any pair generator: every dup cluster keeps one representative.
+
+    Min-label propagation to fixpoint: each round every vertex takes the
+    smallest label among itself and its neighbors; rounds double the
+    propagation radius of the *minimum* label, so convergence needs at
+    most O(diameter) rounds (near-dup clusters are tiny cliques —
+    2-3 rounds in practice).  Each round is one shuffle keyed by vertex;
+    the driver only checks a scalar convergence aggregate, never the
+    data.  At 100 TB this is the standard large-graph CC loop
+    (Kiveris et al. "Connected Components in MapReduce", SOCC'14 —
+    public algorithm family)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("vertex").alias("member_id"), F.col("label").alias("cluster_id")
+    )

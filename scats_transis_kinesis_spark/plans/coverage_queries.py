@@ -232,3 +232,67 @@ _SQL_INTERFACE_TEXT = """
 def sql_interface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
     return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+# The dedup_embedding_lsh pairs as a reusable CTE body (identical SQL to
+# its oracle above, minus the leading WITH).
+_LSH_PAIRS_CTES = f"""
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        buckets AS (
+            SELECT vec_id, v, band,
+                   list_sum(list_transform(generate_series(0, {LSH_BITS - 1}),
+                       d -> CASE WHEN v[band * {LSH_BITS} + d + 1] > 0
+                                 THEN (1 << d) ELSE 0 END)) AS bucket
+            FROM e CROSS JOIN (
+                SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN e ea ON ea.vec_id = cand.id_a
+            JOIN e eb ON eb.vec_id = cand.id_b
+            WHERE round(list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v))
+                           * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                  >= {LSH_DUP_THRESHOLD}
+        )
+"""
+
+
+@register(
+    "dedup_clusters_embedding",
+    oracle=f"""
+        WITH RECURSIVE
+        {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        )
+        SELECT src AS member_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="""Dedup *clustering* (iterative algorithm): connected
+    components over the sign-LSH near-dup pairs — each member mapped to
+    its cluster's canonical (minimum) id, the keep-one-representative
+    step of a dedup pipeline.  Spark side iterates min-label
+    propagation to fixpoint (operators/dedup.py:connected_components,
+    one keyed shuffle per round, O(diameter) rounds); the oracle
+    computes the same fixpoint with a recursive CTE.""",
+)
+def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    return connected_components(dedup_embedding_lsh(spark, sf_dir))

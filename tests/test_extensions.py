@@ -170,3 +170,17 @@ def test_split_error_documents_dead_letter(spark):
     good, bad = split_error_documents(df)
     assert good.count() == 2  # 'false' and NULL error both flow on
     assert [r["error_msg"] for r in bad.collect()] == ["boom"]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from scats_transis_kinesis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["member_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    # the 1-2-3-4 chain needs multi-round propagation to collapse to 1
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
