@@ -296,3 +296,57 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     return connected_components(dedup_embedding_lsh(spark, sf_dir))
+
+
+@register(
+    "sample_hash_bucket",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+    """,
+    doc="""Deterministic 10% sample via portable-hash bucketing — the
+    reproducible-at-scale alternative to seeded random sampling (a
+    row's membership depends only on its id, so the sample is stable
+    across engines, runs, partitionings, and data layout changes).
+    The predicate is a pure column expression evaluated in the scan
+    stage; no shuffle, no state.""",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash32
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 100
+    return docs.where(bucket < 10).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dataset_split_train_test",
+    oracle="""
+        SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="""Deterministic 90/10 train/test split by hash bucket (north
+    star: every training-data pipeline needs a leakage-proof,
+    reproducible split).  Same portable-hash mechanism as
+    sample_hash_bucket; membership is a property of the row id alone,
+    so re-running over re-partitioned or incrementally-grown data never
+    moves a document across the split boundary.""",
+)
+def dataset_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash32
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test"))
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )

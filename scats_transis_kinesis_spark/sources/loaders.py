@@ -143,3 +143,18 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the
+    co-located-join layout (SCALE.md §3): two tables bucketed the same
+    way join with NO exchange, the single biggest shuffle saving
+    available to a recurring fact⋈fact join at 100 TB."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

@@ -86,3 +86,35 @@ def test_no_rowwise_python_udf_anywhere(spark):
             pandas_users.append(name)
     assert not offenders, f"row-wise Python UDF in: {offenders}"
     assert set(pandas_users) <= {"multimodal_features", "sim_topk_vectorized"}, pandas_users
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    # SCALE.md §3: co-located bucketed layout -> fact-fact join with no
+    # Exchange on either side. Broadcast is disabled so the test proves
+    # the *bucketing* (not the broadcast) removed the shuffle.
+    from scats_transis_kinesis_spark.sources.loaders import load_table, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, "orders", SF_DIR)
+        lineitem = load_table(spark, "lineitem", SF_DIR).withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "bucketdb.b_orders", "o_orderkey", 8)
+        write_bucketed(lineitem, "bucketdb.b_lineitem", "o_orderkey", 8)
+
+        joined = spark.table("bucketdb.b_orders").join(
+            spark.table("bucketdb.b_lineitem"), "o_orderkey"
+        )
+        jvm = spark.sparkContext._jvm
+        plan = jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: the join actually runs and matches the unbucketed count
+        expected = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
