@@ -1,0 +1,117 @@
+"""Event-analytics queries: ordered funnel and weekly cohort retention —
+the classic product-analytics surface over the events stream, both pure
+grouped aggregations (one shuffle keyed by user, one by cohort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+from .registry import register
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        depth AS (
+            SELECT user_id,
+                   CASE
+                       WHEN t_view IS NULL THEN 0
+                       WHEN t_click IS NULL OR t_click < t_view THEN 1
+                       WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+                       ELSE 3
+                   END AS funnel_depth
+            FROM stages
+        )
+        SELECT funnel_depth, count(*) AS n_users
+        FROM depth GROUP BY funnel_depth
+    """,
+    doc="""Ordered funnel (view → click → purchase): per user the first
+    timestamp of each stage folds into a depth score — a user only
+    advances if the stages happened *in order*.  One grouped
+    aggregation with conditional mins (single shuffle on user_id, fully
+    partial-aggregated), then a tiny depth histogram — no self-joins,
+    no window over the event log.""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stages = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    depth = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")), 1)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") < F.col("t_click")), 2
+        )
+        .otherwise(3)
+    )
+    return (
+        stages.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   datediff('week', f.cohort_week, date_trunc('week', e.ts))
+                       AS week_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_week, week_offset, count(*) AS n_active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    doc="""Weekly cohort retention: users bucketed by first-seen week,
+    counted once per (cohort, weeks-since-first) they were active in.
+    Two keyed aggregations and one equi-join on user_id — the join's
+    right side is |users| rows (already reduced), and the final matrix
+    is |cohorts|×|weeks|, tiny at any scale.""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.to_date(F.date_trunc("week", F.col("ts"))),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                ).cast("long")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
