@@ -159,8 +159,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE jaccard >= 0.5
     """,
     doc="""Word-3-gram shingle Jaccard near-dup via inverted-index
-    candidate join (docs sharing a shingle) — never the O(n²) pair
-    space (operators/dedup.py:ngram_jaccard_pairs).""",
+    candidate join with PPJoin prefix + positional + length filters
+    (lossless for Jaccard >= 0.5) — hot shingles never enter the index,
+    never the O(n²) pair space (operators/dedup.py:ngram_jaccard_pairs).""",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), n=3, threshold=0.5)

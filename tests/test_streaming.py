@@ -262,3 +262,46 @@ def test_sessionized_traffic_streaming_matches_batch(spark):
         finally:
             q.stop()
         assert got == expected
+
+
+def test_scats_pipeline_checkpoint_recovery_no_resend(spark):
+    # Restarting a completed query on the same checkpoint must not
+    # re-deliver processed documents (the checkpoint, not the sink,
+    # carries the progress) — the engine's upgrade over the reference's
+    # blind reconnect-and-resubscribe (transis_consumer.py:141-148).
+    from scats_transis_kinesis_spark.sources.xml import read_null_delimited_stream
+    from scats_transis_kinesis_spark.streaming.pipeline import run_scats_pipeline
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "xml_in")
+        os.makedirs(src)
+        with open(os.path.join(src, "stream.txt"), "w") as f:
+            f.write(_scats_doc(sid="2087") + "\x00" + _scats_doc(sid="11") + "\x00")
+
+        stub_dir = os.path.join(d, "stub")
+        os.makedirs(stub_dir)
+        ckpt = os.path.join(d, "ckpt")
+
+        def start():
+            writer = KinesisBatchWriter(
+                client_factory=lambda: ThrottlingKinesisStub(state_dir=stub_dir),
+                stream_name="scats",
+                partition_key_col="region",
+                backoff_s=0.01,
+            )
+            return run_scats_pipeline(read_null_delimited_stream(spark, src), writer, ckpt)
+
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        first_run = len(ThrottlingKinesisStub(state_dir=stub_dir).sent_records())
+        assert first_run == 2
+
+        q2 = start()  # same checkpoint, no new files
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert len(ThrottlingKinesisStub(state_dir=stub_dir).sent_records()) == first_run
