@@ -92,3 +92,38 @@ def sessionized_traffic(events: DataFrame, ts_col: str = "ts", gap: str = "30 mi
             "n_events",
         )
     )
+
+
+def enrich_with_topology(events: DataFrame, sites: DataFrame, key: str = "site_id") -> DataFrame:
+    """Stream-static join: each micro-batch of detector events joins the
+    (slow-changing) topology dimension — Spark re-reads the static side
+    per batch, so a refreshed snapshot table picks up automatically.
+    The static side broadcasts under the session threshold; the stream
+    never shuffles."""
+    return events.join(F.broadcast(sites), key, "left")
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events within
+    ``within`` AFTER the left event, per key.  Both sides carry
+    watermarks so the join state is bounded — a buffered left row can be
+    evicted once the right watermark passes left_ts + within
+    (the SCATS shape: correlate a detector alarm stream with the
+    detector count stream around the alarm)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}")),
+    )

@@ -305,3 +305,73 @@ def test_scats_pipeline_checkpoint_recovery_no_resend(spark):
         finally:
             q2.stop()
         assert len(ThrottlingKinesisStub(state_dir=stub_dir).sent_records()) == first_run
+
+
+def test_stream_static_enrichment(spark):
+    from scats_transis_kinesis_spark.streaming.pipeline import enrich_with_topology
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        rows = [("2087", "2024-01-01 00:00:30"), ("11", "2024-01-01 00:01:30")]
+        spark.createDataFrame(rows, "site_id string, t string").select(
+            "site_id", F.col("t").cast("timestamp").alias("ts")
+        ).write.parquet(src)
+        sites = spark.createDataFrame(
+            [("2087", "ROZ"), ("11", "CBD")], "site_id string, region string"
+        )
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            enrich_with_topology(stream, sites)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enriched_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["site_id"], r["region"]) for r in spark.sql("SELECT * FROM enriched_out").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {("2087", "ROZ"), ("11", "CBD")}
+
+
+def test_stream_stream_join_within_window(spark):
+    # clicks joined to purchases within 15 minutes after the click,
+    # both sides watermarked (bounded state).
+    from scats_transis_kinesis_spark.streaming.pipeline import correlate_streams
+
+    with tempfile.TemporaryDirectory() as d:
+        clicks_p, purch_p = os.path.join(d, "clicks"), os.path.join(d, "purchases")
+        mk = lambda rows: [(u, f"2024-01-01 00:{m:02d}:00") for u, m in rows]
+        for path, rows in [
+            (clicks_p, mk([(1, 0), (2, 0), (3, 30)])),
+            (purch_p, mk([(1, 10), (2, 40), (3, 35)])),  # u2 outside 15 min
+        ]:
+            spark.createDataFrame(rows, "user_id long, t string").select(
+                "user_id", F.col("t").cast("timestamp").alias("ts")
+            ).write.parquet(path)
+
+        cs = spark.readStream.schema(spark.read.parquet(clicks_p).schema).parquet(clicks_p)
+        ps = spark.readStream.schema(spark.read.parquet(purch_p).schema).parquet(purch_p)
+        joined = correlate_streams(cs, ps, within="15 minutes").select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_join_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r["user_id"] for r in spark.sql("SELECT * FROM ss_join_out").collect()}
+        finally:
+            q.stop()
+        assert got == {1, 3}  # u2's purchase was 40 min later -> excluded
