@@ -42,12 +42,15 @@ HEADLINE = [
     "sessionize_users",
     "setops_users",
     "pivot_event_counts",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",
+    "dedup_clusters_embedding",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_vectorized",
@@ -55,6 +58,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_bpe_tokens",
     "text_tfidf_top_terms",
+    "dataset_split_train_test",
     "multimodal_payload_stats",
     "multimodal_features",
     "multimodal_frame_sample",
