@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from ..functions.timestamps import epoch_from_iso8601
 
 
-def project_detector_count_record(messages: DataFrame) -> DataFrame:
+def project_detector_count_record(
+    messages: DataFrame, keep_received_ts: bool = False
+) -> DataFrame:
     """P1+P2+P3 — per-site message → flat keyed record.
 
     Renames ``reg→region`` / ``Sid→site_id``, adds the constant 300 s
@@ -35,13 +37,18 @@ def project_detector_count_record(messages: DataFrame) -> DataFrame:
     ).otherwise(
         F.map_from_entries(F.transform(valid, lambda d: F.struct(d["Did"], d["count"])))
     )
-    return messages.select(
+    cols = [
         F.col("reg").cast("string").alias("region"),
         F.col("Sid").cast("string").alias("site_id"),
         F.lit(300).alias("collection_interval_secs"),
         epoch_from_iso8601("date").alias("collection_end_ts_plus_3m"),
         counts_map.alias("detector_counts"),
-    )
+    ]
+    if keep_received_ts:
+        # the receive-time stamp the reference attaches per response
+        # (reference: transis_response_models.py:286)
+        cols.append(F.col("response_received_ts"))
+    return messages.select(*cols)
 
 
 def detector_counts_long(messages: DataFrame) -> DataFrame:

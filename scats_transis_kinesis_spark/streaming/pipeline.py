@@ -23,7 +23,7 @@ WATERMARK = "10 minutes"
 WINDOW = "5 minutes"
 
 
-def scats_records(docs: DataFrame) -> DataFrame:
+def scats_records(docs: DataFrame, stamp_received_ts: bool = False) -> DataFrame:
     """§3.1 transform spine: null-delimited XML documents → flat
     detector-count records, batch or streaming alike.
 
@@ -32,7 +32,13 @@ def scats_records(docs: DataFrame) -> DataFrame:
     the reference's per-document loop (reference:
     transis_kinesis_connector.py:19-26, 37-38) as one declarative plan —
     every step is a narrow transformation, so the streaming form has no
-    state and no shuffle before the sink."""
+    state and no shuffle before the sink.
+
+    ``stamp_received_ts`` adds the Sydney-local receive timestamp the
+    reference stamps on every response (P4, reference:
+    transis_response_models.py:286, utils.py:15-19) — off by default
+    because the value is wall-clock non-deterministic (golden tests and
+    oracles need stable rows)."""
     from ..operators.flatten import explode_messages
     from ..operators.projection import (
         assert_no_error_documents,
@@ -42,7 +48,14 @@ def scats_records(docs: DataFrame) -> DataFrame:
     from ..sources.xml import parse_transis_documents
 
     parsed = assert_no_error_documents(parse_transis_documents(docs))
-    return project_detector_count_record(explode_messages(non_empty_responses(parsed)))
+    if stamp_received_ts:
+        from ..functions.timestamps import formatted_current_timestamp
+
+        parsed = parsed.withColumn("response_received_ts", formatted_current_timestamp())
+    return project_detector_count_record(
+        explode_messages(non_empty_responses(parsed)),
+        keep_received_ts=stamp_received_ts,
+    )
 
 
 def run_scats_pipeline(docs_stream: DataFrame, writer, checkpoint_dir: str):

@@ -151,3 +151,25 @@ def test_topology_xml_to_dimension_csvs(spark, tmp_path):
         lines = open(part).read().strip().splitlines()
         assert lines[0].startswith('"site_id"'), (name, lines[0])
         assert all(l.startswith('"') for l in lines[1:]), name
+
+
+def test_scats_records_stamps_received_ts(spark):
+    # P4 receive-time stamp carried to the flat record (reference:
+    # transis_response_models.py:286, format utils.py:15-19).
+    import re
+
+    from scats_transis_kinesis_spark.streaming.pipeline import scats_records
+
+    xml = (
+        '<TransisResponse error="false"><DetectorCountMessages>'
+        '<DetectorCountMessage reg="ROZ" Sid="2087" date="2019-10-03T15:43:00+10:00">'
+        '<Detectors><Detector Did="1" count="5"/></Detectors>'
+        "</DetectorCountMessage></DetectorCountMessages></TransisResponse>"
+    )
+    docs = spark.createDataFrame([(xml,)], "value string")
+    [row] = scats_records(docs, stamp_received_ts=True).collect()
+    # Sydney-local ISO-8601 with a colon in the offset, like the reference
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+1[01]:00", row["response_received_ts"]
+    ), row["response_received_ts"]
+    assert "response_received_ts" not in scats_records(docs).columns  # default: stable rows
