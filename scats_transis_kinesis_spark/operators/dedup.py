@@ -379,6 +379,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # the loop's count() materialized `labels`; the edge cache is done
+    edges.unpersist(blocking=False)
     return labels.select(
         F.col("vertex").alias("member_id"), F.col("label").alias("cluster_id")
     )
