@@ -59,6 +59,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "text_tfidf_top_terms",
     "dataset_split_train_test",
+    "corpus_clean_pipeline",
     "multimodal_payload_stats",
     "multimodal_features",
     "multimodal_frame_sample",

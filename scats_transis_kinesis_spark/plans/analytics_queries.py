@@ -115,3 +115,73 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+QUALITY_MIN = 0.5
+
+
+def _corpus_clean_oracle() -> str:
+    # Composed from the text_lang_id / text_quality / dedup_exact oracle
+    # logic — same stoplist, same formulas, same portable hash family.
+    from .extension_queries import _H64, _STOPLIST_SQL
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, n_chars, text,
+                   string_split(text, ' ') AS w,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                       / len(string_split(text, ' ')) AS stop_r,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text) AS punct_r
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, n_chars,
+                   round(0.4 * least(len(w) / 100.0, 1.0)
+                         + 0.3 * stop_r + 0.3 * (1 - punct_r), 6) AS quality,
+                   stop_r
+            FROM t
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, {_H64.format(e='text')} AS h FROM documents)
+            GROUP BY h
+        )
+        SELECT s.doc_id, s.n_chars, s.quality
+        FROM scored s
+        JOIN keep k ON k.doc_id = s.doc_id
+        WHERE s.stop_r > 0.05 AND s.quality >= {QUALITY_MIN}
+    """
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=_corpus_clean_oracle(),
+    doc="""The north-star operators composed into the canonical
+    training-corpus cleaning pipeline (C4/RefinedWeb shape): language
+    filter (stopword-density lang-id = 'en') → quality filter
+    (heuristic score ≥ 0.5) → exact-dup removal (keep the minimum
+    doc_id per content hash).  Every stage is scan-local except the
+    dedup groupBy (one (hash,id) shuffle); the final semi-joins carry
+    ids only.  Output = the retained corpus with its quality scores.""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups
+    from ..operators.text import lang_id, quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    en = lang_id(docs).where(F.col("lang_guess") == "en").select("doc_id")
+    good = (
+        quality_score(docs)
+        .where(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id", "quality")
+    )
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(en, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+        .join(good, "doc_id")
+        .select("doc_id", "n_chars", "quality")
+    )
