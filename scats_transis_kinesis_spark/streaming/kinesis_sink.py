@@ -146,6 +146,7 @@ class KinesisBatchWriter:
         literal_key: str | None = None,
         batch_size: int = DEFAULT_BATCH_SIZE,
         backoff_s: float = RETRY_BACKOFF_S,
+        committed_marker_dir: str | None = None,
     ) -> None:
         self.client_factory = client_factory
         self.stream_name = stream_name
@@ -153,9 +154,36 @@ class KinesisBatchWriter:
         self.literal_key = literal_key
         self.batch_size = batch_size
         self.backoff_s = backoff_s
+        self.committed_marker_dir = committed_marker_dir
+
+    def _already_committed(self, batch_id: int) -> bool:
+        if self.committed_marker_dir is None:
+            return False
+        import os
+
+        return os.path.exists(os.path.join(self.committed_marker_dir, f"batch_{batch_id}"))
+
+    def _mark_committed(self, batch_id: int) -> None:
+        if self.committed_marker_dir is None:
+            return
+        import os
+
+        os.makedirs(self.committed_marker_dir, exist_ok=True)
+        with open(os.path.join(self.committed_marker_dir, f"batch_{batch_id}"), "w"):
+            pass
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """The ``foreachBatch`` entry point."""
+        """The ``foreachBatch`` entry point.
+
+        With ``committed_marker_dir`` set, a replayed micro-batch (same
+        ``batch_id`` after a crash-restart between sink write and
+        checkpoint commit) is skipped — upgrading Spark's at-least-once
+        ``foreachBatch`` contract to effectively-once at this sink.  The
+        marker write happens only after every record of the batch was
+        accepted.  (The reference double-sends in the same situation,
+        kinesis_producer.py:75-77; SURVEY.md §7.4.)"""
+        if self._already_committed(batch_id):
+            return
         from ..operators.envelope import to_kinesis_envelope
 
         enveloped = to_kinesis_envelope(
@@ -187,6 +215,7 @@ class KinesisBatchWriter:
                         )
 
         enveloped.foreachPartition(send_partition)
+        self._mark_committed(batch_id)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str, **options):
         """Wire onto a streaming DataFrame via foreachBatch."""

@@ -375,3 +375,89 @@ def test_stream_stream_join_within_window(spark):
         finally:
             q.stop()
         assert got == {1, 3}  # u2's purchase was 40 min later -> excluded
+
+
+def test_kinesis_sink_batch_replay_is_idempotent(spark):
+    # A replayed micro-batch (same batch_id after crash-restart between
+    # sink write and checkpoint commit) must not double-send when the
+    # commit-marker dir is configured.
+    with tempfile.TemporaryDirectory() as d:
+        stub_dir = os.path.join(d, "stub")
+        os.makedirs(stub_dir)
+        writer = KinesisBatchWriter(
+            client_factory=lambda: ThrottlingKinesisStub(state_dir=stub_dir),
+            stream_name="scats",
+            partition_key_col="region",
+            backoff_s=0.01,
+            committed_marker_dir=os.path.join(d, "commits"),
+        )
+        df = spark.createDataFrame([("ROZ", "1")], "region string, site_id string").coalesce(1)
+        writer.write_batch(df, batch_id=7)
+        writer.write_batch(df, batch_id=7)  # replay: skipped
+        writer.write_batch(df, batch_id=8)  # new batch: delivered
+        assert len(ThrottlingKinesisStub(state_dir=stub_dir).sent_records()) == 2
+
+
+def test_windowed_agg_drops_data_beyond_watermark(spark):
+    # Late-data semantics: in append mode a window is finalized once the
+    # watermark passes its end; an event arriving later for that window
+    # is dropped, not double-counted.
+    from datetime import datetime
+
+    from scats_transis_kinesis_spark.streaming.pipeline import windowed_traffic
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+        def write(path, rows):
+            import glob
+            import shutil
+
+            staging = path + ".staging"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            shutil.move(glob.glob(os.path.join(staging, "part-*.parquet"))[0], path)
+            shutil.rmtree(staging)
+            # distinct mtimes pin the file-source processing order
+            write.clock += 10
+            os.utime(path, (write.clock, write.clock))
+
+        write.clock = 1_700_000_000
+        t = lambda m: datetime(2024, 1, 1, 0, m, 30)
+        # batch 1: two events in the 00:00 window; batch 2 jumps event
+        # time to 01:00 (watermark -> ~00:50, far past 00:05); the last
+        # batch is a LATE event for the already-finalized 00:00 window.
+        write(os.path.join(src, "f1.parquet"), [(1, t(0), 1, "click", 1.0, None), (2, t(2), 1, "click", 1.0, None)])
+        write(os.path.join(src, "f2.parquet"), [(3, datetime(2024, 1, 1, 1, 0, 0), 1, "click", 1.0, None)])
+        # the watermark computed from f2 only takes effect one batch
+        # later (progress reports it post-batch), so a filler batch sits
+        # between the advance and the late arrival
+        write(os.path.join(src, "f3.parquet"), [(5, datetime(2024, 1, 1, 1, 1, 0), 1, "click", 1.0, None)])
+        write(os.path.join(src, "f4.parquet"), [(4, t(1), 1, "click", 99.0, None)])
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            windowed_traffic(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {
+                (r["window_start"].isoformat(), r["n_events"], r["total_value"])
+                for r in spark.sql("SELECT * FROM late_out").collect()
+            }
+        finally:
+            q.stop()
+        # the 00:00 window was emitted with exactly the 2 on-time events;
+        # the late 99.0-value event never re-opened it
+        assert ("2024-01-01T00:00:00", 2, 2.0) in rows, rows
+        assert not any(v == 99.0 or v == 101.0 for (_, _, v) in rows), rows
