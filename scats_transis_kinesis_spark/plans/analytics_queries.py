@@ -185,3 +185,62 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(good, "doc_id")
         .select("doc_id", "n_chars", "quality")
     )
+
+
+@register(
+    "resample_gapfill_daily",
+    oracle="""
+        WITH bounds AS (
+            SELECT user_id,
+                   date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events WHERE user_id < 110 GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ),
+        actual AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM events WHERE user_id < 110 GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.day,
+               coalesce(a.n_events, 0) AS n_events,
+               coalesce(a.total_value, 0.0) AS total_value
+        FROM grid g LEFT JOIN actual a
+          ON a.user_id = g.user_id AND a.day = g.day
+    """,
+    doc="""Time-series resample with gap filling: a dense per-key daily
+    grid spanning each key's observed range (sequence + explode), left-
+    joined to the actual per-day rollup — silent days appear as explicit
+    zero rows (the SCATS shape: a detector that reported nothing in a
+    window still needs a row saying so).  Grid generation is
+    |keys|×|days| tiny rows from an aggregate; both joins are keyed —
+    nothing scans the event log twice.""",
+)
+def resample_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).where(F.col("user_id") < 110)
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    actual = events.groupBy("user_id", day.alias("day")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return (
+        grid.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
