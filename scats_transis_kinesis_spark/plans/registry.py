@@ -58,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
 from . import core_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import relational_queries2  # noqa: E402,F401
+from . import tpch_queries  # noqa: E402,F401
 from . import parity_queries  # noqa: E402,F401
 from . import extension_queries  # noqa: E402,F401
 from . import extension_queries2  # noqa: E402,F401

@@ -1,0 +1,192 @@
+"""Third batch of TPC-H-shaped relational coverage: EXISTS semi-join
+(q4), outer-join count distribution (q13), conditional-ratio aggregate
+(q14), distinct-count with exclusion subquery (q16), disjunctive join
+predicate (q19), and a manual width-bucket histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+from .registry import register
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+    doc="""TPC-H q4 shape: EXISTS correlated subquery → left-semi join.
+    The semi join emits each order at most once regardless of matching
+    lineitem multiplicity — the build side deduplicates in the join
+    itself, no distinct needed.""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cond = (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    doc="""TPC-H q13 shape: left outer join + two-level aggregation —
+    customers with zero orders survive the outer join (count of a NULL
+    key = 0) and land in the c_count=0 bucket.  The distribution
+    aggregate runs over |customers| rows, already reduced.""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="""TPC-H q14 shape: conditional-ratio aggregate over a fact⋈dim
+    join — the part side broadcasts, both sums partial-aggregate
+    map-side, the final exchange carries two doubles per partition.""",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+@register(
+    "q16_supplier_count_excluding",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY p.p_brand, p.p_size
+    """,
+    doc="""TPC-H q16 shape: NOT IN exclusion subquery (anti join against
+    a tiny filtered build side) + grouped distinct count.  The distinct
+    aggregates via partial sets per partition — the exchange carries
+    (brand, size, suppkey) triples, not raw lineitem rows.""",
+)
+def q16_supplier_count_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicate_join",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="""TPC-H q19 shape: OR-of-ANDs predicate across both join sides.
+    Catalyst keeps the equi-key (partkey) as the join condition and
+    evaluates the disjunction post-join; the common subexpressions
+    (brand checks) stay on the broadcast side.""",
+)
+def q19_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & q.between(1, 11))
+        | ((b == "Brand#2") & q.between(10, 20))
+        | ((b == "Brand#3") & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(pred)
+        .agg(F.round(F.sum(rev), 4).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 500_000.0
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+        SELECT least(floor((o_totalprice - {HIST_LO}) * {HIST_BUCKETS}
+                           / ({HIST_HI} - {HIST_LO})), {HIST_BUCKETS - 1})::BIGINT
+                   AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="""Equi-width histogram via an explicit bucket formula (identical
+    IEEE arithmetic in both engines) — the profiling primitive behind
+    range-partition planning and skew detection.  One grouped aggregate;
+    the bucket expression is codegen'd into the scan stage.""",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - HIST_LO) * HIST_BUCKETS / (HIST_HI - HIST_LO)
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
