@@ -140,3 +140,17 @@ def correlate_streams(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {within}")),
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of the batch dedup family.  State holds one entry
+    per key seen inside the watermark window and is evicted as the
+    watermark advances, so memory is bounded by arrival rate × horizon,
+    not stream length.  The SCATS shape: a reconnect replays the last
+    document (reference: transis_consumer.py:141-148); this drops the
+    replayed copy."""
+    return events.withWatermark(ts_col, WATERMARK).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

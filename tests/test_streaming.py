@@ -461,3 +461,48 @@ def test_windowed_agg_drops_data_beyond_watermark(spark):
         # the late 99.0-value event never re-opened it
         assert ("2024-01-01T00:00:00", 2, 2.0) in rows, rows
         assert not any(v == 99.0 or v == 101.0 for (_, _, v) in rows), rows
+
+
+def test_stream_dedup_drops_redelivered_events(spark):
+    from datetime import datetime
+
+    from scats_transis_kinesis_spark.streaming.pipeline import dedup_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        schema = "event_id long, ts timestamp"
+
+        def write(path, rows):
+            import glob
+            import shutil
+
+            staging = path + ".staging"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            shutil.move(glob.glob(os.path.join(staging, "part-*.parquet"))[0], path)
+            shutil.rmtree(staging)
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        # batch 2 re-delivers event 1 (a reconnect replay) and adds 3
+        write(os.path.join(src, "f1.parquet"), [(1, t0), (2, t0)])
+        write(os.path.join(src, "f2.parquet"), [(1, t0), (3, t0)])
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+        finally:
+            q.stop()
+        assert sorted(ids) == [1, 2, 3], ids  # the replayed copy of 1 is gone
