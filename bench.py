@@ -34,6 +34,7 @@ HEADLINE = [
     "q5_nation_revenue",
     "join_outer_counts",
     "q18_large_volume_orders",
+    "q16_supplier_count_excluding",
     "salted_join_skew",
     "window_order_ranks",
     "topk_orders_per_customer",
@@ -44,6 +45,7 @@ HEADLINE = [
     "pivot_event_counts",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "resample_gapfill_daily",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
