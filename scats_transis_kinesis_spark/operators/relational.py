@@ -105,3 +105,27 @@ def top_k_per_group(
     demands it. ``order`` must include a deterministic tiebreaker."""
     w = W.partitionBy(*keys).orderBy(*order)
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Merge a change set into a base snapshot: a change row replaces
+    the base row with its key; unmatched change rows insert.  The
+    reference's topology-delta pull (getTopologyChangesFromDate,
+    reference: transis_consumer.py:157-164) exists precisely to be
+    applied to the topology snapshot like this.
+
+    Schema-generic: union + per-key keep-latest (change wins) — one
+    shuffle on the key, no per-column coalesce list to maintain.  On a
+    lakehouse table format this maps to MERGE INTO; the plan shape
+    (shuffle on key, latest-wins) is identical."""
+    from pyspark.sql import Window as W
+
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        changes.withColumn("_src", F.lit(1))
+    )
+    w = W.partitionBy(key).orderBy(F.desc("_src"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )

@@ -190,3 +190,78 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "grouped_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""Exact grouped percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit at
+    round-4).  Exact percentiles require the full sorted group; the
+    scale path swaps in approx_percentile (t-digest) per the
+    approx_distinct pattern when groups stop fitting.""",
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "upsert_snapshot_changes",
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   round(c_acctbal + 1000.0, 4) AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey,
+                   round(c_acctbal, 4), c_mktsegment
+            FROM customer WHERE c_custkey < 5
+        ),
+        tagged AS (
+            SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal,
+                   c_mktsegment, 0 AS _src
+            FROM customer
+            UNION ALL
+            SELECT *, 1 AS _src FROM changes
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY _src DESC) AS _rn
+            FROM tagged
+        ) WHERE _rn = 1
+    """,
+    doc="""Snapshot + change-set merge (MERGE INTO semantics): updates
+    replace, unmatched changes insert — the operation the reference's
+    topology-delta pull feeds (getTopologyChangesFromDate, reference:
+    transis_consumer.py:157-164).  Union + per-key latest-wins: one
+    shuffle on the key (operators/relational.py:upsert).  The change
+    set here is a deterministic derivation (every 10th customer's
+    balance bumped, five re-keyed inserts) so both engines build the
+    identical delta.""",
+)
+def upsert_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import upsert
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment",
+    )
+    updates = c.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 4)
+    )
+    inserts = c.where(F.col("c_custkey") < 5).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    return upsert(c, updates.unionByName(inserts), "c_custkey")
