@@ -346,12 +346,23 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # The pair graph is tiny relative to the corpus (near-dup pairs are
+    # rare by construction): below this edge count the whole loop runs
+    # single-partition — every round's joins and aggregates become one
+    # task with no exchanges, cutting per-round overhead ~10×.  A truly
+    # large graph keeps the scan's parallelism.
+    if edges.count() < 1_000_000:
+        edges = edges.coalesce(1)
     labels = (
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
         .persist()
     )
+    # labels strictly decrease while propagating, so the label sum is a
+    # convergence witness — one scalar aggregate per round (carried
+    # across rounds), no old-vs-new join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vertex)
@@ -368,17 +379,12 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     # the loop's count() materialized `labels`; the edge cache is done
     edges.unpersist(blocking=False)
     return labels.select(
