@@ -118,3 +118,12 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_exclusion_and_pipeline_joins_broadcast(spark):
+    # q16's NOT-IN build side and the clean-pipeline's id-only semi-join
+    # sides are tiny — they must broadcast, never shuffle the fact side.
+    for name in ["q16_supplier_count_excluding", "corpus_clean_pipeline"]:
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
