@@ -244,3 +244,32 @@ def resample_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@register(
+    "sliding_window_traffic",
+    oracle="""
+        SELECT ws AS window_start, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events e
+        JOIN (
+            SELECT unnest(generate_series(
+                TIMESTAMP '2023-12-31 23:55:00', TIMESTAMP '2024-02-01',
+                INTERVAL 5 MINUTE)) AS ws
+        ) w ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 10 MINUTE
+        GROUP BY ws
+    """,
+    doc="""Sliding-window aggregation (10-minute windows every 5
+    minutes): each event contributes to exactly two windows.  Spark's
+    ``window(ts, size, slide)`` expands events to their windows
+    in-partition (no join); the oracle reproduces the same epoch-aligned
+    window grid with a range join.  The streaming twin is the same
+    expression under a watermark.""",
+)
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )

@@ -265,3 +265,135 @@ def upsert_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_custkey") + 1_000_000
     )
     return upsert(c, updates.unionByName(inserts), "c_custkey")
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    doc="""TPC-H q17 shape: correlated average subquery against the same
+    fact table.  Catalyst decorrelates into a per-partkey aggregate
+    joined back — the aggregate side is |parts| rows, broadcastable;
+    the fact table is scanned twice but shuffled once each on the same
+    key (a CTE/cache would share the scan at a real deployment).""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(p.where(F.col("p_brand") == "Brand#1"), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_waiting_orders_multi_exists",
+    oracle="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+    """,
+    doc="""TPC-H q21 shape: EXISTS + NOT EXISTS against the same fact
+    table (the last supplier to ship on a multi-supplier order).  Two
+    self-joins on the order key, planned as a semi then an anti join —
+    both shuffles share the l_orderkey partitioning, so AQE reuses the
+    exchange; the supplier/orders dims broadcast.""",
+)
+def q21_waiting_orders_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    not_later = has_other.alias("l1").join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_later.join(o.where(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers_not_exists",
+    oracle="""
+        SELECT substr(c.c_name, 10, 2) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c.c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY 1
+    """,
+    doc="""TPC-H q22 shape: uncorrelated scalar subquery (global
+    average, one row broadcast) + NOT EXISTS anti join (customers
+    with no urgent orders) + substring grouping.  The anti join's build side is the orders key set; at
+    scale the distinct o_custkey projection shrinks it before the
+    broadcast.""",
+)
+def q22_idle_customers_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.where(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
