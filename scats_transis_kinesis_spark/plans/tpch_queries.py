@@ -397,3 +397,42 @@ def q22_idle_customers_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "window_frames_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_total,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS moving_avg_3,
+               ntile(4) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS quartile
+        FROM orders WHERE o_custkey < 200
+    """,
+    doc="""Window frame surface: running total (unbounded preceding),
+    3-row moving average, and ntile quartiles — per-customer frames over
+    a deterministic (date, key) order.  One shuffle on the partition
+    key; all three functions share the same sort, so Spark evaluates
+    them in a single Window operator.""",
+)
+def window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") < 200)
+    order = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    moving = order.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 4).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
+        F.ntile(4).over(order).alias("quartile"),
+    )
