@@ -350,3 +350,34 @@ def dataset_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+        WHERE a.c_custkey < 60 AND b.c_custkey < 60
+          AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="""Fuzzy record linkage by edit distance: candidate pairs whose
+    names are within 1 edit (classic entity-resolution primitive;
+    levenshtein is an exact integer DP both engines compute
+    identically).  The declared form is a bounded all-pairs check; the
+    100 TB path generates candidates by blocking first (the same
+    banding machinery as the dedup family — prefix/hash blocks), then
+    scores only within blocks.""",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") < 60)
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 1)
+    )
