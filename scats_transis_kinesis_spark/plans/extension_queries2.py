@@ -147,3 +147,127 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_vectorized(
         load_table(spark, "embeddings", sf_dir), query_ids=[0, 1, 2, 3, 4], k=5
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(w[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                 chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+                   AS chunk_text,
+               least(len(w) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})
+                   AS n_tokens
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(
+                0, greatest(0, (len(w) - 1) // {CHUNK_STRIDE})
+            )) AS chunk_idx
+        )
+        WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
+          AND (chunk_idx = 0 OR chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS} - {CHUNK_STRIDE} < len(w))
+    """,
+    doc="""Overlapping token-window chunking (LLM training staple):
+    each document splits into {CHUNK_TOKENS}-token chunks with stride
+    {CHUNK_STRIDE}; trailing windows fully contained in the previous
+    chunk are suppressed.  Pure sequence+slice expressions — the chunker
+    runs in the scan stage, no shuffle, no Python.""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    toks = docs.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    max_idx = F.greatest(
+        F.lit(0), ((F.col("n") - 1) / CHUNK_STRIDE).cast("int")
+    )
+    exploded = toks.select(
+        "doc_id", "w", "n",
+        F.explode(F.sequence(F.lit(0), max_idx)).alias("chunk_idx"),
+    ).where(
+        (F.col("chunk_idx") * CHUNK_STRIDE < F.col("n"))
+        & (
+            (F.col("chunk_idx") == 0)
+            | (F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_TOKENS - CHUNK_STRIDE < F.col("n"))
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("w", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(
+            F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE, F.lit(CHUNK_TOKENS)
+        ).alias("n_tokens"),
+    )
+
+
+PACK_BUDGET = 1024
+
+
+@register(
+    "pack_context_windows",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n,
+                   sum(len(string_split(text, ' '))) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, n, cum, cum - n AS start,
+                   ((cum - n) // {PACK_BUDGET})::BIGINT AS first_w,
+                   ((cum - 1) // {PACK_BUDGET})::BIGINT AS last_w
+            FROM t
+        )
+        SELECT w AS window_id, doc_id,
+               least(cum, (w + 1) * {PACK_BUDGET})
+                   - greatest(start, w * {PACK_BUDGET}) AS tokens_in_window
+        FROM spans, LATERAL (
+            SELECT unnest(generate_series(first_w, last_w)) AS w)
+    """,
+    doc="""Sequence packing (LLM pretraining staple): documents
+    concatenated in id order and sliced into fixed {PACK_BUDGET}-token
+    context windows; emits which windows each document spans and how
+    many tokens it contributes to each.  A prefix-sum window + an
+    explode over the (tiny) span range — the global cumsum is the one
+    inherently sequential step; at 100 TB it runs hierarchically
+    (per-partition sums, then a broadcast of partition offsets), which
+    is exactly how Spark executes this running-sum window.""",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(F.split("text", " "))
+    cum = F.sum("n").over(
+        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = docs.select("doc_id", n.alias("n")).select("doc_id", "n", cum.alias("cum"))
+    spans = t.select(
+        "doc_id", "n", "cum",
+        (F.col("cum") - F.col("n")).alias("start"),
+        F.floor((F.col("cum") - F.col("n")) / PACK_BUDGET).alias("first_w"),
+        F.floor((F.col("cum") - 1) / PACK_BUDGET).alias("last_w"),
+    )
+    return spans.select(
+        F.explode(F.sequence("first_w", "last_w")).alias("window_id"),
+        "doc_id",
+        "start",
+        "cum",
+    ).select(
+        "window_id",
+        "doc_id",
+        (
+            F.least(F.col("cum"), (F.col("window_id") + 1) * PACK_BUDGET)
+            - F.greatest(F.col("start"), F.col("window_id") * PACK_BUDGET)
+        ).alias("tokens_in_window"),
+    )
