@@ -37,6 +37,7 @@ HEADLINE = [
     "q16_supplier_count_excluding",
     "salted_join_skew",
     "window_order_ranks",
+    "window_frames_running",
     "topk_orders_per_customer",
     "range_join_ship_lag",
     "asof_purchase_last_click",
@@ -60,6 +61,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_bpe_tokens",
     "text_tfidf_top_terms",
+    "text_chunking",
+    "pack_context_windows",
     "dataset_split_train_test",
     "corpus_clean_pipeline",
     "multimodal_payload_stats",
