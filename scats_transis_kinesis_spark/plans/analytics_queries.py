@@ -273,3 +273,74 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 4) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+               ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+               ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile,
+               o_custkey, frequency, monetary
+        FROM rfm
+        QUALIFY r_quartile = 4 AND f_quartile = 4 AND m_quartile = 4
+    """,
+    doc="""RFM segmentation (recency/frequency/monetary quartiles via
+    ntile with deterministic key tiebreaks), returning the top-segment
+    customers.  One grouped aggregate to |customers| rows, then global
+    ntiles over the reduced frame — the windows sort |customers|, never
+    the order log.  At extreme customer counts the global ntile becomes
+    an approx-percentile bucketing (same output contract).""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, "orders", sf_dir)
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    seg = rfm.select(
+        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+        "o_custkey",
+        "frequency",
+        "monetary",
+    )
+    return seg.where(
+        (F.col("r_quartile") == 4) & (F.col("f_quartile") == 4) & (F.col("m_quartile") == 4)
+    )
+
+
+@register(
+    "seasonality_dow_hour",
+    oracle="""
+        SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="""Seasonality profile: event volume and mean value by
+    (day-of-week × hour-of-day) — the load-shape matrix traffic
+    engineering reads first (DuckDB dayofweek is 0=Sunday; Spark
+    dayofweek is 1=Sunday, shifted to match).  One grouped aggregate
+    into a 7×24 matrix; fully partial-aggregated.""",
+)
+def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
