@@ -481,14 +481,31 @@ def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    doc="""approx_count_distinct (HyperLogLog++) — sketch values differ
-    across engines by design, so no SQL oracle; correctness is the exact
-    variant above.""",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    doc="""approx_count_distinct (HyperLogLog++, rsd=0.01).  Sketch
+    estimates differ across engines, but the estimate is DETERMINISTIC
+    for a fixed input — so the hash-checked contract is a bounded-error
+    assertion: the approx estimate must land within 5% of the exact
+    count (measured deterministic error ≤ 0.7% at sf 0.001/0.01/0.1 —
+    huge margin).  The oracle carries the exact counts plus the
+    always-true bound.""",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
     )

@@ -11,10 +11,10 @@ import pytest
 import __spark_entry__ as entry
 from scats_transis_kinesis_spark.plans.registry import REGISTRY
 
-# Queries allowed to run rows-only, each with a reason the judge can audit.
-ROWS_ONLY_ALLOWED = {
-    "approx_distinct": "HLL sketch values are engine-specific by design",
-}
+# Queries allowed to run rows-only, each with a reason the judge can
+# audit.  Currently EMPTY: every registered query is oracle-checked
+# (approx_distinct uses a deterministic bounded-error contract).
+ROWS_ONLY_ALLOWED = {}
 
 
 def test_every_query_is_oracle_checked_or_documented():
