@@ -344,3 +344,37 @@ def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    doc="""First-order event-transition matrix (Markov counts): per-user
+    lag over a deterministic (ts, event_id) order, then a grouped count
+    of (prev → next) pairs — the sequence-analytics primitive behind
+    next-action prediction and anomaly scoring.  One shuffle on
+    user_id for the lag, one tiny |types|² aggregation.""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
