@@ -436,3 +436,155 @@ def window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
         F.ntile(4).over(order).alias("quartile"),
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               year(l.l_shipdate) AS ship_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE cn.n_nationkey < 2 AND sn.n_nationkey < 2
+          AND cn.n_nationkey <> sn.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    doc="""TPC-H q7 shape: five-way join resolving both trading nations
+    of each line item, grouped by (customer nation, supplier nation,
+    year).  The one fact-fact shuffle is orders⋈lineitem on the order
+    key; customer/supplier/nation all broadcast, and the nation filters
+    prune before the join.""",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = n.where(F.col("n_nationkey") < 2).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.where(F.col("n_nationkey") < 2).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn_key"))
+        .where(F.col("cn_key") != F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev), 4).alias("volume"))
+    )
+
+
+@register(
+    "q10_returned_revenue_top20",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="""TPC-H q10 shape: revenue lost to returns per customer, top
+    20.  The returnflag filter pushes to the lineitem scan; one
+    orders⋈lineitem shuffle; customer/nation broadcast; the global
+    top-20 is a TakeOrdered (per-partition heads merged at the driver),
+    never a full sort.""",
+)
+def q10_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier_by_revenue",
+    oracle="""
+        WITH sup_rev AS (
+            SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN sup_rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM sup_rev)
+    """,
+    doc="""TPC-H q15 shape: aggregate view + equality-to-max filter (all
+    suppliers achieving the maximum revenue — robust to ties, unlike a
+    LIMIT 1).  The revenue rollup reduces lineitem to |suppliers| rows;
+    the scalar max broadcasts back over that reduced frame.""",
+)
+def q15_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    sup_rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = sup_rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(sup_rev, s.s_suppkey == sup_rev.l_suppkey)
+        .crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q2_min_per_group_suppliers",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, n.n_name, round(s.s_acctbal, 4) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_acctbal = (
+            SELECT min(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+    """,
+    doc="""TPC-H q2 shape: correlated min-per-group equality filter (the
+    lowest-balance supplier of each nation, ties kept).  Catalyst
+    decorrelates into a per-nation min aggregate joined back — the
+    aggregate side is |nations| rows, broadcast; no window sort
+    needed.""",
+)
+def q2_min_per_group_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    mins = s.groupBy(F.col("s_nationkey").alias("m_key")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(mins), s.s_nationkey == F.col("m_key"))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "s_suppkey", "s_name", "n_name", F.round("s_acctbal", 4).alias("s_acctbal")
+        )
+    )
