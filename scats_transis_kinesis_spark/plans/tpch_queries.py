@@ -588,3 +588,117 @@ def q2_min_per_group_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", "n_name", F.round("s_acctbal", 4).alias("s_acctbal")
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        WITH all_trade AS (
+            SELECT year(l.l_shipdate) AS yr,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   sn.n_nationkey AS supp_nation
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        )
+        SELECT yr,
+               round(sum(CASE WHEN supp_nation = 0 THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS nation0_share
+        FROM all_trade GROUP BY yr
+    """,
+    doc="""TPC-H q8 shape: market-share ratio per year (one nation's
+    volume over total volume) — a conditional-sum ratio over a
+    fact⋈dim⋈dim join.  Both sums share one aggregation; supplier and
+    nation broadcast; round-6 keeps the cross-engine ratio exact.""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(s, li.l_suppkey == s.s_suppkey).join(
+        n, s.s_nationkey == n.n_nationkey
+    )
+    nat0 = F.when(F.col("n_nationkey") == 0, vol).otherwise(0.0)
+    return (
+        joined.groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(F.round(F.sum(nat0) / F.sum(vol), 6).alias("nation0_share"))
+    )
+
+
+@register(
+    "q11_important_stock_share",
+    oracle="""
+        WITH sup_val AS (
+            SELECT s.s_nationkey, round(sum(l.l_extendedprice * l.l_quantity), 4)
+                       AS value
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_nationkey
+        )
+        SELECT s_nationkey, value
+        FROM sup_val
+        WHERE value > (SELECT 0.05 * sum(value) FROM sup_val)
+    """,
+    doc="""TPC-H q11 shape: groups whose share exceeds a fraction of the
+    global total (HAVING against an uncorrelated scalar aggregate of the
+    same rollup).  The rollup runs once; the scalar total broadcasts
+    back over |nations| rows.""",
+)
+def q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    sup_val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
+                "value"
+            )
+        )
+    )
+    total = sup_val.agg((0.05 * F.sum("value")).alias("threshold"))
+    return (
+        sup_val.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("s_nationkey", "value")
+    )
+
+
+@register(
+    "q20_nested_in_chain",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+            )
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 100
+        )
+        ORDER BY s.s_suppkey
+    """,
+    doc="""TPC-H q20 shape: two-level nested IN (suppliers who moved
+    >100 units of matching parts) — planned as a chain of semi joins
+    with the grouped HAVING filter in between.  Every level shrinks the
+    key set before the next join; the final semi join's build side is
+    the surviving supplier keys.""",
+)
+def q20_nested_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    matching_parts = p.where(F.col("p_name").like("%a%")).select("p_partkey")
+    heavy_suppliers = (
+        li.join(matching_parts, li.l_partkey == matching_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy_suppliers, s.s_suppkey == heavy_suppliers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
