@@ -378,3 +378,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+TS_QUERY_USER = 100
+
+
+@register(
+    "timeseries_similarity_topk",
+    oracle=f"""
+        WITH grid_days AS (
+            SELECT unnest(generate_series(
+                DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts)::DATE AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT u.user_id, g.day, coalesce(d.n, 0) AS n
+            FROM users u CROSS JOIN grid_days g
+            LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = g.day
+        ),
+        q AS (SELECT day, n AS qn FROM dense WHERE user_id = {TS_QUERY_USER})
+        SELECT d.user_id, round(sqrt(sum((d.n - q.qn) * (d.n - q.qn))), 6) AS dist
+        FROM dense d JOIN q USING (day)
+        WHERE d.user_id <> {TS_QUERY_USER}
+        GROUP BY d.user_id
+        ORDER BY dist, user_id
+        LIMIT 5
+    """,
+    doc="""Time-series similarity search (cf. PAPERS.md EDBT'19
+    streaming-similarity line): each user's daily activity profile on a
+    dense gap-filled grid, Euclidean top-5 nearest to a query user.
+    The query series (|days| rows) broadcasts against the dense grid;
+    distance is one grouped sum of squared diffs — the same
+    grid-join shape scales to sliding-window subsequence search.""",
+)
+def timeseries_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    events = load_table(spark, "events", sf_dir)
+    grid = spark.createDataFrame(
+        [(date(2024, 1, d),) for d in range(1, 31)], "day date"
+    )
+    users = events.select("user_id").distinct()
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    dense = (
+        users.crossJoin(F.broadcast(grid))
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    q = dense.where(F.col("user_id") == TS_QUERY_USER).select(
+        "day", F.col("n").alias("qn")
+    )
+    diff = F.col("n") - F.col("qn")
+    return (
+        dense.where(F.col("user_id") != TS_QUERY_USER)
+        .join(F.broadcast(q), "day")
+        .groupBy("user_id")
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist"))
+        .orderBy("dist", "user_id")
+        .limit(5)
+    )
