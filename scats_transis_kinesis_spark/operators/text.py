@@ -133,3 +133,24 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
         .where(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+# Tiny embedded sentiment lexicon (shared verbatim with the oracle SQL).
+POSITIVE_WORDS = ("good", "great", "happy", "excellent", "love", "best", "nice")
+NEGATIVE_WORDS = ("bad", "terrible", "sad", "awful", "hate", "worst", "poor")
+
+
+def sentiment_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon-based sentiment (cf. PAPERS.md EDBT'16 Spark sentiment
+    line): score = (positive hits − negative hits) / tokens, computed
+    with array intersections against broadcast-literal word lists —
+    a pure narrow scan, no join, no shuffle, no UDF."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    pos = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in POSITIVE_WORDS])))
+    neg = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in NEGATIVE_WORDS])))
+    return df.select(
+        id_col,
+        pos.alias("n_positive"),
+        neg.alias("n_negative"),
+        F.round((pos - neg) / F.size(tokens(text_col)), 6).alias("sentiment"),
+    )

@@ -271,3 +271,41 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("start"), F.col("window_id") * PACK_BUDGET)
         ).alias("tokens_in_window"),
     )
+
+
+def _sentiment_oracle() -> str:
+    from ..operators.text import NEGATIVE_WORDS, POSITIVE_WORDS
+
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), w -> lower(w)) AS toks,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_intersect(toks, [{pos}])) AS n_positive,
+               len(list_intersect(toks, [{neg}])) AS n_negative,
+               round((len(list_intersect(toks, [{pos}]))
+                      - len(list_intersect(toks, [{neg}])))::DOUBLE / n_toks, 6)
+                   AS sentiment
+        FROM t
+    """
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=_sentiment_oracle(),
+    doc="""Lexicon-based sentiment scoring (north star text analysis;
+    cf. PAPERS.md EDBT'16 Spark sentiment line): distinct positive /
+    negative lexicon hits per document, score normalized by token
+    count.  Array intersections against literal word lists — a pure
+    narrow scan, no shuffle, no UDF
+    (operators/text.py:sentiment_score).""",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import sentiment_score
+
+    return sentiment_score(load_table(spark, "documents", sf_dir))
