@@ -443,3 +443,41 @@ def timeseries_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id")
         .limit(5)
     )
+
+
+@register(
+    "anomaly_zscore_hours",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, h.hr, h.n,
+               round((h.n - s.mu) / s.sigma, 4) AS zscore
+        FROM hourly h JOIN stats s USING (event_type)
+        WHERE abs((h.n - s.mu) / s.sigma) > 2.5
+    """,
+    doc="""Volume-anomaly detection: hourly event counts more than 2.5
+    sample standard deviations from their type's mean — the detector
+    outage / flood alarm over the SCATS count stream.  Two grouped
+    aggregations + a broadcast stats join; the z-score evaluates in the
+    scan stage of the (already tiny) hourly rollup.""",
+)
+def anomaly_zscore_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_type", "hr", "n", F.round(z, 4).alias("zscore"))
+    )
