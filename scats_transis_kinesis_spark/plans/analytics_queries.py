@@ -481,3 +481,68 @@ def anomaly_zscore_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2.5)
         .select("event_type", "hr", "n", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "unpivot_user_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+            FROM events WHERE user_id < 150 GROUP BY user_id
+        )
+        SELECT user_id, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (clicks, views, purchases))
+    """,
+    doc="""UNPIVOT / melt surface: per-user metric columns widened by
+    conditional aggregation, then unpivoted back to (user_id, metric,
+    value) long form — the inverse of the pivot query.  Spark's
+    ``unpivot`` is a narrow expression expansion (no shuffle beyond the
+    aggregation); zero-valued metrics stay present, unlike the sparse
+    long form.""",
+)
+def unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).where(F.col("user_id") < 150)
+
+    def cnt(kind):
+        return F.sum(F.when(F.col("event_type") == kind, 1).otherwise(0))
+
+    wide = events.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["clicks", "views", "purchases"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "regex_extract_long_words",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract_all(text, '[a-z]{5,}') AS long_words,
+               len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long_words
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z]{5,}')) > 0
+    """,
+    doc="""Structured extraction via regexp_extract_all: every ≥5-letter
+    run per document as an array, compared element-for-element across
+    engines (the letter-class pattern has identical semantics in Java
+    regex and RE2).  The extraction is codegen'd into the scan; the
+    emptiness filter prunes rows before any downstream work.""",
+)
+def regex_extract_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)
+    return (
+        docs.select(
+            "doc_id", words.alias("long_words"), F.size(words).alias("n_long_words")
+        )
+        .where(F.col("n_long_words") > 0)
+    )
