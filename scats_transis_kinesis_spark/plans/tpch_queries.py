@@ -702,3 +702,33 @@ def q20_nested_in_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_unit_slope,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="""Statistical aggregate surface: Pearson correlation, sample
+    covariance, regression slope, and sample stddev per group — all
+    single-pass partial-aggregable moments (sum, sum², sum·xy), so the
+    shuffle carries a handful of doubles per group regardless of input
+    size; both engines' two-pass-free formulas agree at round-4/6.""",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_unit_slope"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
