@@ -546,3 +546,64 @@ def regex_extract_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_long_words") > 0)
     )
+
+
+@register(
+    "resample_locf_fill",
+    oracle="""
+        WITH grid AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 110) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY))::DATE
+                    AS day) g
+        ),
+        daily AS (
+            SELECT user_id, date_trunc('day', ts)::DATE AS day,
+                   round(avg(value), 4) AS day_avg
+            FROM events WHERE user_id < 110 GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.day,
+               last_value(d.day_avg IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_avg
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    doc="""LOCF gap filling (last observation carried forward): a dense
+    per-user daily grid left-joined to actual daily averages, silent
+    days inheriting the most recent prior value via
+    last_value(... IGNORE NULLS) over an unbounded-preceding frame —
+    the sensor-stream fill policy (a silent detector keeps reporting
+    its last reading until data resumes).  Days before a user's first
+    observation stay NULL — explicitly 'no data yet', not zero.""",
+)
+def resample_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir).where(F.col("user_id") < 110)
+    grid_days = spark.createDataFrame(
+        [(date(2024, 1, d),) for d in range(1, 31)], "day date"
+    )
+    users = events.select("user_id").distinct()
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    grid = users.crossJoin(F.broadcast(grid_days))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )
