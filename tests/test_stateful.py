@@ -169,3 +169,51 @@ def test_liveness_event_time_timeout_fires_in_stream(spark):
         # the silent row keeps A's last counts and decrements the budget
         silent = [r for r in rows if r["site_id"] == "A" and r["status"] == "silent"]
         assert silent[0]["n_messages"] == 1 and silent[0]["budget_left"] == 2
+
+
+def test_liveness_silent_to_dead_in_stream(spark):
+    # A goes silent; B keeps advancing the watermark long enough for A's
+    # budget (3) to drain: silent -> silent -> dead, state evicted.
+    from scats_transis_kinesis_spark.streaming.stateful import site_liveness
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        _write_file(spark, os.path.join(src, "f1.parquet"), [("A", T0), ("B", T0)])
+        # each later file advances event time by ~25 min; A's 20-min
+        # timeout re-arms from the watermark after each firing
+        for i, minutes in enumerate([30, 55, 80, 105, 130], start=2):
+            _write_file(
+                spark,
+                os.path.join(src, f"f{i}.parquet"),
+                [("B", T0 + timedelta(minutes=minutes))],
+            )
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            site_liveness(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("liveness_dead_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            a_rows = [
+                (r["status"], r["budget_left"])
+                for r in spark.sql(
+                    "SELECT * FROM liveness_dead_out WHERE site_id = 'A'"
+                ).collect()
+            ]
+        finally:
+            q.stop()
+
+        statuses = [s for s, _ in a_rows]
+        assert statuses[0] == "active"
+        assert "dead" in statuses, a_rows
+        # budget drains monotonically through the silent firings to 0
+        assert [b for s, b in a_rows if s == "silent"] == [2, 1], a_rows
+        assert a_rows[-1] == ("dead", 0), a_rows
