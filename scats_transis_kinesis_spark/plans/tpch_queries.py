@@ -732,3 +732,29 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
     )
+
+
+@register(
+    "listagg_order_priorities",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+                   AS priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="""Ordered string aggregation (LISTAGG shape): the distinct
+    priorities seen per order status, joined in sorted order —
+    collect_set + sort_array + array_join on the Spark side makes the
+    concatenation deterministic regardless of partitioning (an unsorted
+    collect_list would be partition-order-dependent and could never
+    hash-match).""",
+)
+def listagg_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
