@@ -758,3 +758,38 @@ def listagg_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "date_arithmetic_orders",
+    oracle="""
+        SELECT o_orderkey,
+               datediff('day', o_orderdate, TIMESTAMP '2002-01-01')
+                   AS age_days,
+               (2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1
+                   AS age_months,
+               last_day(o_orderdate)::DATE AS month_end,
+               quarter(o_orderdate) AS qtr
+        FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="""Calendar arithmetic surface: day-precision age against a
+    fixed reference, integer calendar-month index difference (avoids
+    the engines' divergent fractional months_between semantics),
+    month-end boundary, quarter — all integer-exact expressions pushed
+    into the scan stage.""",
+)
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "age_days"
+        ),
+        (
+            (F.lit(2002) - F.year("o_orderdate")) * 12
+            - F.month("o_orderdate")
+            + 1
+        ).alias("age_months"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
