@@ -607,3 +607,33 @@ def resample_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
         )
     )
+
+
+@register(
+    "try_cast_dirty_data",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               count(try_cast(split_part(text, ' ', 1) AS INTEGER))
+                   AS n_numeric_leads,
+               count(*) - count(try_cast(split_part(text, ' ', 1) AS INTEGER))
+                   AS n_unparseable
+        FROM documents GROUP BY source
+    """,
+    doc="""Error-safe casting surface (dirty-data ingestion): TRY_CAST
+    turns unparseable values into NULLs instead of failing the job, and
+    count(expr) skips them — the fail-soft twin of the engine's
+    fail-stop error assert (P6).  Here: how many documents lead with a
+    numeric token, per source.""",
+)
+def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    lead = F.split("text", " ").getItem(0)
+    parsed = F.try_cast(lead, "int") if hasattr(F, "try_cast") else F.expr(
+        "try_cast(split(text, ' ')[0] AS INT)"
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(parsed).alias("n_numeric_leads"),
+        (F.count("*") - F.count(parsed)).alias("n_unparseable"),
+    )
