@@ -40,22 +40,27 @@ def to_kinesis_envelope(
 THROTTLE_ERROR = "ProvisionedThroughputExceededException"
 
 
-def failed_subset(request: DataFrame, response: DataFrame) -> DataFrame:
-    """K4 — positional join of request records with per-record response
-    entries; keep throttled ones (reference: kinesis_producer.py:87-98).
+def failed_subset(
+    request: DataFrame, response: DataFrame, on: tuple[str, ...] = ("pos",)
+) -> DataFrame:
+    """K4 — positional join of put-request records with per-record
+    response entries; keep throttled ones (reference:
+    kinesis_producer.py:87-98, zip at :92).
 
     The reference zips the two lists positionally.  Position is only
-    meaningful *within one put request*, so both inputs must carry an
-    explicit ``pos`` column (the sink writer stamps it when it builds
-    the request).  Inside the real sink this stays driver-side per
-    micro-batch request (≤500 records); the DataFrame form exists so the
-    semantics are testable and usable at scale.
+    meaningful *within one put request* (≤500 records), so callers that
+    operate across many requests pass ``on=("batch_id", "pos")`` — the
+    batch key makes the position structurally bounded instead of
+    relying on a pre-filter, and the join shuffles on the composite key
+    like any equi-join.  Both inputs must carry the ``on`` columns (the
+    sink writer stamps them when it builds each request).
     """
-    if "pos" not in request.columns or "pos" not in response.columns:
-        raise ValueError("failed_subset requires an explicit 'pos' column on both sides")
-    keep = [c for c in request.columns if c != "pos"]
+    for c in on:
+        if c not in request.columns or c not in response.columns:
+            raise ValueError(f"failed_subset requires column {c!r} on both sides")
+    keep = [c for c in request.columns if c not in on]
     return (
-        request.join(response, "pos")
+        request.join(response, list(on))
         .where(F.col("error_code") == THROTTLE_ERROR)
         .select(keep)
     )

@@ -129,3 +129,76 @@ def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
+
+
+def hierarchical_row_number(
+    df: DataFrame,
+    order_numeric: Column,
+    tiebreak: str,
+    out: str = "rn",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_numeric, tiebreak)``
+    WITHOUT an unpartitioned window (Spark single-partitions those).
+
+    Hierarchical scheme (same summary-collect pattern as
+    ``RDD.zipWithIndex``): rows are range-bucketed by an equi-width split
+    of ``order_numeric`` (order-preserving, so bucket order == sort
+    order), row_number runs PER BUCKET (bounded partitions), and only
+    the per-bucket counts — ``num_buckets`` scalars — go to the driver
+    to become cumulative offsets that broadcast-join back.  Every
+    cluster-side stage stays partitioned; correct for any bucket
+    balance.  ``order_numeric`` must be numeric (cast dates via
+    datediff first); ties within a value share a bucket, so the
+    per-bucket ``ORDER BY (order_numeric, tiebreak)`` resolves them
+    exactly as a global sort would.
+    """
+    lo, hi = df.agg(
+        F.min(order_numeric).cast("double"), F.max(order_numeric).cast("double")
+    ).first()
+    if lo is None or hi == lo:
+        bucket = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / num_buckets
+        bucket = F.least(
+            F.greatest(
+                F.floor((order_numeric.cast("double") - float(lo)) / width),
+                F.lit(0),
+            ),
+            F.lit(num_buckets - 1),
+        )
+    t = df.withColumn("_hrn_bucket", bucket)
+    counts = sorted(
+        (int(r["_hrn_bucket"]), int(r["count"]))
+        for r in t.groupBy("_hrn_bucket").count().collect()
+    )
+    running, offsets = 0, []
+    for b, c in counts:
+        offsets.append((b, running))
+        running += c
+    off = df.sparkSession.createDataFrame(
+        offsets, "_hrn_bucket long, _hrn_offset long"
+    )
+    w = W.partitionBy("_hrn_bucket").orderBy(order_numeric, tiebreak)
+    return (
+        t.withColumn("_hrn_local", F.row_number().over(w))
+        .join(F.broadcast(off), "_hrn_bucket")
+        .withColumn(out, F.col("_hrn_local") + F.col("_hrn_offset"))
+        .drop("_hrn_bucket", "_hrn_local", "_hrn_offset")
+    )
+
+
+def ntile_from_rank(rn: Column, n_rows: int, n_tiles: int) -> Column:
+    """SQL ``ntile(n_tiles)`` reproduced from an exact global rank: the
+    first ``n_rows % n_tiles`` tiles get ``n_rows // n_tiles + 1`` rows,
+    the rest one fewer — the standard-SQL split, computed closed-form
+    from scalars so no window is needed."""
+    s, r = divmod(int(n_rows), int(n_tiles))
+    if s == 0:
+        return rn.cast("int")
+    big = r * (s + 1)
+    return (
+        F.when(rn <= big, F.ceil(rn / (s + 1)))
+        .otherwise(r + F.ceil((rn - big) / s))
+        .cast("int")
+    )

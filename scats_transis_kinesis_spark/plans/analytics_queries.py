@@ -294,24 +294,39 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""RFM segmentation (recency/frequency/monetary quartiles via
     ntile with deterministic key tiebreaks), returning the top-segment
-    customers.  One grouped aggregate to |customers| rows, then global
-    ntiles over the reduced frame — the windows sort |customers|, never
-    the order log.  At extreme customer counts the global ntile becomes
-    an approx-percentile bucketing (same output contract).""",
+    customers.  One grouped aggregate to |customers| rows; the three
+    quartile assignments reproduce exact SQL ntile semantics WITHOUT a
+    global window (Spark single-partitions ORDER-BY-only windows):
+    each dimension gets an exact hierarchical row_number
+    (operators/relational.py:hierarchical_row_number — range-bucket,
+    per-bucket partitioned window, driver-side offsets over 32 scalars)
+    and ntile is the closed-form split of that rank
+    (ntile_from_rank).  Every cluster-side stage stays partitioned at
+    any customer count.""",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.relational import hierarchical_row_number, ntile_from_rank
 
     o = load_table(spark, "orders", sf_dir)
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    ).cache()
+    n_rows = rfm.count()
+    ranked = hierarchical_row_number(
+        rfm, F.datediff("last_order", F.lit("1990-01-01")), "o_custkey", out="rn_r"
     )
-    seg = rfm.select(
-        F.ntile(4).over(W.orderBy("last_order", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_quartile"),
-        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    ranked = hierarchical_row_number(
+        ranked, F.col("frequency"), "o_custkey", out="rn_f"
+    )
+    ranked = hierarchical_row_number(
+        ranked, F.col("monetary"), "o_custkey", out="rn_m"
+    )
+    seg = ranked.select(
+        ntile_from_rank(F.col("rn_r"), n_rows, 4).alias("r_quartile"),
+        ntile_from_rank(F.col("rn_f"), n_rows, 4).alias("f_quartile"),
+        ntile_from_rank(F.col("rn_m"), n_rows, 4).alias("m_quartile"),
         "o_custkey",
         "frequency",
         "monetary",
@@ -488,9 +503,9 @@ def anomaly_zscore_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH wide AS (
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS views,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchases
             FROM events WHERE user_id < 150 GROUP BY user_id
         )
         SELECT user_id, metric, value

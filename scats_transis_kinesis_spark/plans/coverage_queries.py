@@ -21,37 +21,43 @@ from .registry import register
     oracle=f"""
         WITH req AS (
             SELECT o_orderkey, o_totalprice,
-                   row_number() OVER (ORDER BY o_orderkey) AS pos
-            FROM orders WHERE o_orderkey < 500
+                   o_orderkey // 500 AS batch_id,
+                   row_number() OVER (PARTITION BY o_orderkey // 500
+                                      ORDER BY o_orderkey) AS pos
+            FROM orders
         ),
         resp AS (
-            SELECT pos,
+            SELECT batch_id, pos,
                    CASE WHEN pos % 3 = 0
                         THEN '{THROTTLE_ERROR}' END AS error_code
             FROM req
         )
         SELECT req.o_orderkey, req.o_totalprice
-        FROM req JOIN resp USING (pos)
+        FROM req JOIN resp USING (batch_id, pos)
         WHERE resp.error_code = '{THROTTLE_ERROR}'
     """,
     doc="""K4 — positional join of put-request records with per-record
     response entries, keeping only the throttled subset (reference:
-    kinesis_producer.py:87-98, zip at :92).  Position is explicit (the
-    sink writer stamps it per request); the throttle pattern here is a
-    deterministic pos%3 stand-in for the mocked Kinesis response in
-    reference tests.py:156-169.""",
+    kinesis_producer.py:87-98, zip at :92).  Position is stamped PER
+    PUT-REQUEST BATCH (id-range batches of ≤500 keys, matching the
+    Kinesis PutRecords limit), so the row_number window partitions on
+    batch_id — structurally bounded at any table size, never a global
+    sort.  The throttle pattern is a deterministic pos%3 stand-in for
+    the mocked Kinesis response in reference tests.py:156-169.""",
 )
 def k4_failed_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") < 500)
-    w = Window.orderBy("o_orderkey")
+    orders = load_table(spark, "orders", sf_dir)
+    batch = F.floor(F.col("o_orderkey") / 500)
+    w = Window.partitionBy("batch_id").orderBy("o_orderkey")
     req = orders.select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
-    )
+        "o_orderkey", "o_totalprice", batch.alias("batch_id")
+    ).withColumn("pos", F.row_number().over(w))
     resp = req.select(
+        "batch_id",
         "pos",
         F.when(F.col("pos") % 3 == 0, F.lit(THROTTLE_ERROR)).alias("error_code"),
     )
-    return failed_subset(req, resp)
+    return failed_subset(req, resp, on=("batch_id", "pos"))
 
 
 @register(
@@ -327,7 +333,7 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                          % 100 < 90
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars
+               sum(n_chars)::BIGINT AS total_chars
         FROM documents
         GROUP BY 1
     """,

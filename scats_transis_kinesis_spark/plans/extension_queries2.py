@@ -209,6 +209,10 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 1024
+# Bucket count for the hierarchical prefix sum in pack_context_windows.
+# The driver collects exactly this many (bucket, total) scalars; at 1000
+# executors raise it to ~4x the executor count so buckets stay small.
+PACK_NUM_BUCKETS = 64
 
 
 @register(
@@ -229,29 +233,58 @@ PACK_BUDGET = 1024
             FROM t
         )
         SELECT w AS window_id, doc_id,
-               least(cum, (w + 1) * {PACK_BUDGET})
-                   - greatest(start, w * {PACK_BUDGET}) AS tokens_in_window
+               (least(cum, (w + 1) * {PACK_BUDGET})
+                   - greatest(start, w * {PACK_BUDGET}))::BIGINT AS tokens_in_window
         FROM spans, LATERAL (
             SELECT unnest(generate_series(first_w, last_w)) AS w)
     """,
     doc="""Sequence packing (LLM pretraining staple): documents
     concatenated in id order and sliced into fixed {PACK_BUDGET}-token
     context windows; emits which windows each document spans and how
-    many tokens it contributes to each.  A prefix-sum window + an
-    explode over the (tiny) span range — the global cumsum is the one
-    inherently sequential step; at 100 TB it runs hierarchically
-    (per-partition sums, then a broadcast of partition offsets), which
-    is exactly how Spark executes this running-sum window.""",
+    many tokens it contributes to each.  The global cumsum is computed
+    as an explicit HIERARCHICAL prefix sum (Spark single-partitions an
+    ORDER-BY-only window, so we never use one): docs are bucketed into
+    PACK_NUM_BUCKETS contiguous id ranges, the running sum is windowed
+    PER BUCKET (bounded partitions), and only the per-bucket totals —
+    exactly PACK_NUM_BUCKETS rows — are collected to the driver to
+    compute cumulative offsets, which broadcast-join back.  Same
+    summary-collect pattern as RDD.zipWithIndex; at 100 TB every stage
+    stays partitioned and the driver sees O(buckets) scalars.""",
 )
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
     n = F.size(F.split("text", " "))
-    cum = F.sum("n").over(
-        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = docs.select("doc_id", n.alias("n"))
+
+    # Order-preserving deterministic bucketing by id range: bucket k holds
+    # doc_ids in [lo + k*width, lo + (k+1)*width), so bucket order == id
+    # order and the per-bucket cumsum + bucket offset is the global cumsum.
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, -(-(int(hi) - int(lo) + 1) // PACK_NUM_BUCKETS))
+    t = base.withColumn("bucket", F.floor((F.col("doc_id") - int(lo)) / width))
+
+    totals = [
+        (int(r["bucket"]), int(r["total"]))
+        for r in t.groupBy("bucket").agg(F.sum("n").alias("total")).collect()
+    ]
+    running, offsets = 0, []
+    for b, tot in sorted(totals):
+        offsets.append((b, running))
+        running += tot
+    off_df = spark.createDataFrame(offsets, "bucket long, offset long")
+
+    local_cum = F.sum("n").over(
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    t = docs.select("doc_id", n.alias("n")).select("doc_id", "n", cum.alias("cum"))
+    t = (
+        t.withColumn("local_cum", local_cum)
+        .join(F.broadcast(off_df), "bucket")
+        .select("doc_id", "n", (F.col("local_cum") + F.col("offset")).alias("cum"))
+    )
     spans = t.select(
         "doc_id", "n", "cum",
         (F.col("cum") - F.col("n")).alias("start"),

@@ -451,7 +451,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
-        SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+        SELECT user_id, sum(is_new)::BIGINT AS n_sessions, count(*) AS n_events
         FROM flagged GROUP BY user_id
     """,
     doc="""Sessionization — 30-min-gap sessions via lag + running sum

@@ -52,9 +52,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l.l_returnflag,
                sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY l.l_returnflag
     """,

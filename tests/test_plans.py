@@ -88,6 +88,27 @@ def test_no_rowwise_python_udf_anywhere(spark):
     assert set(pandas_users) <= {"multimodal_features", "sim_topk_vectorized"}, pandas_users
 
 
+def test_no_unpartitioned_window_anywhere(spark):
+    # Engine-wide scale invariant: a Window with an empty partition spec
+    # sends EVERY row to one partition (Spark's WindowExec requires
+    # SinglePartition for it) — the classic 100 TB killer.  Global
+    # running sums / ranks must instead use the hierarchical forms
+    # (operators/relational.py:hierarchical_row_number, the
+    # pack_context_windows prefix sum).  A windowspecdefinition whose
+    # pre-frame arguments are all sort specs (every one carries NULLS
+    # FIRST/LAST) has no partition columns.
+    offenders = {}
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        ):
+            args = [a.strip() for a in m.group(1).rstrip(", ").split(",") if a.strip()]
+            if not args or all("NULLS" in a for a in args):
+                offenders.setdefault(name, []).append(m.group(1)[:80])
+    assert not offenders, f"unpartitioned window in: {offenders}"
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     # SCALE.md §3: co-located bucketed layout -> fact-fact join with no
     # Exchange on either side. Broadcast is disabled so the test proves
