@@ -211,3 +211,36 @@ def s5_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "events", "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00", sf_dir
     )
     return df.select("event_id", "event_type", F.unix_timestamp("ts").alias("epoch_ts"))
+
+
+@register(
+    "time_range_typed_scan",
+    oracle="""
+        SELECT event_id, event_type, user_id,
+               floor(epoch(ts))::BIGINT AS epoch_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+          AND event_type IN ('view', 'click')
+    """,
+    doc="""The typed getFromDate pull (reference:
+    transis_consumer.py:166-202 — get_data_from/get_strategic_monitor_from
+    and friends): a bounded time range PLUS a ``types IN (...)``
+    predicate, via sources/loaders.py:typed_time_range_scan.  Both
+    predicates reach the parquet scan (PushedFilters: ts range +
+    In(event_type)) — with a type/date-partitioned layout at 100 TB the
+    scan prunes to matching partitions before reading.""",
+)
+def time_range_typed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.loaders import typed_time_range_scan
+
+    df = typed_time_range_scan(
+        spark,
+        ("view", "click"),
+        "2024-01-05 00:00:00",
+        "2024-01-25 00:00:00",
+        sf_dir=sf_dir,
+    )
+    return df.select(
+        "event_id", "event_type", "user_id", F.unix_timestamp("ts").alias("epoch_ts")
+    )

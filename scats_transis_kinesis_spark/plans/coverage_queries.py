@@ -372,9 +372,8 @@ def dataset_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     names are within 1 edit (classic entity-resolution primitive;
     levenshtein is an exact integer DP both engines compute
     identically).  The declared form is a bounded all-pairs check; the
-    100 TB path generates candidates by blocking first (the same
-    banding machinery as the dedup family — prefix/hash blocks), then
-    scores only within blocks.""",
+    100 TB path is fuzzy_match_blocked, which generates candidates by
+    deletion-neighborhood blocking and scores only within blocks.""",
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") < 60)
@@ -387,3 +386,58 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 1)
     )
+
+
+@register(
+    "fuzzy_match_blocked",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="""Fuzzy record linkage, SCALE PATH: deletion-neighborhood
+    blocking (SymSpell/FastSS).  Each name explodes into itself plus its
+    single-character-deletion variants (len+1 block keys); any pair
+    within edit distance 1 provably shares a block key, so candidates
+    come from an EQUI-join on the key — no theta join anywhere — and
+    only candidates get the exact levenshtein verify.  Work is
+    O(n·len) block rows + within-block pairs instead of O(n²); the
+    oracle is the all-pairs ground truth (fine at gate scale, which is
+    exactly why the blocked form exists).  Same contract as
+    fuzzy_match_levenshtein but over the FULL customer table.""",
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    # Block key i=0 is the string itself; i>=1 deletes the i-th char.
+    variants = c.select(
+        "id",
+        "name",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+    ).select(
+        "id",
+        "name",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(
+            F.expr("concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))")
+        )
+        .alias("block"),
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    candidates = (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return candidates.select(
+        "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+    ).where(F.col("edit_dist") <= 1)

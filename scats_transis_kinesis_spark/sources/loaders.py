@@ -158,3 +158,78 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def typed_time_range_scan(
+    spark: SparkSession,
+    types: tuple[str, ...],
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    name: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    sf_dir: str = DEFAULT_SF_DIR,
+) -> DataFrame:
+    """The reference's ``getFromDate?startDate=...&types=...`` pull
+    (reference: transis_consumer.py:166-173): a time-range scan further
+    restricted to a set of record types.  Both predicates are plain
+    column comparisons, so they reach the parquet reader together
+    (PushedFilters: ts range + In(event_type)); with a
+    type/date-partitioned layout at 100 TB this is pure partition
+    pruning.  ``from_ts=None`` gives the snapshot pulls (getAllVMS /
+    getAllOpenTIRF) that have no date parameter.
+    """
+    from pyspark.sql import functions as F
+
+    if from_ts is None:
+        df = load_table(spark, name, sf_dir)
+    else:
+        df = time_range_scan(spark, name, ts_col, from_ts, to_ts, sf_dir)
+    return df.where(F.col(type_col).isin(*types))
+
+
+# Typed convenience wrappers, one per reference endpoint
+# (transis_consumer.py:175-225).  The synthetic events table stands in
+# for the Transis record feed; each reference record type maps to one
+# synthetic event_type so the wrappers stay executable against testdata:
+#   StrategicMonitor -> 'view', Motorway -> 'click', SiteAlarm -> 'error',
+#   TIRF -> 'signup' (open = snapshot, closed = from-date pull),
+#   VMS -> 'purchase' (snapshot).
+
+def get_strategic_monitor_from(
+    spark: SparkSession, from_ts: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """reference: transis_consumer.py:175-182 (types=StrategicMonitor)."""
+    return typed_time_range_scan(spark, ("view",), from_ts, sf_dir=sf_dir)
+
+
+def get_motorway_from(
+    spark: SparkSession, from_ts: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """reference: transis_consumer.py:184-191 (types=Motorway)."""
+    return typed_time_range_scan(spark, ("click",), from_ts, sf_dir=sf_dir)
+
+
+def get_site_alarm_from(
+    spark: SparkSession, from_ts: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """reference: transis_consumer.py:193-202 (types=SiteAlarm)."""
+    return typed_time_range_scan(spark, ("error",), from_ts, sf_dir=sf_dir)
+
+
+def get_all_open_tirf(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """reference: transis_consumer.py:204-208 — current open TIRF
+    incidents; a snapshot pull with no date parameter."""
+    return typed_time_range_scan(spark, ("signup",), sf_dir=sf_dir)
+
+
+def get_all_closed_tirf(
+    spark: SparkSession, from_ts: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """reference: transis_consumer.py:210-217 (getClosedTIRFFromDate)."""
+    return typed_time_range_scan(spark, ("signup",), from_ts, sf_dir=sf_dir)
+
+
+def get_all_vms(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """reference: transis_consumer.py:219-225 (getAllVMS snapshot)."""
+    return typed_time_range_scan(spark, ("purchase",), sf_dir=sf_dir)

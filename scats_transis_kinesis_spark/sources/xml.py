@@ -208,3 +208,44 @@ def parse_site_layouts(docs: DataFrame, column: str = "value") -> DataFrame:
             lambda p: F.struct(p["_name"].alias("name"), p["SGNos"]["SGNo"].alias("sgNos")),
         ).alias("phases"),
     )
+
+
+def pretty_xml_string(xml: str) -> str:
+    """Reference ``TransisResponse.to_file`` formatting (reference:
+    transis_response_models.py:319-322): minidom pretty-print with a
+    3-space indent.  Kept as a plain function so the executor-side sink
+    and tests share one formatter."""
+    from xml.dom import minidom
+
+    return minidom.parseString(xml).toprettyxml(indent="   ")
+
+
+def write_pretty_xml_files(
+    df: DataFrame, out_dir: str, column: str = "value", id_col: str = "doc_id"
+) -> None:
+    """K5 — the indented-XML file sink (reference
+    transis_response_models.py:319-322 ``to_file``): one ``<id>.xml``
+    file per document row, pretty-printed with minidom at 3-space
+    indent exactly like the reference.
+
+    Executed with ``foreachPartition`` so each EXECUTOR writes its own
+    partition's files directly (out_dir must be a shared/locally-valid
+    path — on a cluster, a mounted or object-store-backed FUSE path);
+    nothing is collected to the driver.  Formatting is a per-row string
+    transform, so the sink scales with partition count like any other
+    write."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            with open(
+                _os.path.join(out_dir, f"{row[id_col]}.xml"), "w", encoding="utf-8"
+            ) as f:
+                f.write(pretty_xml_string(row[column]))
+
+    df.select(id_col, column).foreachPartition(write_partition)

@@ -50,6 +50,12 @@ def test_filter_pushdown_reaches_scan(spark):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
     assert re.search(r"PushedFilters:.*LessThanOrEqual\(ts", plan)
 
+    # Typed pull: the types IN (...) predicate must reach the scan
+    # alongside the time range.
+    plan = plan_of(spark, "time_range_typed_scan")
+    assert re.search(r"PushedFilters:.*In\(event_type", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+
 
 def test_column_pruning_on_fact_scan(spark):
     # q1 touches 7 lineitem columns; the scan must not read the rest

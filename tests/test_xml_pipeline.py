@@ -173,3 +173,67 @@ def test_scats_records_stamps_received_ts(spark):
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+1[01]:00", row["response_received_ts"]
     ), row["response_received_ts"]
     assert "response_received_ts" not in scats_records(docs).columns  # default: stable rows
+
+
+def test_pretty_xml_file_sink_matches_reference_format(spark, tmp_path):
+    # K5 — to_file parity (reference: transis_response_models.py:319-322):
+    # one <id>.xml per row, formatted exactly as minidom toprettyxml with
+    # a 3-space indent.
+    from xml.dom import minidom
+
+    from scats_transis_kinesis_spark.sources.xml import write_pretty_xml_files
+
+    docs = [
+        (1, '<TransisResponse error="false"><A><B x="1"/></A></TransisResponse>'),
+        (2, '<TransisResponse error="true"><Errors><Error msg="boom"/></Errors></TransisResponse>'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, value string")
+    out = str(tmp_path / "xmlout")
+    write_pretty_xml_files(df.repartition(2), out, column="value", id_col="doc_id")
+
+    import os
+
+    assert sorted(os.listdir(out)) == ["1.xml", "2.xml"]
+    for doc_id, xml in docs:
+        expected = minidom.parseString(xml).toprettyxml(indent="   ")
+        written = open(os.path.join(out, f"{doc_id}.xml")).read()
+        assert written == expected, doc_id
+        # and it still parses back to the same document
+        assert minidom.parseString(written).documentElement.tagName == "TransisResponse"
+
+
+def test_typed_time_range_wrappers(spark):
+    # Typed getFromDate pulls (reference: transis_consumer.py:166-225):
+    # each wrapper restricts to its record type; snapshot pulls take no
+    # date; the generic form composes range + types.
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.sources.loaders import (
+        get_all_open_tirf,
+        get_all_vms,
+        get_motorway_from,
+        get_site_alarm_from,
+        get_strategic_monitor_from,
+        typed_time_range_scan,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    vms = get_all_vms(spark, sf_dir=SF)
+    assert vms.select("event_type").distinct().collect() == [("purchase",)]
+
+    mot = get_motorway_from(spark, "2024-01-10 00:00:00", sf_dir=SF)
+    assert mot.select("event_type").distinct().collect() == [("click",)]
+    assert mot.agg(F.min("ts")).first()[0].isoformat() >= "2024-01-10"
+
+    alarms = get_site_alarm_from(spark, "2024-01-10 00:00:00", sf_dir=SF)
+    assert alarms.select("event_type").distinct().collect() == [("error",)]
+
+    sm = get_strategic_monitor_from(spark, "2024-01-10 00:00:00", sf_dir=SF)
+    open_tirf = get_all_open_tirf(spark, sf_dir=SF)
+    assert sm.count() > 0 and open_tirf.count() > 0
+
+    both = typed_time_range_scan(
+        spark, ("view", "click"), "2024-01-05 00:00:00", "2024-01-25 00:00:00", sf_dir=SF
+    )
+    kinds = {r[0] for r in both.select("event_type").distinct().collect()}
+    assert kinds == {"view", "click"}
