@@ -256,7 +256,10 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n = F.size(F.split("text", " "))
-    base = docs.select("doc_id", n.alias("n"))
+    # Cached: two scalar summary jobs (min/max, per-bucket totals) plus
+    # the main query all reuse this tiny (doc_id, n) frame — without the
+    # cache each would re-scan and re-tokenize the corpus.
+    base = docs.select("doc_id", n.alias("n")).cache()
 
     # Order-preserving deterministic bucketing by id range: bucket k holds
     # doc_ids in [lo + k*width, lo + (k+1)*width), so bucket order == id
