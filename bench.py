@@ -68,6 +68,15 @@ HEADLINE = [
     "multimodal_payload_stats",
     "multimodal_features",
     "multimodal_frame_sample",
+    # round-2 additions: scale-path twins and pipeline stages
+    "rfm_customer_segments",
+    "fuzzy_match_blocked",
+    "quality_repetition_signals",
+    "pii_redact_blocklist",
+    "stratified_sample_by_lang",
+    "ngram_contamination_check",
+    "embedding_int8_quantization",
+    "time_range_typed_scan",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

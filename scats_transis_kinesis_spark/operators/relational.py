@@ -202,3 +202,78 @@ def ntile_from_rank(rn: Column, n_rows: int, n_tiles: int) -> Column:
         .otherwise(r + F.ceil((rn - big) / s))
         .cast("int")
     )
+
+
+def hierarchical_ranks(
+    df: DataFrame,
+    dims: dict[str, tuple[Column, str]],
+    num_buckets: int = 32,
+) -> tuple[DataFrame, int]:
+    """Exact global row_number for SEVERAL orderings in two summary jobs
+    total (vs two per dimension for repeated
+    :func:`hierarchical_row_number` calls — at 100 TB that is one scan
+    for all bounds and one for all bucket counts instead of 2×|dims|).
+
+    ``dims`` maps output column name -> (numeric order expression,
+    tiebreak column).  Returns (df + one rank column per dim, n_rows).
+    """
+    bounds_exprs = []
+    for out, (expr, _) in dims.items():
+        bounds_exprs += [
+            F.min(expr).cast("double").alias(f"lo_{out}"),
+            F.max(expr).cast("double").alias(f"hi_{out}"),
+        ]
+    b = df.agg(*bounds_exprs).first()
+
+    t = df
+    bucket_cols = {}
+    for out, (expr, _) in dims.items():
+        lo, hi = b[f"lo_{out}"], b[f"hi_{out}"]
+        if lo is None or hi == lo:
+            bucket = F.lit(0)
+        else:
+            width = (float(hi) - float(lo)) / num_buckets
+            bucket = F.least(
+                F.greatest(F.floor((expr.cast("double") - float(lo)) / width), F.lit(0)),
+                F.lit(num_buckets - 1),
+            )
+        bucket_cols[out] = f"_hr_b_{out}"
+        t = t.withColumn(bucket_cols[out], bucket)
+
+    # One combined counts job: explode (dim, bucket) pairs, one grouped
+    # aggregate, |dims|*num_buckets scalar rows back to the driver.
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(out).alias("dim"), F.col(c).alias("bucket"))
+                for out, c in bucket_cols.items()
+            ]
+        )
+    ).alias("db")
+    counts = (
+        t.select(pairs)
+        .groupBy("db.dim", "db.bucket")
+        .count()
+        .collect()
+    )
+    n_rows = sum(int(r["count"]) for r in counts) // len(dims)
+
+    per_dim: dict[str, list[tuple[int, int]]] = {out: [] for out in dims}
+    for r in counts:
+        per_dim[r["dim"]].append((int(r["bucket"]), int(r["count"])))
+    for out, (expr, tiebreak) in dims.items():
+        running, offsets = 0, []
+        for bucket, c in sorted(per_dim[out]):
+            offsets.append((bucket, running))
+            running += c
+        off = df.sparkSession.createDataFrame(
+            offsets, f"{bucket_cols[out]} long, _hr_off_{out} long"
+        )
+        w = W.partitionBy(bucket_cols[out]).orderBy(expr, tiebreak)
+        t = (
+            t.withColumn(f"_hr_loc_{out}", F.row_number().over(w))
+            .join(F.broadcast(off), bucket_cols[out])
+            .withColumn(out, F.col(f"_hr_loc_{out}") + F.col(f"_hr_off_{out}"))
+            .drop(bucket_cols[out], f"_hr_loc_{out}", f"_hr_off_{out}")
+        )
+    return t, n_rows

@@ -305,7 +305,7 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     any customer count.""",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import hierarchical_row_number, ntile_from_rank
+    from ..operators.relational import hierarchical_ranks, ntile_from_rank
 
     o = load_table(spark, "orders", sf_dir)
     rfm = o.groupBy("o_custkey").agg(
@@ -313,15 +313,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
     ).cache()
-    n_rows = rfm.count()
-    ranked = hierarchical_row_number(
-        rfm, F.datediff("last_order", F.lit("1990-01-01")), "o_custkey", out="rn_r"
-    )
-    ranked = hierarchical_row_number(
-        ranked, F.col("frequency"), "o_custkey", out="rn_f"
-    )
-    ranked = hierarchical_row_number(
-        ranked, F.col("monetary"), "o_custkey", out="rn_m"
+    ranked, n_rows = hierarchical_ranks(
+        rfm,
+        {
+            "rn_r": (F.datediff("last_order", F.lit("1990-01-01")), "o_custkey"),
+            "rn_f": (F.col("frequency"), "o_custkey"),
+            "rn_m": (F.col("monetary"), "o_custkey"),
+        },
     )
     seg = ranked.select(
         ntile_from_rank(F.col("rn_r"), n_rows, 4).alias("r_quartile"),

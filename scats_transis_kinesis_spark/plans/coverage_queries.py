@@ -432,6 +432,11 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = variants.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
     )
+    # Dedup pairs BEFORE scoring: candidate occurrences outnumber
+    # distinct pairs ~5.5x here (measured at sf0.1: 1.46M occurrences vs
+    # 262k pairs; dedup-first 3.7 s vs score-first 10 s) — the O(len²)
+    # levenshtein DP per occurrence costs more than shuffling the name
+    # strings once on (id_a, id_b).
     candidates = (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))

@@ -154,3 +154,21 @@ def test_exclusion_and_pipeline_joins_broadcast(spark):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_contamination_probe_broadcasts(spark):
+    # The benchmark shingle set is the small side of the decontam join —
+    # it must broadcast; shuffling the corpus shingles against it is the
+    # plan bug the broadcast() hint exists to prevent.
+    plan = plan_of(spark, "ngram_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocked_fuzzy_has_no_theta_join(spark):
+    # fuzzy_match_blocked exists as the scale twin of the all-pairs
+    # baseline: its join must be a pure equi-join on the block key
+    # (hash-joinable), never a nested-loop / cartesian theta join.
+    plan = plan_of(spark, "fuzzy_match_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
