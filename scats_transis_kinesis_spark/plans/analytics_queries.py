@@ -650,3 +650,83 @@ def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(parsed).alias("n_numeric_leads"),
         (F.count("*") - F.count(parsed)).alias("n_unparseable"),
     )
+
+
+def _pagerank_oracle(iterations: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (same recurrence as
+    operators/graph.py:pagerank, sink-leak semantics included)."""
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+        r{k} AS (
+            SELECT n.node,
+                   (1 - {d}) / (SELECT count(*) FROM nodes)
+                   + {d} * coalesce(sum(p.rank * e.wn), 0) AS rank
+            FROM nodes n
+            LEFT JOIN nrm e ON e.v = n.node
+            LEFT JOIN r{k - 1} p ON p.node = e.u
+            GROUP BY n.node
+        )""")
+    return f"""
+        WITH edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, count(*)::DOUBLE AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nrm AS (
+            SELECT src AS u, dst AS v,
+                   w / sum(w) OVER (PARTITION BY src) AS wn
+            FROM edges
+        ),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes
+        ),{','.join(iters)}
+        SELECT node, round(rank, 6) AS rank FROM r{iterations}
+    """
+
+
+@register(
+    "pagerank_nation_trade",
+    oracle=_pagerank_oracle(),
+    doc="""Weighted PageRank (3 fixed iterations, damping 0.85) over the
+    nation-level trade graph (customer nation → supplier nation, edge
+    weight = line count) via the generic operators/graph.py:pagerank.
+    The iterative family beyond connected components: each round is one
+    keyed join + one grouped sum — Pregel superstep shape, no driver
+    data movement; the oracle unrolls the identical recurrence so the
+    contract is exact (round-6).  The demo graph is 25 nodes; the
+    operator is agnostic to edge-frame size (normalize once, iterate
+    with keyed shuffles).""",
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .cache()
+    )
+    ranks = pagerank(edges, iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

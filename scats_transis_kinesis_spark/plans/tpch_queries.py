@@ -217,6 +217,44 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_percentiles_approx",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+               TRUE AS approx_within_2pct
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="""Approximate grouped percentiles (GK sketch via
+    ``percentile_approx``) under the same hash-checkable bounded-error
+    contract as ``approx_distinct``: the sketch estimate is
+    DETERMINISTIC for a fixed input, and the checked claim is that it
+    lands within 2% (relative) of the exact percentile the oracle
+    carries.  The sketch is mergeable — partial aggregation map-side,
+    O(accuracy) state per group instead of the full sorted group the
+    exact form needs, which is why it is the 100 TB default.""",
+)
+def grouped_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("exact_p95"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("a95"),
+    )
+    within = (
+        (F.abs(F.col("a50") - F.col("exact_p50")) <= 0.02 * F.abs(F.col("exact_p50")))
+        & (F.abs(F.col("a95") - F.col("exact_p95")) <= 0.02 * F.abs(F.col("exact_p95")))
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_p50",
+        "exact_p95",
+        within.alias("approx_within_2pct"),
+    )
+
+
+@register(
     "upsert_snapshot_changes",
     oracle="""
         WITH changes AS (
@@ -792,4 +830,48 @@ def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("age_months"),
         F.last_day("o_orderdate").alias("month_end"),
         F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS yr,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * 0.1 * l.l_quantity), 4)
+                   AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="""TPC-H q9 shape (product-type profit by nation and year): a
+    5-way join fanning out from lineitem with a LIKE filter on part
+    names, conditional profit arithmetic, and a (nation, year) rollup.
+    The testdata has no partsupp table, so supply cost is derived as
+    10% of p_retailprice — the join/aggregation topology (the point of
+    q9) is unchanged.  part/supplier/nation broadcast; orders⋈lineitem
+    is the one fact-fact shuffle; the LIKE predicate prunes part before
+    the join fan-out.""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%red%"))
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
     )
