@@ -1,0 +1,286 @@
+"""Training-data pipeline queries, round 2 batch 2: corpus-frequency
+heavy hitters, canonical-document selection for near-dup clusters,
+SCD2 history builds, deterministic sharding, and language-mixture
+(curriculum) sampling.
+
+Every query is a declarative plan with partitioned-only shuffles and an
+exact DuckDB oracle.  The heavy-hitters query demonstrates the
+two-pass candidate-prune pattern (bounded-state coarse counts, then an
+exact recount of the candidate subset) that replaces unbounded
+``groupBy(token)`` state at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32
+from ..sources.loaders import load_table
+from .coverage_queries import _LSH_PAIRS_CTES, dedup_embedding_lsh
+from .registry import register
+
+# Heavy-hitters support threshold (absolute count) and coarse-pass
+# bucket width.  65536 buckets bound the first pass's aggregation state
+# regardless of vocabulary size; a bucket's count upper-bounds every
+# token in it, so pruning buckets below the threshold cannot drop a
+# true heavy hitter (count-min guarantee with a single counter row).
+HH_THRESHOLD = 200
+HH_BUCKETS = 1 << 16
+
+
+@register(
+    "heavy_hitters_twopass",
+    oracle=f"""
+        SELECT tok, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+        HAVING count(*) >= {HH_THRESHOLD}
+    """,
+    doc="""Corpus-frequency heavy hitters (vocabulary pruning / stopword
+    discovery) via the scalable two-pass pattern: pass 1 aggregates
+    token counts into 65536 hash buckets — bounded state, fully
+    map-side combinable, one tiny shuffle — and keeps buckets whose
+    total reaches the threshold (a superset of the true heavy hitters,
+    since a bucket's count >= any member token's count).  Pass 2
+    recounts exactly, restricted to candidate buckets via a broadcast
+    semi-join, so the big groupBy state is only the candidate tokens.
+    A naive ``groupBy(token)`` carries the full vocabulary through the
+    shuffle; this carries 65536 counters plus the survivors.  The
+    oracle is the exact HAVING query — the two-pass plan loses
+    nothing.""",
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    toks = toks.withColumn("bucket", portable_hash32("tok") % HH_BUCKETS)
+    cand_buckets = (
+        toks.groupBy("bucket")
+        .count()
+        .where(F.col("count") >= HH_THRESHOLD)
+        .select("bucket")
+    )
+    return (
+        toks.join(F.broadcast(cand_buckets), "bucket", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= HH_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+        WITH RECURSIVE
+        {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        ),
+        cc AS (
+            SELECT src AS member_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        ranked AS (
+            SELECT cc.cluster_id,
+                   d.doc_id,
+                   d.n_chars,
+                   count(*) OVER (PARTITION BY cc.cluster_id)::BIGINT
+                       AS n_members,
+                   row_number() OVER (PARTITION BY cc.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rn
+            FROM cc JOIN documents d ON d.doc_id = cc.member_id
+        )
+        SELECT cluster_id,
+               doc_id AS canonical_doc_id,
+               n_chars AS canonical_chars,
+               n_members
+        FROM ranked WHERE rn = 1
+    """,
+    doc="""Canonical-representative selection — the "keep one" step that
+    turns near-dup clusters into a deduplicated corpus: each connected
+    component of the embedding-LSH near-dup graph elects the member
+    with the most content (max n_chars, doc_id tiebreak).  Spark side:
+    min-label-propagation connected components (one keyed shuffle per
+    round), a join to documents on the member id, then windows
+    PARTITIONED BY cluster_id — no global window, no driver-side data.
+    The oracle recomputes the fixpoint with a recursive CTE and the
+    same ranked election.  doc_id and vec_id share an id space in the
+    testdata (TESTDATA.md).""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    cc = connected_components(dedup_embedding_lsh(spark, sf_dir))
+    docs = load_table(spark, "documents", sf_dir)
+    joined = cc.join(docs, cc.member_id == docs.doc_id)
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count("*").over(w).alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("n_chars").alias("canonical_chars"),
+        "n_members",
+    )
+
+
+@register(
+    "scd2_customer_orders",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey,
+               o_totalprice,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to,
+               (lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   IS NULL)::BOOLEAN AS is_current
+        FROM orders
+    """,
+    doc="""SCD2 (slowly-changing-dimension type 2) history build: each
+    customer's order stream becomes validity intervals — valid_from =
+    the order date, valid_to = the next order's date (NULL while
+    current), is_current on the latest row.  The canonical lakehouse
+    dimension-maintenance shape.  One window PARTITIONED BY o_custkey
+    (orderkey tiebreak for same-day orders) — shuffles once on the
+    dimension key, no global ordering, scales linearly with
+    customers.""",
+)
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64
+                   AS shard_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="""Deterministic corpus sharding for training-data layout: each
+    document maps to one of 64 shards by portable hash of its id, and
+    the query reports per-shard document and byte totals — the balance
+    check run before writing a sharded dataset.  Membership depends
+    only on doc_id, so shards are stable across runs, engines, and
+    repartitionings (unlike round-robin or random assignment).  The
+    hash is a scan-stage column expression; the aggregate is 64 groups
+    with full map-side combine — effectively shuffle-free at any
+    scale.""",
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    shard = (portable_hash32(F.col("doc_id").cast("string")) % 64).alias(
+        "shard_id"
+    )
+    return docs.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Target language mixture for curriculum sampling (weights sum to 1).
+MIXTURE_WEIGHTS = {"en": 0.30, "zh": 0.20, "es": 0.20, "de": 0.15, "fr": 0.15}
+
+
+@register(
+    "curriculum_mixture_sample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*)::BIGINT AS total_docs
+            FROM documents GROUP BY lang
+        ),
+        w(lang, wt) AS (
+            VALUES {", ".join(f"('{k}', {v}::DOUBLE)" for k, v in MIXTURE_WEIGHTS.items())}
+        ),
+        j AS (
+            SELECT counts.lang, total_docs, wt
+            FROM counts JOIN w ON counts.lang = w.lang
+        ),
+        cap AS (SELECT min(total_docs / wt) AS n FROM j),
+        rates AS (
+            SELECT lang, total_docs, wt * n / total_docs AS rate
+            FROM j CROSS JOIN cap
+        ),
+        kept AS (
+            SELECT d.lang, count(*)::BIGINT AS kept_docs
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 1000000 < r.rate * 1000000
+            GROUP BY d.lang
+        )
+        SELECT r.lang,
+               r.total_docs,
+               coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+               round(r.rate, 6) AS keep_rate
+        FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+    doc="""Language-mixture (curriculum) sampling: given target corpus
+    weights per language, compute the largest sample that achieves the
+    mixture exactly (capped by the most-constrained language), derive a
+    per-language keep rate, and select documents deterministically by
+    portable hash — so the sampled corpus is reproducible across
+    engines and layouts.  The per-language stats are a 5-row aggregate
+    broadcast back onto the scan; document selection is a scan-stage
+    predicate (hash-bucket < rate), no shuffle of document data at
+    all.  The same shape handles source/domain mixing at 100 TB: the
+    rate table stays tiny regardless of corpus size.""",
+)
+def curriculum_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    weights = spark.createDataFrame(
+        list(MIXTURE_WEIGHTS.items()), "lang string, wt double"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("total_docs"))
+    j = counts.join(weights, "lang")
+    cap = j.agg(F.min(F.col("total_docs") / F.col("wt")).alias("n"))
+    rates = j.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "total_docs",
+        (F.col("wt") * F.col("n") / F.col("total_docs")).alias("rate"),
+    )
+    bucket = portable_hash32(F.col("doc_id").cast("string")) % 1000000
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("rate") * 1000000)
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "total_docs",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.round("rate", 6).alias("keep_rate"),
+        )
+    )

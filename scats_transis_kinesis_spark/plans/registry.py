@@ -133,3 +133,4 @@ from . import extension_queries2  # noqa: E402,F401
 from . import coverage_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
+from . import pipeline_queries2  # noqa: E402,F401
