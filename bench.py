@@ -77,6 +77,13 @@ HEADLINE = [
     "ngram_contamination_check",
     "embedding_int8_quantization",
     "time_range_typed_scan",
+    # round-2 batch 2: frequency mining, cluster canonicalization,
+    # dimension history, sharding, mixture sampling
+    "heavy_hitters_twopass",
+    "dedup_cluster_canonical",
+    "scd2_customer_orders",
+    "corpus_shard_assignment",
+    "curriculum_mixture_sample",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale
