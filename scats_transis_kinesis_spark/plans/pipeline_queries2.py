@@ -208,6 +208,60 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-maintenance split point: rows before this date play the
+# "yesterday's materialized state" role; rows on/after it are the delta.
+INCR_SPLIT = "1999-01-01"
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2)
+                   AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="""Incremental aggregate maintenance (materialized-view refresh
+    shape): yesterday's aggregate state (orders before the split date,
+    pre-aggregated) merges with today's delta's partial aggregate by
+    UNION + re-reduce — counts and sums are algebraic, so the merge
+    touches |groups| + |delta| rows and never rescans the base data.
+    At 100 TB this is the difference between a daily full recompute
+    and a delta-sized refresh.  Sums go through DECIMAL(18,2) so the
+    two-level aggregation tree is bit-exact against the oracle's
+    single-level full recompute (FP addition order would differ).""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(price).alias("total_price"),
+        )
+
+    base_state = partial(orders.where(F.col("o_orderdate") < INCR_SPLIT))
+    delta = partial(orders.where(F.col("o_orderdate") >= INCR_SPLIT))
+    return (
+        base_state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_price").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("total_price").cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 # Target language mixture for curriculum sampling (weights sum to 1).
 MIXTURE_WEIGHTS = {"en": 0.30, "zh": 0.20, "es": 0.20, "de": 0.15, "fr": 0.15}
 

@@ -160,6 +160,48 @@ def write_bucketed(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_rows: int = 1_000_000,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction (lakehouse OPTIMIZE shape): rewrite a
+    parquet directory of many small files into few well-sized ones,
+    optionally range-sorted so min/max row-group stats prune reads.
+
+    Streaming sinks and fine-grained partition writes leave thousands
+    of KB-sized files; at 100 TB the scan's task-scheduling and footer
+    overhead then dominates I/O.  Compaction = one pass: read, compute
+    the output file count from the actual row count, ``repartition``
+    (or ``repartitionByRange`` when a sort column is given — keeping
+    files range-disjoint, the Z-order-lite layout), and rewrite capped
+    by ``maxRecordsPerFile``.  Returns the number of files written.
+    """
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_file_rows))
+    out = (
+        df.repartitionByRange(n_files, sort_col)
+        if sort_col
+        else df.repartition(n_files)
+    )
+    # The cap is a skew backstop, not the sizing mechanism (that's the
+    # partition count): 10% headroom keeps round-robin / range-sample
+    # imbalance from splitting a partition into a tiny remainder file.
+    cap = int(target_file_rows * 1.1)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", cap)
+        .parquet(dst_path)
+    )
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))
+
+
 def typed_time_range_scan(
     spark: SparkSession,
     types: tuple[str, ...],

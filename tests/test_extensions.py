@@ -184,3 +184,79 @@ def test_connected_components_chain_and_islands(spark):
     }
     # the 1-2-3-4 chain needs multi-round propagation to collapse to 1
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from scats_transis_kinesis_spark.sources.loaders import compact_table
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(10_000).withColumn("k", (F.col("id") % 7).cast("int"))
+    # Simulate a streaming sink's debris: 64 tiny files.
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n_files = compact_table(spark, src, dst, target_file_rows=5_000)
+    assert n_files == 2
+    # Content survives exactly.
+    assert spark.read.parquet(dst).orderBy("id").collect() == (
+        df.orderBy("id").collect()
+    )
+
+
+def test_compact_table_range_sort_makes_files_disjoint(spark, tmp_path):
+    from scats_transis_kinesis_spark.sources.loaders import compact_table
+
+    src, dst = str(tmp_path / "small2"), str(tmp_path / "compact2")
+    spark.range(10_000).repartition(32).write.parquet(src)
+    compact_table(spark, src, dst, target_file_rows=5_000, sort_col="id")
+    import glob
+
+    ranges = []
+    for f in glob.glob(dst + "/*.parquet"):
+        part = spark.read.parquet(f).agg(F.min("id"), F.max("id")).first()
+        ranges.append((part[0], part[1]))
+    ranges.sort()
+    # Range-partitioned output: each file's id span ends before the
+    # next begins, so min/max footer stats prune point lookups to one
+    # file.
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_pack_context_windows_invariants(spark):
+    """Property check of the hierarchical-prefix-sum packing: per-doc
+    contributions sum to the doc's token count, and every window except
+    the last is filled to exactly the budget."""
+    from scats_transis_kinesis_spark.plans.extension_queries2 import (
+        PACK_BUDGET,
+        pack_context_windows,
+    )
+    from scats_transis_kinesis_spark.sources.loaders import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = pack_context_windows(spark, sf_dir)
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in got.groupBy("doc_id")
+        .agg(F.sum("tokens_in_window").alias("s"))
+        .collect()
+    }
+    docs = load_table(spark, "documents", sf_dir)
+    expect = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert per_doc == expect
+
+    win = {
+        r["window_id"]: r["s"]
+        for r in got.groupBy("window_id")
+        .agg(F.sum("tokens_in_window").alias("s"))
+        .collect()
+    }
+    last = max(win)
+    for w, s in win.items():
+        assert s == PACK_BUDGET or (w == last and s <= PACK_BUDGET)
