@@ -100,8 +100,11 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_match_levenshtein",
     "corpus_clean_pipeline",
     "q1_pricing_summary",
-    "q3_top_revenue",
-    "q6_forecast_revenue",
+    # New-family flagships (round 2 batch 2) take the last two sample
+    # slots; q3/q6 fall just outside — their shapes stay covered inside
+    # the window by q1 (agg) and q12/salted/asof (joins).
+    "heavy_hitters_twopass",
+    "incremental_agg_maintenance",
     "salted_join_skew",
     "asof_purchase_last_click",
 )
