@@ -237,3 +237,60 @@ def test_typed_time_range_wrappers(spark):
     )
     kinds = {r[0] for r in both.select("event_type").distinct().collect()}
     assert kinds == {"view", "click"}
+
+
+def test_transis_xml_datasource_batch(spark, tmp_path):
+    """format("transis_xml") batch read: one partition per capture
+    file, NUL-delimited split, empty fragments dropped — then the
+    existing parse pipeline consumes the rows unchanged."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+    from scats_transis_kinesis_spark.sources.xml import parse_transis_documents
+
+    register_transis_datasource(spark)
+    (tmp_path / "cap-000.bin").write_bytes(
+        XML_TWO_SITES.encode() + b"\x00" + XML_TWO_SITES.encode() + b"\x00"
+    )
+    (tmp_path / "cap-001.bin").write_bytes(
+        b"\x00" + XML_TWO_SITES.encode() + b"\x00"  # leading empty fragment
+    )
+    df = spark.read.format("transis_xml").load(str(tmp_path))
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() == 2  # one split per capture file
+    parsed = parse_transis_documents(df)
+    assert parsed.where("error = 'false'").count() == 3
+
+
+def test_transis_xml_datasource_streaming(spark, tmp_path):
+    """Streaming: each micro-batch consumes newly landed capture files;
+    the offset log replays deterministically."""
+    import time
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    register_transis_datasource(spark)
+    cap_dir = tmp_path / "caps"
+    cap_dir.mkdir()
+    (cap_dir / "cap-000.bin").write_bytes(XML_TWO_SITES.encode() + b"\x00")
+
+    seen: list[int] = []
+    q = (
+        spark.readStream.format("transis_xml")
+        .load(str(cap_dir))
+        .writeStream.foreachBatch(lambda df, _id: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (cap_dir / "cap-001.bin").write_bytes(
+            XML_TWO_SITES.encode() + b"\x00" + XML_TWO_SITES.encode() + b"\x00"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(seen) == 3  # 1 from the first capture, 2 from the second
