@@ -84,6 +84,8 @@ HEADLINE = [
     "scd2_customer_orders",
     "corpus_shard_assignment",
     "curriculum_mixture_sample",
+    "incremental_agg_maintenance",
+    "kmeans_embedding_clusters",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

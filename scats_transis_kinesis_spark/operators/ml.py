@@ -1,0 +1,96 @@
+"""Iterative ML on the engine: Lloyd's k-means over an embedding
+column, written as a deterministic cross-engine contract.
+
+Each iteration is (assign → update) expressed in pure DataFrame ops:
+
+- **assign**: cross join against the k-row centroid frame (broadcast —
+  k·dim scalars), squared-euclidean distance as a left-to-right fold
+  over ``zip_with`` (identical association order to the oracle's
+  ``list_reduce``), ROUNDED to 6 decimals, argmin via a row_number
+  window PARTITIONED BY vec_id.
+- **update**: per-dimension ``avg`` grouped by cluster, ROUNDED to 6
+  before feeding the next iteration.
+
+The rounding is what makes an iterative FP algorithm hash-checkable
+against another engine: both engines agree on every rounded
+intermediate, so divergence cannot compound across iterations (same
+trick as the approx_distinct bounded-error contract).  Clusters that
+receive no members drop out (both engines agree on that too).
+
+Scale shape: the data-sized stages are one broadcast-join scan and one
+groupBy per iteration; the driver only ever sees k·dim scalars per
+round (the same footprint as ``RDD.zipWithIndex``'s summary collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Run ``iters`` assignment rounds of Lloyd's k-means (centroids
+    update between rounds) and return the final assignment
+    ``(id, cluster, dist)``.
+
+    Init: the ``k`` rows with the smallest ids, in id order (cid =
+    rank), the deterministic seed both engines can reproduce.
+    """
+    first_k = (
+        vectors.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(first_k)]
+
+    def dist_to(c: list[float]):
+        carr = F.array(*[F.lit(x) for x in c])
+        sq = F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y))
+        return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+    assigned = None
+    for _ in range(iters):
+        # Centroids inline as literal expressions: the assignment is a
+        # pure narrow projection (argmin over k codegen'd distance
+        # expressions) — no join, no row blowup, no shuffle.  min over
+        # (dist, cid) structs == ORDER BY dist, cid.
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist_to(c).alias("dist"),
+                        F.lit(cid).cast("int").alias("cid"),
+                    )
+                    for cid, c in cents
+                ]
+            )
+        )
+        assigned = vectors.select(
+            id_col,
+            vec_col,
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+        # The only shuffle per iteration: k groups × dim partial-agg
+        # means, rounded before they feed the next round.
+        new_cents = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        cents = sorted(
+            (r["cid"], [r[f"d{i}"] for i in range(dim)]) for r in new_cents
+        )
+    return assigned.select(
+        id_col, F.col("cid").alias("cluster"), "dist"
+    )

@@ -208,6 +208,86 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-means contract parameters (operators/ml.py): cluster count,
+# assignment rounds, embedding dimensionality.
+KM_K, KM_ITERS, KM_DIM = 8, 3, 64
+
+
+def _kmeans_oracle() -> str:
+    """Exactly-unrolled Lloyd iterations as chained CTEs: assignment
+    d{t}/a{t}/s{t}, centroid update c{t+1} — every FP intermediate
+    rounded to 6 in lockstep with the Spark loop."""
+    dist = (
+        f"round(list_reduce(list_transform(generate_series(1, {KM_DIM}),"
+        " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),"
+        " (x, y) -> x + y), 6)"
+    )
+    mean_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(KM_DIM))
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                   v AS c
+            FROM e ORDER BY vec_id LIMIT {KM_K}
+        )""",
+    ]
+    for t in range(KM_ITERS):
+        ctes.append(
+            f"""d{t} AS (
+                SELECT e.vec_id, e.v, c.cid, {dist} AS dist
+                FROM e CROSS JOIN c{t} c
+            )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+                SELECT vec_id, v, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d{t}
+            )"""
+        )
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, v, cid, dist FROM a{t} WHERE rn = 1)"
+        )
+        if t + 1 < KM_ITERS:
+            ctes.append(
+                f"""c{t + 1} AS (
+                    SELECT cid, [{mean_list}] AS c
+                    FROM s{t} GROUP BY cid
+                )"""
+            )
+    last = KM_ITERS - 1
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, cid AS cluster, dist FROM s{last}
+    """
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_kmeans_oracle(),
+    doc="""Iterative ML loop (Lloyd's k-means) over the embedding
+    corpus: 3 assignment rounds, centroids updated between rounds,
+    deterministic smallest-id init.  Per iteration the engine runs one
+    broadcast-join scan (k·dim centroid scalars) and one grouped
+    per-dimension mean; the driver sees only the k·dim centroid
+    summary — the canonical Spark training-loop shape, same contract
+    trick as approx_distinct: every FP intermediate (distance,
+    centroid coordinate) is rounded to 6 on BOTH engines with
+    identical fold order, so the iterations cannot diverge and the
+    final assignment hash-matches an exactly-unrolled recursive-CTE
+    oracle.""",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import kmeans_assign
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return kmeans_assign(e, k=KM_K, iters=KM_ITERS, dim=KM_DIM)
+
+
 # Incremental-maintenance split point: rows before this date play the
 # "yesterday's materialized state" role; rows on/after it are the delta.
 INCR_SPLIT = "1999-01-01"
