@@ -208,6 +208,82 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "domain_shift_kl",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) >= {HH_THRESHOLD}
+        ),
+        vt AS (
+            SELECT lang, toks.tok FROM toks
+            JOIN vocab ON toks.tok = vocab.tok
+        ),
+        lang_tok AS (
+            SELECT lang, tok, count(*)::DOUBLE AS c
+            FROM vt GROUP BY lang, tok
+        ),
+        lang_tot AS (
+            SELECT lang, sum(c) AS lt FROM lang_tok GROUP BY lang
+        ),
+        glob_tok AS (
+            SELECT tok, sum(c) AS g FROM lang_tok GROUP BY tok
+        ),
+        glob_tot AS (SELECT sum(c) AS gt FROM lang_tok)
+        SELECT l.lang,
+               lang_tot.lt::BIGINT AS n_tokens,
+               round(sum((l.c / lang_tot.lt)
+                         * ln((l.c / lang_tot.lt)
+                              / (glob_tok.g / glob_tot.gt))), 6) AS kl
+        FROM lang_tok l
+        JOIN lang_tot USING (lang)
+        JOIN glob_tok USING (tok)
+        CROSS JOIN glob_tot
+        GROUP BY l.lang, lang_tot.lt
+    """,
+    doc="""Domain-shift detection (information-theoretic corpus stats):
+    KL divergence of each language slice's unigram distribution from
+    the corpus distribution, restricted to the heavy-hitter vocabulary
+    so the distribution support is bounded and dense.  The vocabulary
+    is a broadcast semi-join (same two-pass economics as
+    heavy_hitters_twopass); the distributions are keyed aggregates on
+    (lang, tok); the final KL is a per-lang sum of ~|vocab| terms.
+    The standard screen for "does this source/shard look like the
+    corpus" before mixing new data into a training run.""",
+)
+def domain_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok").count().where(F.col("count") >= HH_THRESHOLD)
+    ).select("tok")
+    vt = toks.join(F.broadcast(vocab), "tok", "left_semi")
+    lang_tok = vt.groupBy("lang", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("lt"))
+    glob_tok = lang_tok.groupBy("tok").agg(F.sum("c").alias("g"))
+    glob_tot = lang_tok.agg(F.sum("c").alias("gt"))
+    p = F.col("c") / F.col("lt")
+    q = F.col("g") / F.col("gt")
+    return (
+        lang_tok.join(F.broadcast(lang_tot), "lang")
+        .join(F.broadcast(glob_tok), "tok")
+        .crossJoin(F.broadcast(glob_tot))
+        .groupBy("lang", "lt")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .select(
+            "lang", F.col("lt").cast("long").alias("n_tokens"), "kl"
+        )
+    )
+
+
 # k-means contract parameters (operators/ml.py): cluster count,
 # assignment rounds, embedding dimensionality.
 KM_K, KM_ITERS, KM_DIM = 8, 3, 64
