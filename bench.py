@@ -123,6 +123,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "n_queries": len(times),
                 "sf": sf,
             }
         )

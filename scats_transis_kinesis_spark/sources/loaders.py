@@ -182,8 +182,13 @@ def compact_table(
     df = spark.read.parquet(src_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_file_rows))
+    # Range partition AND sort within partitions: if the range sampler
+    # skews a partition past the file cap, the sequential file splits
+    # stay internally ordered, so every output file's min/max footer
+    # range is disjoint regardless — and row groups inside each file
+    # are ordered for fine-grained skipping.
     out = (
-        df.repartitionByRange(n_files, sort_col)
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
         if sort_col
         else df.repartition(n_files)
     )
