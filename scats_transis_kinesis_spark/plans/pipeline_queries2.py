@@ -209,6 +209,68 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_constraint_audit",
+    oracle="""
+        SELECT 'orders_null_custkey' AS check_name,
+               count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               (count(*) - count(DISTINCT o_orderkey))::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'orders_dangling_custkey',
+               count(*)::BIGINT
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty',
+               count(*) FILTER (WHERE l_quantity <= 0)::BIGINT
+        FROM lineitem
+    """,
+    doc="""Data-quality constraint audit (expectation checks): NOT NULL,
+    primary-key uniqueness, referential integrity (orders→customer via
+    LEFT ANTI join), and a domain predicate — the validation pass a
+    pipeline runs before publishing a dataset.  Null/domain checks are
+    scan-stage conditional counts (map-side combine to one row);
+    uniqueness is count vs distinct-count on the key (partial aggs);
+    the FK check is one keyed join against the dimension.  Each check
+    emits (check_name, violations) so the whole audit is a single
+    4-row frame a scheduler can assert on.""",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+
+    null_ck = orders.agg(
+        F.lit("orders_null_custkey").alias("check_name"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations"),
+    )
+    dup_pk = orders.agg(
+        F.lit("orders_dup_orderkey").alias("check_name"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("violations"),
+    )
+    dangling = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(
+            F.lit("orders_dangling_custkey").alias("check_name"),
+            F.count("*").alias("violations"),
+        )
+    )
+    domain = lineitem.agg(
+        F.lit("lineitem_nonpositive_qty").alias("check_name"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("violations"),
+    )
+    return null_ck.unionByName(dup_pk).unionByName(dangling).unionByName(
+        domain
+    )
+
+
+@register(
     "domain_shift_kl",
     oracle=f"""
         WITH toks AS (

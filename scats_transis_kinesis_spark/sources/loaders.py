@@ -207,6 +207,36 @@ def compact_table(
     return len(glob.glob(os.path.join(dst_path, "*.parquet")))
 
 
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant scan: union parquet written at
+    different schema versions (columns added over time) into one frame.
+
+    ``mergeSchema`` resolves additive evolution (readers see the union
+    of all file schemas; files missing a column yield nulls — the
+    columnar format's free backfill).  ``renames`` maps old→new column
+    names for the one evolution parquet can't express in-place
+    (a rename looks like drop+add); rows from files carrying the old
+    name surface under the new one via ``coalesce``.  At 100 TB this
+    is a footer-only negotiation — no data rewrite, pruning and
+    pushdown still apply per file.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for old, new in (renames or {}).items():
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(
+                old
+            )
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
 def typed_time_range_scan(
     spark: SparkSession,
     types: tuple[str, ...],

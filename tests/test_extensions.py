@@ -260,3 +260,22 @@ def test_pack_context_windows_invariants(spark):
     last = max(win)
     for w, s in win.items():
         assert s == PACK_BUDGET or (w == last and s <= PACK_BUDGET)
+
+
+def test_read_evolved_merges_added_and_renamed_columns(spark, tmp_path):
+    from scats_transis_kinesis_spark.sources.loaders import read_evolved
+
+    path = str(tmp_path / "evolving")
+    # v1: (id, qty) — the original schema
+    spark.createDataFrame([(1, 10), (2, 20)], "id long, qty long").write.parquet(
+        path + "/v=1"
+    )
+    # v2: qty renamed to quantity, new unit column added
+    spark.createDataFrame(
+        [(3, 30, "kg")], "id long, quantity long, unit string"
+    ).write.parquet(path + "/v=2")
+
+    df = read_evolved(spark, path, renames={"qty": "quantity"})
+    rows = {r["id"]: (r["quantity"], r["unit"]) for r in df.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "kg")}
+    assert "qty" not in df.columns
