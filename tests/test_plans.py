@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
 
 from scats_transis_kinesis_spark.plans.registry import REGISTRY
 
@@ -172,3 +173,36 @@ def test_blocked_fuzzy_has_no_theta_join(spark):
     plan = plan_of(spark, "fuzzy_match_blocked")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark):
+    """Runtime bloom-filter semi-join reduction is ON in the session:
+    a selective dim filter injects a bloom_filter_agg on the build side
+    and a might_contain probe on the fact scan, cutting shuffled fact
+    rows before the join.  The application-side size threshold (10 GB
+    by default — i.e. the 100 TB regime) is lowered to 0 here because
+    the test parquet is tiny; creation-side limits stay at defaults."""
+    from scats_transis_kinesis_spark.sources.loaders import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, "orders", SF_DIR)
+        li = load_table(spark, "lineitem", SF_DIR)
+        j = li.join(
+            o.where(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        jvm = spark.sparkContext._jvm
+        plan = jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
