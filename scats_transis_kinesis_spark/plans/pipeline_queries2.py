@@ -209,6 +209,155 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) >= {HH_THRESHOLD}
+        )
+        SELECT t.tok,
+               count(DISTINCT t.doc_id)::BIGINT AS doc_freq,
+               array_agg(DISTINCT t.doc_id ORDER BY t.doc_id) AS postings
+        FROM toks t JOIN vocab USING (tok)
+        GROUP BY t.tok
+    """,
+    doc="""Inverted-index build (search/retrieval infra): sorted
+    posting lists per term, restricted to the heavy-hitter vocabulary
+    so no single posting array exceeds bounded size unpredictably —
+    at 100 TB the full-vocabulary variant would shard postings by
+    (term, doc_id range) instead of collecting one array per term
+    (documented; the per-term grouped sort is the same plan).  One
+    keyed shuffle on the term; dedup + ordering happen inside the
+    aggregate.""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok").count().where(F.col("count") >= HH_THRESHOLD)
+    ).select("tok")
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+@register(
+    "collocation_pmi",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT unnest(list_transform(generate_series(1, n - 1),
+                          i -> struct_pack(w1 := toks[i],
+                                           w2 := toks[i + 1]))) AS bg
+            FROM t WHERE n >= 2
+        ),
+        bg_counts AS (
+            SELECT bg.w1 AS w1, bg.w2 AS w2, count(*)::DOUBLE AS c12
+            FROM bigrams GROUP BY bg.w1, bg.w2
+            HAVING count(*) >= 10
+        ),
+        uni AS (
+            SELECT tok, count(*)::DOUBLE AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        tot AS (
+            SELECT sum(c) AS n_uni,
+                   (SELECT count(*)::DOUBLE FROM bigrams) AS n_bg
+            FROM uni
+        )
+        SELECT b.w1, b.w2, b.c12::BIGINT AS pair_count,
+               round(ln((b.c12 / tot.n_bg)
+                        / ((u1.c / tot.n_uni) * (u2.c / tot.n_uni))), 6)
+                   AS pmi
+        FROM bg_counts b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        CROSS JOIN tot
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 20
+    """,
+    doc="""Collocation mining (phrase discovery for tokenizer /
+    vocabulary curation): pointwise mutual information of adjacent
+    token pairs vs their unigram marginals, top-20 with deterministic
+    tiebreak.  Bigram extraction is a pure array expression (zero
+    shuffle); pair and unigram counts are keyed aggregates; marginals
+    attach via broadcast joins of the (bounded, HAVING-pruned) pair
+    table against the unigram counts; the global top-k is
+    TakeOrdered — no global sort materialized.""",
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(F.split("text", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    bigrams = t.where(F.col("n") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 2),
+                lambda i: F.struct(
+                    F.col("toks")[i].alias("w1"),
+                    F.col("toks")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    bg_counts = (
+        bigrams.groupBy("bg.w1", "bg.w2")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .where(F.col("c12") >= 10)
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bg = bigrams.agg(F.count("*").cast("double").alias("n_bg"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg_counts.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("n_bg"))
+                    / (
+                        (F.col("c1") / F.col("n_uni"))
+                        * (F.col("c2") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
     "dq_constraint_audit",
     oracle="""
         SELECT 'orders_null_custkey' AS check_name,
