@@ -208,6 +208,127 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE merge-induction rounds (tokenizer training).  Symbol sequences
+# ride as wrapped strings '<c1><c2>…': one leftmost-greedy string
+# replace() IS the BPE merge step — identical semantics in Spark and
+# DuckDB, no fold/accumulator machinery needed.
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    syms = "string_split(regexp_replace(seq, '^<|>$', '', 'g'), '><')"
+    pair_cte = (
+        "SELECT pr.l AS l, pr.r AS r, sum(freq)::BIGINT AS c FROM ("
+        "  SELECT freq, unnest(list_transform("
+        "    generate_series(1, len({syms}) - 1),"
+        "    i -> struct_pack(l := {syms}[i], r := {syms}[i + 1]))) AS pr"
+        "  FROM s{t} WHERE len({syms}) >= 2"
+        ") GROUP BY pr.l, pr.r"
+    )
+    ctes = [
+        """v AS (
+            SELECT tok AS word, count(*)::BIGINT AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        )""",
+        """s0 AS (
+            SELECT word, freq,
+                   regexp_replace(word, '(.)', '<\\1>', 'g') AS seq
+            FROM v
+        )""",
+    ]
+    for t in range(BPE_ROUNDS):
+        ctes.append(
+            f"p{t} AS ({pair_cte.format(syms=syms, t=t)})"
+        )
+        ctes.append(
+            f"b{t} AS (SELECT l, r, c FROM p{t} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if t + 1 < BPE_ROUNDS:
+            ctes.append(
+                f"""s{t + 1} AS (
+                    SELECT word, freq,
+                           replace(seq, '<' || b.l || '><' || b.r || '>',
+                                   '<' || b.l || b.r || '>') AS seq
+                    FROM s{t} CROSS JOIN b{t} b
+                )"""
+            )
+    selects = [
+        f"SELECT {t + 1} AS merge_round, l AS pair_left, r AS pair_right,"
+        f" l || r AS merged, c AS pair_count FROM b{t}"
+        for t in range(BPE_ROUNDS)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=_bpe_oracle(),
+    doc="""Tokenizer training (BPE vocabulary induction): 3 merge
+    rounds over the corpus vocabulary — count adjacent symbol pairs
+    weighted by word frequency, merge the globally most frequent pair
+    (count DESC, lexicographic tiebreak), repeat on the merged
+    sequences.  Symbol sequences are wrapped strings ('<c1><c2>…') so
+    the merge step is ONE leftmost-greedy ``replace`` — a narrow map
+    over the distinct-word table, identical semantics in both engines.
+    Per round the engine runs one keyed pair-count shuffle (map-side
+    combine over the bounded vocabulary) and collects exactly one row
+    (the winning pair) — the same driver footprint as the k-means
+    centroid summary.  The oracle unrolls the rounds as chained
+    CTEs.""",
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = vocab.select(
+        "word",
+        "freq",
+        F.regexp_replace("word", "(.)", "<$1>").alias("seq"),
+    )
+    syms = F.split(F.regexp_replace("seq", "^<|>$", ""), "><")
+    merges = []
+    for t in range(BPE_ROUNDS):
+        pairs = (
+            state.where(F.size(syms) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(syms) - 2),
+                        lambda i: F.struct(
+                            syms[i].alias("l"), syms[i + 1].alias("r")
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.col("c").desc(), "l", "r"
+        ).first()
+        merges.append((t + 1, best["l"], best["r"], int(best["c"])))
+        state = state.withColumn(
+            "seq",
+            F.expr(
+                "replace(seq, '<{l}><{r}>', '<{lr}>')".format(
+                    l=best["l"], r=best["r"], lr=best["l"] + best["r"]
+                )
+            ),
+        )
+    return spark.createDataFrame(
+        [(r, l, rr, l + rr, c) for r, l, rr, c in merges],
+        "merge_round int, pair_left string, pair_right string,"
+        " merged string, pair_count long",
+    )
+
+
 @register(
     "inverted_index_postings",
     oracle=f"""
