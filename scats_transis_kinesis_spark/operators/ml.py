@@ -43,31 +43,56 @@ def kmeans_assign(
     Init: the ``k`` rows with the smallest ids, in id order (cid =
     rank), the deterministic seed both engines can reproduce.
     """
+    from ..sources.loaders import ensure_parallelism
+
+    # Fanned out + cached: a small parquet table scans as one split,
+    # and the HOF-heavy distance evaluation would then run on one
+    # core every round.  Each iteration's centroid-update job plus
+    # the final result all rescan this frame; without the cache every
+    # round re-reads and re-casts the parquet.
+    vectors = ensure_parallelism(vectors).cache()
     first_k = (
         vectors.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     )
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(first_k)]
 
-    def dist_to(c: list[float]):
-        carr = F.array(*[F.lit(x) for x in c])
-        sq = F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y))
-        return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 6)
-
     assigned = None
-    for _ in range(iters):
-        # Centroids inline as literal expressions: the assignment is a
-        # pure narrow projection (argmin over k codegen'd distance
-        # expressions) — no join, no row blowup, no shuffle.  min over
+    for it in range(iters):
+        # Centroids inline as ONE literal array-of-structs and the
+        # distance fold written ONCE inside a transform lambda: the
+        # assignment is a pure narrow projection (argmin over k
+        # distances) — no join, no row blowup, no shuffle — and the
+        # expression tree stays O(k·dim) literals + O(1) lambdas
+        # instead of O(k) copies of the fold (k separate zip_with
+        # trees made analysis/codegen the dominant cost).  min over
         # (dist, cid) structs == ORDER BY dist, cid.
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.array(*[F.lit(x) for x in c]).alias("carr"),
+                )
+                for cid, c in cents
+            ]
+        )
         best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist_to(c).alias("dist"),
-                        F.lit(cid).cast("int").alias("cid"),
-                    )
-                    for cid, c in cents
-                ]
+            F.transform(
+                cent_lit,
+                lambda ce: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col(vec_col),
+                                ce["carr"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    ).alias("dist"),
+                    ce["cid"].alias("cid"),
+                ),
             )
         )
         assigned = vectors.select(
@@ -77,7 +102,11 @@ def kmeans_assign(
             best["dist"].alias("dist"),
         )
         # The only shuffle per iteration: k groups × dim partial-agg
-        # means, rounded before they feed the next round.
+        # means, rounded before they feed the next round.  The last
+        # round's update feeds nothing (the contract returns the final
+        # ASSIGNMENT) — skip that whole job.
+        if it + 1 == iters:
+            break
         new_cents = (
             assigned.groupBy("cid")
             .agg(
