@@ -110,6 +110,10 @@ def main() -> None:
         t0 = time.time()
         REGISTRY[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
+        # Iterative operators cache intermediates for their own run;
+        # drop them so query N+1's measurement doesn't pay query N's
+        # leftover executor-memory pressure.
+        spark.catalog.clearCache()
 
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
