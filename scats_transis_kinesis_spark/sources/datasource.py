@@ -95,6 +95,16 @@ class TransisXMLStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("transis_xml: .load(path) is required")
+        # Backpressure: cap how many newly landed captures one
+        # micro-batch consumes (same contract as the file source's
+        # maxFilesPerTrigger).  Unset = consume everything available,
+        # the reference's drain-the-stream behavior.
+        max_files = options.get("maxfilespertrigger") or options.get(
+            "maxFilesPerTrigger"
+        )
+        self.max_files = int(max_files) if max_files else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("transis_xml: maxFilesPerTrigger must be >= 1")
 
     def initialOffset(self) -> dict:
         return {"n_files": 0}
@@ -103,8 +113,10 @@ class TransisXMLStreamReader(SimpleDataSourceStreamReader):
         files = _list_captures(self.path)
         consumed = start["n_files"]
         new = files[consumed:]
+        if self.max_files is not None:
+            new = new[: self.max_files]
         rows = [row for p in new for row in _split_file(p)]
-        return iter(rows), {"n_files": len(files)}
+        return iter(rows), {"n_files": consumed + len(new)}
 
     def readBetweenOffsets(
         self, start: dict, end: dict

@@ -294,3 +294,36 @@ def test_transis_xml_datasource_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert sum(seen) == 3  # 1 from the first capture, 2 from the second
+
+
+def test_transis_xml_datasource_max_files_per_trigger(spark, tmp_path):
+    """Backpressure: with maxFilesPerTrigger=1 a backlog of 3 landed
+    captures drains one capture per micro-batch instead of all at once
+    (documents per capture: 1, 2, 3 — so per-batch counts identify
+    which capture each batch consumed)."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    register_transis_datasource(spark)
+    cap_dir = tmp_path / "caps"
+    cap_dir.mkdir()
+    doc = XML_TWO_SITES.encode() + b"\x00"
+    for i in range(3):
+        (cap_dir / f"cap-{i:03d}.bin").write_bytes(doc * (i + 1))
+
+    seen: list[int] = []
+    q = (
+        spark.readStream.format("transis_xml")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(cap_dir))
+        .writeStream.foreachBatch(lambda df, _id: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [n for n in seen if n] == [1, 2, 3]
