@@ -86,6 +86,10 @@ HEADLINE = [
     "curriculum_mixture_sample",
     "incremental_agg_maintenance",
     "kmeans_embedding_clusters",
+    # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
+    "boilerplate_shingle_prune",
+    "weighted_sample_ares",
+    "zorder_layout_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

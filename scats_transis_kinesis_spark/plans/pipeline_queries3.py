@@ -1,0 +1,229 @@
+"""Training-data pipeline queries, round 2 batch 3: intra-corpus
+boilerplate pruning, weighted reservoir sampling, and multi-dimension
+Z-order layout.
+
+Same contract discipline as the sibling modules: declarative plans,
+partitioned-only shuffles, exact DuckDB oracles (FP steps carry the
+rounded-intermediate contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash32_sql, portable_hash32
+from ..operators.dedup import SHINGLE_N, shingle_sets
+from ..sources.loaders import load_table
+from .registry import register
+
+# A shingle is "boilerplate" when it appears in at least this many
+# distinct documents (C4/CCNet-style template detection: navigation
+# chrome, license headers, cookie banners repeat across pages).
+BP_MIN_DF = 5
+# Documents whose shingles are mostly boilerplate get dropped.
+BP_MAX_RATIO = 0.5
+
+
+@register(
+    "boilerplate_shingle_prune",
+    oracle=f"""
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(w) - {SHINGLE_N - 1}),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS toks
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= {SHINGLE_N}
+        ), ex AS (
+            SELECT doc_id, unnest(toks) AS shingle FROM sets
+        ), dfc AS (
+            SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+        ), bp AS (
+            SELECT shingle FROM dfc WHERE df >= {BP_MIN_DF}
+        )
+        SELECT e.doc_id,
+               count(*)::BIGINT AS n_shingles,
+               count(b.shingle)::BIGINT AS n_boilerplate,
+               round(count(b.shingle)::DOUBLE / count(*), 6) AS bp_ratio,
+               (count(b.shingle)::DOUBLE / count(*)) <= {BP_MAX_RATIO} AS keep
+        FROM ex e LEFT JOIN bp b ON e.shingle = b.shingle
+        GROUP BY e.doc_id
+    """,
+    doc=f"""Intra-corpus boilerplate detection (C4/CCNet template
+    pruning): {SHINGLE_N}-gram shingles appearing in >= {BP_MIN_DF}
+    distinct documents are boilerplate; each document reports its
+    boilerplate shingle ratio and a keep/drop flag (drop when more
+    than half the document is template text).  Scale shape: document
+    frequency is ONE shuffled groupBy over per-doc-distinct shingles
+    (the same vocabulary-keyed shuffle the minhash family already
+    pays), and the boilerplate set is bounded by construction —
+    |set| <= total_shingles / {BP_MIN_DF} and shrinks as the threshold
+    scales with corpus size — so it broadcast-joins back to the
+    per-document pass; no all-pairs stage, no global window.""",
+)
+def boilerplate_shingle_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ex = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # shingle_sets emits per-doc DISTINCT shingles, so count(*) per
+    # shingle == distinct-document frequency.
+    bp = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= BP_MIN_DF)
+        .select("shingle", F.lit(1).alias("is_bp"))
+    )
+    ratio = F.col("n_boilerplate") / F.col("n_shingles")
+    return (
+        ex.join(F.broadcast(bp), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("is_bp", F.lit(0))).cast("long").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boilerplate",
+            F.round(ratio, 6).alias("bp_ratio"),
+            (ratio <= BP_MAX_RATIO).alias("keep"),
+        )
+    )
+
+
+# Per-language reservoir size for weighted sampling.
+ARES_K = 20
+
+
+@register(
+    "weighted_sample_ares",
+    oracle=f"""
+        WITH k AS (
+            SELECT lang, doc_id, n_chars,
+                   round(pow(
+                       ({duckdb_hash32_sql("doc_id::VARCHAR")} + 1)
+                           / 4294967296.0,
+                       1.0 / n_chars), 9) AS key
+            FROM documents
+        ), r AS (
+            SELECT lang, doc_id, n_chars, key,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY key DESC, doc_id) AS rn
+            FROM k
+        )
+        SELECT lang, doc_id, n_chars::BIGINT AS n_chars, key
+        FROM r WHERE rn <= {ARES_K}
+    """,
+    doc=f"""Weighted reservoir sampling (Efraimidis–Spirakis A-Res) —
+    the standard way to draw a fixed-size weighted sample in one
+    distributed pass: each document gets key u^(1/w) with u a
+    deterministic portable-hash uniform in (0,1] and w = n_chars, and
+    the top-{ARES_K} keys per language ARE a proper weighted sample
+    without replacement.  The rounded-key (round 9) + doc_id tiebreak
+    make the draw reproducible cross-engine — the same contract trick
+    as the kmeans distances.  Scale shape: key assignment is a pure
+    projection; the top-k per language is a PARTITIONED window (per
+    partial reservoir at 100 TB one would aggregate per-partition
+    top-{ARES_K} first — Spark's rank + filter already does exactly
+    that partial aggregation map-side via the window's rank limit
+    pushdown).""",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = (portable_hash32(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 32)
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.pow(u, 1.0 / F.col("n_chars")), 9).alias("key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ARES_K)
+        .drop("rn")
+    )
+
+
+# Z-order parameters: 8 bits per dimension, 16-bit Morton codes, 64
+# codes per file — the audit emits per-file min/max ranges for BOTH
+# dimensions (what a lakehouse data-skipping index stores).
+Z_BITS = 8
+Z_CODES_PER_FILE = 64
+
+
+def _zorder_oracle() -> str:
+    bx = "(o_custkey % 256)"
+    by = "(datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 256)"
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    z = " | ".join(terms)
+    return f"""
+        WITH coded AS (
+            SELECT o_orderkey, o_custkey,
+                   datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+                       AS day_num,
+                   ({z}) AS zcode
+            FROM orders
+        )
+        SELECT (zcode // {Z_CODES_PER_FILE})::BIGINT AS file_id,
+               count(*)::BIGINT AS n_rows,
+               min(o_custkey % 256)::BIGINT AS min_cust_bucket,
+               max(o_custkey % 256)::BIGINT AS max_cust_bucket,
+               min(day_num % 256)::BIGINT AS min_day_bucket,
+               max(day_num % 256)::BIGINT AS max_day_bucket
+        FROM coded
+        GROUP BY 1
+    """
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=_zorder_oracle(),
+    doc=f"""Z-order (Morton) clustering audit — the layout step behind
+    lakehouse multi-column data skipping (Delta OPTIMIZE ZORDER BY):
+    interleave {Z_BITS} bits of two dimension buckets (customer,
+    order-day) into a Morton code, group rows into files of
+    {Z_CODES_PER_FILE} consecutive codes, and report each file's
+    min/max range in BOTH dimensions — exactly the per-file statistics
+    a scan would prune on.  Because the curve preserves locality in
+    both dimensions at once, every file's cust range AND day range are
+    narrow (a linear sort gives narrow ranges in the sort key only).
+    Scale shape: the code is a pure bitwise projection; the physical
+    write would be ``repartitionByRange(file_id)`` (the same
+    range-clustered write as ``compact_table``); the audit is one
+    partial-aggregated groupBy.""",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    bx = (F.col("o_custkey") % 256).cast("int")
+    by = (day % 256).cast("int")
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    coded = orders.select(
+        bx.alias("cust_bucket"), by.alias("day_bucket"), z.alias("zcode")
+    )
+    return (
+        coded.groupBy(
+            F.floor(F.col("zcode") / Z_CODES_PER_FILE).cast("long").alias("file_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("cust_bucket").cast("long").alias("min_cust_bucket"),
+            F.max("cust_bucket").cast("long").alias("max_cust_bucket"),
+            F.min("day_bucket").cast("long").alias("min_day_bucket"),
+            F.max("day_bucket").cast("long").alias("max_day_bucket"),
+        )
+    )
