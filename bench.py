@@ -90,6 +90,7 @@ HEADLINE = [
     "boilerplate_shingle_prune",
     "weighted_sample_ares",
     "zorder_layout_audit",
+    "quality_logreg_score",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

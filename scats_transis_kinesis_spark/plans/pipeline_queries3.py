@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32_sql, portable_hash32
 from ..operators.dedup import SHINGLE_N, shingle_sets
+from ..operators.text import EN_STOPWORDS, tokens
 from ..sources.loaders import load_table
 from .registry import register
 
@@ -146,6 +147,87 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= ARES_K)
         .drop("rn")
+    )
+
+
+# Fixed (published) logistic-regression weights for the document
+# quality classifier: features are length saturation, stopword ratio,
+# punctuation ratio, mean token length / 10.  Inference-at-scale shape:
+# training happened offline; the engine applies the model as a pure
+# columnar expression.
+LOGREG_W = (1.8, 2.5, -3.0, 0.7)
+LOGREG_B = -1.2
+_STOPS_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "quality_logreg_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   least(len(string_split(text, ' ')) / 100.0, 1.0) AS f_len,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_STOPS_SQL})))::DOUBLE
+                       / len(string_split(text, ' ')) AS f_stop,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text) AS f_punct,
+                   (list_sum(list_transform(string_split(text, ' '),
+                       t -> length(t)))::DOUBLE
+                       / len(string_split(text, ' '))) / 10.0 AS f_mtl
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   round({LOGREG_B} + {LOGREG_W[0]} * f_len
+                         + {LOGREG_W[1]} * f_stop
+                         + {LOGREG_W[2]} * f_punct
+                         + {LOGREG_W[3]} * f_mtl, 6) AS logit
+            FROM t
+        )
+        SELECT doc_id, logit,
+               round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+               (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
+        FROM z
+    """,
+    doc="""Trained-model inference at scale: a fixed-weight logistic
+    quality classifier (fastText/CCNet-style doc filter) applied as a
+    pure columnar expression — feature engineering (length saturation,
+    stopword ratio, punctuation ratio, mean token length), a
+    left-to-right dot product, and a sigmoid, all inside whole-stage
+    codegen.  No UDF, no shuffle: at 100 TB this is exactly one narrow
+    scan, the shape model-based corpus filtering must take.  The logit
+    is rounded (round 6) before the sigmoid on both engines so
+    cross-engine exp() ulp differences cannot flip the keep
+    decision.""",
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    f_len = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    f_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks)
+    f_punct = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+    ) / F.length("text")
+    f_mtl = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / F.size(toks)
+    ) / 10.0
+    logit = F.round(
+        F.lit(LOGREG_B)
+        + LOGREG_W[0] * f_len
+        + LOGREG_W[1] * f_stop
+        + LOGREG_W[2] * f_punct
+        + LOGREG_W[3] * f_mtl,
+        6,
+    )
+    score = 1.0 / (1.0 + F.exp(-F.col("logit")))
+    return (
+        docs.select("doc_id", logit.alias("logit"))
+        .select(
+            "doc_id",
+            "logit",
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
     )
 
 
