@@ -91,6 +91,8 @@ HEADLINE = [
     "weighted_sample_ares",
     "zorder_layout_audit",
     "quality_logreg_score",
+    "phrase_search_positional",
+    "table_profile",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

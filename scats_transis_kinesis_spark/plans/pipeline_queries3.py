@@ -150,6 +150,132 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fixed phrase for positional phrase search (a frequent trigram in
+# the synthetic corpus at every SF).
+PHRASE = ("stream", "table", "hash")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                          i -> struct_pack(pos := i, tok := w[i]))) AS p
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ), flat AS (
+            SELECT doc_id, p.pos AS pos, p.tok AS tok FROM pos
+        )
+        SELECT a.doc_id, count(*)::BIGINT AS n_matches
+        FROM flat a
+        JOIN flat b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN flat c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+          AND c.tok = '{PHRASE[2]}'
+        GROUP BY a.doc_id
+    """,
+    doc=f"""Exact phrase search over a positional inverted index (the
+    query-side counterpart of ``inverted_index_postings``): tokenize
+    with positions, keep only the phrase's terms (a per-term postings
+    probe — at 100 TB each term selection is an index lookup, and the
+    planner starts from the rarest term), then join on (doc_id,
+    adjacent positions) to verify adjacency.  All joins are keyed
+    equi-joins on (doc_id, pos) — no theta join, no window.  Finds
+    every occurrence of "{' '.join(PHRASE)}" per document.""",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    flat = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = flat.where(F.col("tok") == PHRASE[0]).select("doc_id", "pos")
+    b = flat.where(F.col("tok") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    c = flat.where(F.col("tok") == PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .join(c, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+
+
+# Columns profiled by table_profile (numeric min/max reported as
+# DOUBLE; string columns carry NULL bounds so the output schema stays
+# uniform without cross-engine string-rendering hazards).
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   min({c})::DOUBLE AS min_value,
+                   max({c})::DOUBLE AS max_value
+            FROM orders"""
+        for c in _PROFILE_NUM
+    ] + [
+        f"""SELECT '{c}' AS column_name,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   NULL::DOUBLE AS min_value,
+                   NULL::DOUBLE AS max_value
+            FROM orders"""
+        for c in _PROFILE_STR
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile",
+    oracle=_profile_oracle(),
+    doc="""One-pass data profiling (the first thing run against any new
+    100 TB table): per-column null count, exact distinct count, and
+    numeric min/max, computed in a SINGLE scan — one wide aggregate
+    over all profiled columns, pivoted to one row per column with a
+    ``stack`` projection.  The oracle is the naive per-column UNION
+    (five scans); the engine's one-pass plan produces identical
+    values.  Multiple exact count-distincts share the scan via
+    Catalyst's expand; for wider tables the approx_count_distinct
+    twin (see approx_distinct's bounded-error contract) drops the
+    expand entirely.""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = []
+    for c in _PROFILE_NUM:
+        stack_args += [
+            f"'{c}'", f"nn_{c}", f"nd_{c}", f"mn_{c}", f"mx_{c}",
+        ]
+    for c in _PROFILE_STR:
+        stack_args += [
+            f"'{c}'", f"nn_{c}", f"nd_{c}",
+            "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        ]
+    n = len(_PROFILE_NUM) + len(_PROFILE_STR)
+    return one.selectExpr(
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
 # Fixed (published) logistic-regression weights for the document
 # quality classifier: features are length saturation, stopword ratio,
 # punctuation ratio, mean token length / 10.  Inference-at-scale shape:
