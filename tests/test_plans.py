@@ -206,3 +206,38 @@ def test_runtime_bloom_filter_reduces_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# bounded by construction: a 1-row aggregate frame (corpus totals /
+# thresholds), a fixed query set, or a declared all-pairs baseline
+# whose timed scale twin exists.  Each entry documents its bound.
+BNL_ALLOWED = {
+    "q22_idle_customers_not_exists",  # 1-row avg(acctbal) threshold
+    "q11_important_stock_share",      # 1-row sum share threshold
+    "text_tfidf_top_terms",           # 1-row corpus doc count
+    "collocation_pmi",                # 1-row corpus token total
+    "domain_shift_kl",                # 1-row corpus token total
+    "curriculum_mixture_sample",      # 1-row max-feasible sample rate
+    "resample_locf_fill",             # 1-row global min/max date span
+    "timeseries_similarity_topk",     # fixed query-series vector
+    "sim_topk_bruteforce",            # |query set| = 5 broadcast rows
+    "sim_topk_ivf",                   # |query set| = 5 broadcast rows
+    "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
+    "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
+}
+
+
+def test_no_unbounded_nested_loop_join_anywhere(spark):
+    # Engine-wide scale invariant: CartesianProduct (shuffle cartesian)
+    # must never appear, and BroadcastNestedLoopJoin only where the
+    # broadcast side is bounded by construction (see BNL_ALLOWED).
+    cartesian, bnl = [], []
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
+            bnl.append(name)
+    assert not cartesian, f"shuffle cartesian join in: {cartesian}"
+    assert not bnl, f"undeclared nested-loop join in: {bnl}"
