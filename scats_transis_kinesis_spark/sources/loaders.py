@@ -310,3 +310,39 @@ def get_all_closed_tirf(
 def get_all_vms(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """reference: transis_consumer.py:219-225 (getAllVMS snapshot)."""
     return typed_time_range_scan(spark, ("purchase",), sf_dir=sf_dir)
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Corpus ingestion from JSONL — the wire format large text corpora
+    actually arrive in — with explicit corrupt-record policy.
+
+    ``mode``:
+
+    - ``PERMISSIVE`` (default): malformed lines yield a row whose data
+      columns are null and whose ``_corrupt_record`` column carries the
+      raw line — quarantine-able downstream (the same dead-letter split
+      as ``operators/projection.py:split_error_documents``).
+    - ``DROPMALFORMED``: malformed lines vanish.
+    - ``FAILFAST``: the reference's fail-stop posture.
+
+    The schema is declared, never inferred: inference would scan the
+    100 TB corpus once just to guess types, and a schema drift between
+    input shards would change the answer.  Line-delimited JSON splits
+    by newline, so a 100 TB corpus parallelizes per HDFS block without
+    any coordination.
+    """
+    reader = (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA + ", _corrupt_record string")
+        if mode.upper() == "PERMISSIVE"
+        else spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+    )
+    return reader.option("mode", mode).json(path)
