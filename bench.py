@@ -93,6 +93,7 @@ HEADLINE = [
     "quality_logreg_score",
     "phrase_search_positional",
     "table_profile",
+    "dedup_containment",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -179,6 +179,50 @@ def minhash_lsh_near_dups(
     )
 
 
+# Containment threshold for excerpt detection: |A∩B|/min(|A|,|B|).
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric containment detection (quote/excerpt dedup): for LSH
+    candidate pairs, exact shingle containment in BOTH directions —
+    ``|A∩B| / |A|`` catches A being an excerpt of B even when the
+    symmetric Jaccard is modest.
+
+    Shares the signature → banding → candidate machinery with
+    :func:`minhash_lsh_near_dups`; only the verification metric
+    differs.  Caveat (documented, inherent to Jaccard banding): a tiny
+    excerpt inside a huge document has low Jaccard and may not become
+    a candidate — a production excerpt detector additionally bands the
+    SMALLER set's shingles only.  Work is proportional to
+    |candidates|, never |docs|²."""
+    sets = shingle_sets(df, text_col, id_col).persist()
+    sigs = minhash_signatures_from_sets(sets, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    toked = sets.withColumnRenamed("shingles", "toks")
+    a = toked.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toked.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    c_ab = inter / F.size("toks_a")
+    c_ba = inter / F.size("toks_b")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+        .where(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -150,6 +150,52 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle() -> str:
+    from ..operators.dedup import CONTAINMENT_THRESHOLD
+    from .extension_queries import _minhash_lsh_oracle
+
+    base = _minhash_lsh_oracle()
+    # Share the signature/banding/candidate CTEs with the minhash
+    # oracle; only the verification metric differs.
+    prefix = base[: base.index("SELECT id_a, id_b, jaccard")]
+    return (
+        prefix
+        + f"""
+        SELECT id_a, id_b, containment_a_in_b, containment_b_in_a FROM (
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(a.toks), 6) AS containment_a_in_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(b.toks), 6) AS containment_b_in_a,
+                   greatest(
+                       len(list_intersect(a.toks, b.toks))::DOUBLE / len(a.toks),
+                       len(list_intersect(a.toks, b.toks))::DOUBLE / len(b.toks)
+                   ) AS cmax
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+        ) WHERE cmax >= {CONTAINMENT_THRESHOLD}
+    """
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    doc="""Asymmetric containment (quote/excerpt) detection
+    (operators/dedup.py:containment_near_dups): the minhash-LSH
+    candidate machinery with |A∩B|/|side| verification in both
+    directions — catches a document being an excerpt of another even
+    when symmetric Jaccard is modest.  Shares the one
+    signature-banding shuffle with the near-dup pipeline; exact
+    verification touches candidates only.""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_near_dups
+
+    return containment_near_dups(load_table(spark, "documents", sf_dir))
+
+
 # The fixed phrase for positional phrase search (a frequent trigram in
 # the synthetic corpus at every SF).
 PHRASE = ("stream", "table", "hash")
