@@ -94,6 +94,7 @@ HEADLINE = [
     "phrase_search_positional",
     "table_profile",
     "dedup_containment",
+    "repeated_span_coverage",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

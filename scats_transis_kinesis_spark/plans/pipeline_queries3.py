@@ -150,6 +150,115 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span length for cross-document repeated-substring coverage.
+SPAN_N = 5
+
+
+@register(
+    "repeated_span_coverage",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, n_toks,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - {SPAN_N - 1}),
+                       i -> struct_pack(pos := i,
+                                        g := array_to_string(
+                                            w[i:i+{SPAN_N - 1}], ' ')))) AS s
+            FROM t WHERE len(w) >= {SPAN_N}
+        ), flat AS (
+            SELECT doc_id, n_toks, s.pos AS pos, s.g AS g FROM sh
+        ), rep AS (
+            SELECT g FROM flat GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2
+        ), covered AS (
+            SELECT DISTINCT f.doc_id, f.n_toks, cp.cp
+            FROM flat f
+            JOIN rep r ON f.g = r.g,
+            LATERAL (SELECT unnest(generate_series(f.pos,
+                                    f.pos + {SPAN_N - 1})) AS cp) cp
+        ), cov AS (
+            SELECT doc_id, n_toks, count(*) AS n_covered
+            FROM covered GROUP BY doc_id, n_toks
+        )
+        SELECT t.doc_id,
+               t.n_toks::BIGINT AS n_toks,
+               coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+               round(coalesce(c.n_covered, 0)::DOUBLE / t.n_toks, 6)
+                   AS coverage
+        FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+    doc=f"""Cross-document repeated-substring coverage (the statistic
+    behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every {SPAN_N}-token
+    span occurring in ≥ 2 distinct documents marks its token positions
+    as duplicated text; each document reports the fraction of its
+    tokens covered by the union of such spans.  Scale shape: one
+    span-keyed groupBy finds repeated spans (the same vocabulary-keyed
+    shuffle as the dedup family — bounded two-pass pruning applies the
+    same way as heavy_hitters_twopass), a semi-join keeps repeated
+    occurrences, and coverage is a per-document distinct-position
+    count — no all-pairs stage, no window.""",
+)
+def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n_toks"), toks.alias("w")
+    )
+    flat = (
+        base.where(F.col("n_toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_toks") - (SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("w", i, SPAN_N)).alias("g"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "n_toks", "s.pos", "s.g")
+    )
+    rep = (
+        flat.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("g")
+    )
+    cov = (
+        flat.join(rep, "g", "left_semi")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id", "n_toks")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return (
+        docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_toks"))
+        .join(cov.select("doc_id", "n_covered"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_toks"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 def _containment_oracle() -> str:
     from ..operators.dedup import CONTAINMENT_THRESHOLD
     from .extension_queries import _minhash_lsh_oracle
