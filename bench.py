@@ -95,6 +95,9 @@ HEADLINE = [
     "table_profile",
     "dedup_containment",
     "repeated_span_coverage",
+    "source_cap_sample",
+    "time_decay_user_scores",
+    "user_daily_streaks",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

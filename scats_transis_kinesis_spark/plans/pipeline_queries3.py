@@ -590,3 +590,130 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_bucket").cast("long").alias("max_day_bucket"),
         )
     )
+
+
+# Per-source document cap (domain balancing: no single source may
+# contribute more than this many documents; selection is a
+# deterministic portable-hash order so the "random" keep set is
+# reproducible across engines and runs).
+SOURCE_CAP = 15
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= {SOURCE_CAP}
+    """,
+    doc=f"""Per-source document cap (domain balancing — the "no more
+    than N pages per domain" rule of web-corpus curation): documents
+    ordered by a portable hash WITHIN each source (a deterministic
+    shuffle), keep the first {SOURCE_CAP}.  The window is PARTITIONED
+    by source — never global — and the hash order makes the kept set
+    reproducible across engines, runs, and file layouts (same property
+    as sample_hash_bucket).""",
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        portable_hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SOURCE_CAP)
+        .drop("rn")
+    )
+
+
+# Exponential time-decay scoring: reference date just past the events
+# table's range; half-life ~7 days (lambda = 0.1/day).
+DECAY_REF_DATE = "2024-02-01"
+DECAY_LAMBDA = 0.1
+
+
+@register(
+    "time_decay_user_scores",
+    oracle=f"""
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               round(sum(value * round(
+                   exp(-{DECAY_LAMBDA} * datediff('day', ts::DATE,
+                                                  DATE '{DECAY_REF_DATE}')),
+                   6)), 4) AS decayed_score
+        FROM events
+        GROUP BY user_id
+    """,
+    doc=f"""Recency-weighted (exponential time-decay) user scoring —
+    the standard freshness weighting for engagement/quality signals:
+    each event contributes value · exp(-λ · age_days) with λ =
+    {DECAY_LAMBDA}/day against {DECAY_REF_DATE}.  The per-event decay
+    factor is rounded (round 6) on both engines before the sum so
+    cross-engine exp() ulp differences cannot accumulate; the grouped
+    sum itself is fully map-side partial-aggregated — one keyed
+    shuffle of (user, partial sums) regardless of event volume.""",
+)
+def time_decay_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    age = F.datediff(F.lit(DECAY_REF_DATE), F.to_date("ts"))
+    decay = F.round(F.exp(-DECAY_LAMBDA * age), 6)
+    return events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value") * decay), 4).alias("decayed_score"),
+    )
+
+
+@register(
+    "user_daily_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', ts::DATE) AS day_num
+            FROM events
+        ), isl AS (
+            SELECT user_id, day_num,
+                   day_num - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day_num) AS island
+            FROM days
+        ), streaks AS (
+            SELECT user_id, island, count(*) AS streak_len
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               count(*)::BIGINT AS n_streaks,
+               max(streak_len)::BIGINT AS longest_streak,
+               sum(streak_len)::BIGINT AS n_active_days
+        FROM streaks GROUP BY user_id
+    """,
+    doc="""Gaps-and-islands: per-user longest consecutive-day activity
+    streak via the classic day_number − row_number island id — a SQL
+    idiom distinct from time-gap sessionization (sessionize_users
+    groups by inactivity gaps on raw timestamps; this groups distinct
+    CALENDAR DAYS into runs).  All windows and aggregates are
+    partitioned by user — per-user state is bounded by the date range,
+    never by event volume.""",
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    streaks = (
+        days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )
