@@ -98,6 +98,7 @@ HEADLINE = [
     "source_cap_sample",
     "time_decay_user_scores",
     "user_daily_streaks",
+    "unigram_perplexity_score",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

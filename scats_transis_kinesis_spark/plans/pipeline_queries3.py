@@ -717,3 +717,79 @@ def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("long").alias("longest_streak"),
         F.sum("streak_len").cast("long").alias("n_active_days"),
     )
+
+
+@register(
+    "unigram_perplexity_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ), lm AS (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), tot AS (
+            SELECT sum(c) AS n FROM lm
+        ), logp AS (
+            SELECT t,
+                   round(-ln(c::DOUBLE / (SELECT n FROM tot)) * 1000000)::BIGINT
+                       AS nll_micros
+            FROM lm
+        )
+        SELECT doc_id, n_tokens, mean_nll, round(exp(mean_nll), 4) AS ppl
+        FROM (
+            SELECT tok.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   round(sum(logp.nll_micros)::DOUBLE / count(*) / 1000000.0, 6)
+                       AS mean_nll
+            FROM tok JOIN logp ON tok.t = logp.t
+            GROUP BY tok.doc_id
+        )
+    """,
+    doc="""LM-perplexity quality filtering (the CCNet/fastText corpus
+    screen, here with the corpus's own unigram LM): per-token negative
+    log-likelihood -ln(count/total) rounded to 6 (the cross-engine ln
+    contract), joined back to the token stream on the vocabulary key,
+    averaged per document, exponentiated to perplexity.  Unusually
+    high ppl = gibberish / OOD text; unusually low = degenerate
+    repetition.  The per-token NLL is quantized to integer MICROS so
+    the per-document sum is exact integer arithmetic — immune to
+    partial-aggregation order, the same trick as the DECIMAL sums in
+    incremental_agg_maintenance.  Scale shape: the LM is one
+    token-keyed groupBy (the dedup family's shuffle); scoring is a
+    vocabulary-keyed join (broadcast once the vocabulary is bounded by
+    a heavy-hitter prune) plus one per-document aggregate.  A real
+    deployment swaps the unigram LM for KenLM scores — the Spark plan
+    (build table → join → per-doc reduce) is identical.""",
+)
+def unigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(-F.log(F.col("c") / F.col("n")) * 1_000_000)
+        .cast("long")
+        .alias("nll_micros"),
+    )
+    per_doc = (
+        tok.join(logp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("nll_micros").alias("sum_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_micros").cast("double") / F.col("n_tokens") / 1e6, 6
+            ).alias("mean_nll"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "mean_nll",
+        F.round(F.exp("mean_nll"), 4).alias("ppl"),
+    )
