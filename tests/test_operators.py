@@ -209,3 +209,30 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     # the filter really prunes: only matching-date rows come back
     got_dates = {str(r["event_date"]) for r in scan.select("event_date").distinct().collect()}
     assert got_dates <= {"2024-01-02"}
+
+
+def test_containment_detects_excerpt(spark):
+    # Doc 2 is a verbatim excerpt (first 18 words) of doc 1: symmetric
+    # Jaccard is 16/22 ≈ 0.73 (enough for an LSH band collision — tiny
+    # excerpts inside huge documents fall below banding recall, the
+    # caveat documented on the operator) but the excerpt's containment
+    # in the parent is exactly 1.0.  Doc 3 is unrelated.
+    from scats_transis_kinesis_spark.operators.dedup import (
+        containment_near_dups,
+    )
+
+    parent = " ".join(f"w{i}" for i in range(24))
+    excerpt = " ".join(f"w{i}" for i in range(18))
+    other = " ".join(f"x{i}" for i in range(24))
+    df = spark.createDataFrame(
+        [(1, parent), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r for r in containment_near_dups(df).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    # every shingle of the excerpt occurs in the parent
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] < 1.0
+    assert not any(3 in k for k in rows)
