@@ -57,56 +57,59 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_window_traffic",
     "p1_project_rename",
     "p4_format_ts_sydney",
-    "p7_filter_nonempty",
     "p8_kv_lookup",
     "a1_count_per_group",
-    "a2_first_value",
     "k2_envelope",
     "s5_time_range_scan",
     "s3_xml_roundtrip",
     "f3_unnest_words",
-    "f4_double_unnest",
     "k4_failed_subset",
     "time_range_typed_scan",
     "sessionize_users",
     "q12_priority_shipping",
     "unpivot_user_metrics",
     "rfm_customer_segments",
-    "dataset_split_train_test",
     "pack_context_windows",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "dedup_simhash",
     "dedup_embedding_lsh",
     "dedup_clusters_embedding",
-    "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_vectorized",
-    "text_token_stats",
     "text_quality",
     "text_lang_id",
-    "text_fingerprint",
     "text_bpe_tokens",
     "text_tfidf_top_terms",
-    "text_chunking",
-    "text_sentiment_lexicon",
     "multimodal_payload_stats",
     "multimodal_features",
-    "multimodal_frame_sample",
     "sample_hash_bucket",
     "fuzzy_match_blocked",
-    "fuzzy_match_levenshtein",
     "corpus_clean_pipeline",
     "q1_pricing_summary",
-    # New-family flagships (round 2 batch 2) take the last two sample
-    # slots; q3/q6 fall just outside — their shapes stay covered inside
-    # the window by q1 (agg) and q12/salted/asof (joins).
     "heavy_hitters_twopass",
     "incremental_agg_maintenance",
     "salted_join_skew",
     "asof_purchase_last_click",
+    # Round-2 batch-3 family flagships inside the sample window; the
+    # displaced siblings (first-value, double-unnest, simhash per-doc,
+    # fingerprints, sentiment, chunking, brute-force topk, all-pairs
+    # fuzzy baseline, frame sampling, token stats, split) stay
+    # verified by the local gate and each shares its code path with an
+    # in-sample twin.
+    "boilerplate_shingle_prune",
+    "weighted_sample_ares",
+    "zorder_layout_audit",
+    "quality_logreg_score",
+    "phrase_search_positional",
+    "table_profile",
+    "dedup_containment",
+    "repeated_span_coverage",
+    "source_cap_sample",
+    "time_decay_user_scores",
+    "user_daily_streaks",
+    "unigram_perplexity_score",
 )
 
 
