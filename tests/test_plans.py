@@ -225,6 +225,7 @@ BNL_ALLOWED = {
     "sim_topk_ivf",                   # |query set| = 5 broadcast rows
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
     "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
+    "unigram_perplexity_score",       # 1-row corpus token total
 }
 
 
