@@ -66,23 +66,35 @@ def k4_failed_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS media_id,
                octet_length(text::BLOB) AS n_bytes,
                md5(text) AS payload_hash,
-               list_transform(generate_series(0, 7),
-                   i -> ('0x' || substr(md5(text), i * 2 + 1, 2))::INT / 255.0)
-                   AS feature
+               dims.i AS dim_idx,
+               ('0x' || substr(md5(text), dims.i * 2 + 1, 2))::INT / 255.0
+                   AS feature_value
         FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) dims
     """,
     doc="""Multimodal feature extraction (north star): Arrow-batched
     ``mapInPandas`` over opaque binary payloads.  The decode step is the
     documented deterministic stub (md5-derived feature vector — codec
     libraries aren't in this container); the Spark plumbing (binary
     column, metadata struct, batch iterator, explicit output schema) is
-    the real production shape a PIL/ffmpeg decoder plugs into.""",
+    the real production shape a PIL/ffmpeg decoder plugs into.  The
+    operator API (:func:`extract_features`) keeps the ``array<double>``
+    feature column; this driver-facing query explodes it to one
+    (media_id, dim_idx, feature_value) row per dimension so the result is
+    scalar-only — canonicalizers that sort raw columns (pandas
+    ``sort_values``) can't hash list cells.""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import documents_as_media
 
     media = documents_as_media(load_table(spark, "documents", sf_dir))
-    return extract_features(media, strict=False, dim=8)
+    feats = extract_features(media, strict=False, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "payload_hash",
+        F.posexplode("feature").alias("dim_idx", "feature_value"),
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long"))
 
 
 @register(
