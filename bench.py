@@ -133,15 +133,29 @@ def main() -> None:
         sf = float(sf_label)
     except ValueError:
         sf = sf_label
+    # Per-query timings go to a side file: the driver captures only the
+    # tail of stdout, and a 67-query inline map overflowed its window in
+    # round 2 ("parsed": null).  The final line stays compact and is the
+    # ONE machine-readable JSON line of the run.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "unit": "sec", "queries": times}, fh, indent=1, sort_keys=True
+        )
+        fh.write("\n")
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": times,
                 "n_queries": len(times),
                 "sf": sf,
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

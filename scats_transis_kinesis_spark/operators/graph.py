@@ -40,16 +40,25 @@ def pagerank(
     edge frame is the big side; it is normalized ONCE up front and
     re-used every round (cache it for iterative jobs).
     """
+    # Loop invariants cached (same pattern as ml.kmeans_assign and
+    # dedup.connected_components): every iteration joins `norm` and
+    # `nodes`, so without the cache each round re-scans and re-normalizes
+    # the edge list — 3 redundant full scans+joins at 100 TB.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .cache()
     )
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("_out_total"))
-    norm = edges.join(out_w, src).select(
-        F.col(src).alias("_u"),
-        F.col(dst).alias("_v"),
-        (F.col(weight) / F.col("_out_total")).alias("_w"),
+    norm = (
+        edges.join(out_w, src)
+        .select(
+            F.col(src).alias("_u"),
+            F.col(dst).alias("_v"),
+            (F.col(weight) / F.col("_out_total")).alias("_w"),
+        )
+        .cache()
     )
 
     n_nodes = nodes.count()
@@ -70,4 +79,11 @@ def pagerank(
                 ),
             )
         )
+    # Materialize the final ranks once (node-count-sized, the small frame
+    # of the algorithm) and truncate the 3-round lineage so the cached
+    # loop inputs can be released before returning — otherwise they pin
+    # executor memory for as long as the caller holds the lazy plan.
+    ranks = ranks.localCheckpoint(eager=True)
+    norm.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return ranks

@@ -249,22 +249,29 @@ PACK_NUM_BUCKETS = 64
     exactly PACK_NUM_BUCKETS rows — are collected to the driver to
     compute cumulative offsets, which broadcast-join back.  Same
     summary-collect pattern as RDD.zipWithIndex; at 100 TB every stage
-    stays partitioned and the driver sees O(buckets) scalars.""",
+    stays partitioned and the driver sees O(buckets) scalars.  The
+    bucket bounds come from parquet footer statistics (catalog stats at
+    cluster scale), so exactly ONE Spark job runs before the main query
+    — round 2 ran three (cache populate + min/max + totals) and paid
+    ~11 s of orchestration overhead at sf0.1.""",
 )
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..sources.loaders import parquet_column_minmax
+
     docs = load_table(spark, "documents", sf_dir)
     n = F.size(F.split("text", " "))
-    # Cached: two scalar summary jobs (min/max, per-bucket totals) plus
-    # the main query all reuse this tiny (doc_id, n) frame — without the
-    # cache each would re-scan and re-tokenize the corpus.
-    base = docs.select("doc_id", n.alias("n")).cache()
+    base = docs.select("doc_id", n.alias("n"))
 
     # Order-preserving deterministic bucketing by id range: bucket k holds
     # doc_ids in [lo + k*width, lo + (k+1)*width), so bucket order == id
     # order and the per-bucket cumsum + bucket offset is the global cumsum.
-    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # Key bounds from footer stats — no scan job; fall back to one agg.
+    bounds = parquet_column_minmax(f"{sf_dir}/documents.parquet", "doc_id")
+    if bounds is None:
+        bounds = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = bounds
     width = max(1, -(-(int(hi) - int(lo) + 1) // PACK_NUM_BUCKETS))
     t = base.withColumn("bucket", F.floor((F.col("doc_id") - int(lo)) / width))
 

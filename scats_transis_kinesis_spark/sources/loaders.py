@@ -128,21 +128,81 @@ def write_partitioned(
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+# Fan out only to as many slots as have at least this much input each.
+# Below it, the repartition shuffle + per-slot task (and, for Pandas-UDF
+# stages, Python-worker spin-up) costs more than the parallelism wins —
+# measured in round 2: a 32-way fan-out on 0.6 MB inputs made the
+# CPU-bound dedup/multimodal queries 2-5x SLOWER at sf0.1.
+_MIN_FANOUT_BYTES_PER_SLOT = 1 << 20
+
+
 def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Fan a narrow CPU-bound pipeline out to the cluster when the scan
     produced fewer splits than cores (small files, single-file tables).
 
-    A 0.6 MB parquet file scans as ONE partition — and every narrow
+    A small parquet file scans as ONE partition — and every narrow
     stage chained on it (shingling, hashing, parsing) then runs on one
     core.  The round-robin repartition here shuffles only the small raw
-    input, after which all downstream work parallelizes.  At 100 TB
-    scans already produce ~1 split per 128 MB and this is a no-op —
-    the guard matters exactly when inputs are small but per-row work is
-    heavy (the CPU-bound dedup/sketch operators)."""
+    input, after which all downstream work parallelizes.  The fan-out is
+    gated on Catalyst's plan-size estimate: each target slot must carry
+    at least ``_MIN_FANOUT_BYTES_PER_SLOT`` of input, so tiny local
+    inputs stay narrow while a genuinely large single-split input still
+    fans out fully.  At 100 TB scans already produce ~1 split per
+    128 MB and this is a no-op — the guard matters exactly when inputs
+    are small-to-mid-size but per-row work is heavy (the CPU-bound
+    dedup/sketch operators)."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    current = df.rdd.getNumPartitions()
+    if current >= target:
+        return df
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = None
+    if est_bytes is not None:
+        # Unknown stats surface as Catalyst's huge default → full fan-out
+        # (the safe direction for genuinely big unknown inputs).
+        target = min(target, est_bytes // _MIN_FANOUT_BYTES_PER_SLOT)
+    if current < target:
         return df.repartition(target)
     return df
+
+
+def parquet_column_minmax(path: str, col: str) -> tuple | None:
+    """Exact (min, max) of a column from parquet FOOTER statistics —
+    zero Spark jobs, zero data pages read.
+
+    The 100 TB analogue is catalog/table statistics: range-bucketing
+    decisions (see ``pack_context_windows``) need only the key's bounds,
+    and a metastore or the footers already hold them — spending a full
+    column scan on ``agg(min, max)`` is a wasted job.  Returns ``None``
+    when any row group lacks stats (caller falls back to a scan job).
+    """
+    import pyarrow.parquet as pq
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return None
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.to_arrow_schema().names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
 
 
 def write_bucketed(
