@@ -539,23 +539,28 @@ def unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_extract_long_words",
     oracle="""
         SELECT doc_id,
-               regexp_extract_all(text, '[a-z]{5,}') AS long_words,
+               array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ' ')
+                   AS long_words,
                len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long_words
         FROM documents
         WHERE len(regexp_extract_all(text, '[a-z]{5,}')) > 0
     """,
     doc="""Structured extraction via regexp_extract_all: every ≥5-letter
-    run per document as an array, compared element-for-element across
-    engines (the letter-class pattern has identical semantics in Java
-    regex and RE2).  The extraction is codegen'd into the scan; the
-    emptiness filter prunes rows before any downstream work.""",
+    run per document, compared element-for-element across engines via a
+    space-joined rendering (the letter-class pattern has identical
+    semantics in Java regex and RE2; the join keeps the output scalar so
+    driver canonicalizers that sort raw columns can hash it).  The
+    extraction is codegen'd into the scan; the emptiness filter prunes
+    rows before any downstream work.""",
 )
 def regex_extract_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)
     return (
         docs.select(
-            "doc_id", words.alias("long_words"), F.size(words).alias("n_long_words")
+            "doc_id",
+            F.array_join(words, " ").alias("long_words"),
+            F.size(words).alias("n_long_words"),
         )
         .where(F.col("n_long_words") > 0)
     )

@@ -342,7 +342,8 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT t.tok,
                count(DISTINCT t.doc_id)::BIGINT AS doc_freq,
-               array_agg(DISTINCT t.doc_id ORDER BY t.doc_id) AS postings
+               array_to_string(array_agg(DISTINCT t.doc_id ORDER BY t.doc_id),
+                               ',') AS postings
         FROM toks t JOIN vocab USING (tok)
         GROUP BY t.tok
     """,
@@ -353,7 +354,8 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc_id range) instead of collecting one array per term
     (documented; the per-term grouped sort is the same plan).  One
     keyed shuffle on the term; dedup + ordering happen inside the
-    aggregate.""",
+    aggregate.  Postings render as a comma-joined string so the output
+    is scalar-only (driver canonicalizers can't hash list cells).""",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -368,7 +370,9 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(
             F.countDistinct("doc_id").alias("doc_freq"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
         )
     )
 
