@@ -86,6 +86,7 @@ HEADLINE = [
     "curriculum_mixture_sample",
     "incremental_agg_maintenance",
     "kmeans_embedding_clusters",
+    "pagerank_nation_trade",
     # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
     "boilerplate_shingle_prune",
     "weighted_sample_ares",
