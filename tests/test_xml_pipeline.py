@@ -327,3 +327,186 @@ def test_transis_xml_datasource_max_files_per_trigger(spark, tmp_path):
     finally:
         q.stop()
     assert [n for n in seen if n] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Live-transport mode (S1 end-to-end): the injected byte-stream reader.
+# Mirrors reference transis_consumer.py:115-151 — NUL split at arbitrary
+# chunk boundaries, reconnect budget, reset-on-data — without network.
+# ---------------------------------------------------------------------------
+
+
+def test_live_consumer_splits_across_chunk_boundaries():
+    """Documents reassemble regardless of where the transport chops the
+    byte stream; empty fragments drop; a trailing partial doc (no NUL
+    yet at end-of-stream) is never yielded — reference behavior."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        LiveStreamConsumer,
+    )
+
+    payload = b"<a/>\x00\x00<bb/>\x00<ccc/>\x00<trailing-partial"
+    for chunk_size in (1, 3, 7, len(payload)):
+        chunks = [
+            payload[i : i + chunk_size]
+            for i in range(0, len(payload), chunk_size)
+        ]
+        docs = list(LiveStreamConsumer(lambda c=chunks: iter(c)).documents())
+        assert docs == ["<a/>", "<bb/>", "<ccc/>"], f"chunk_size={chunk_size}"
+
+
+def test_live_consumer_reconnects_and_drops_partial_buffer():
+    """A mid-stream ConnectionError burns one reconnect attempt and the
+    partial accumulator is discarded (the reference's recursive retry
+    re-enters with a fresh byte_string, transis_consumer.py:123,144)."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        LiveStreamConsumer,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+
+            def first():
+                yield b"<doc1/>\x00<par"
+                raise ConnectionError("connection reset")
+
+            return first()
+        return iter([b"<doc2/>\x00<doc3/>\x00"])
+
+    docs = list(LiveStreamConsumer(flaky, max_reconnects=1).documents())
+    assert docs == ["<doc1/>", "<doc2/>", "<doc3/>"]  # no "<par..." garbage
+    assert calls["n"] == 2
+
+
+def test_live_consumer_budget_exhausted_raises():
+    """max_reconnects failed retries -> raise, like the reference's
+    'attempts to reconnect were made without success' path."""
+    import pytest
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        LiveStreamConsumer,
+    )
+
+    calls = {"n": 0}
+
+    def dead():
+        calls["n"] += 1
+        raise ConnectionError("refused")
+        yield  # pragma: no cover - makes this a generator factory
+
+    with pytest.raises(RuntimeError, match="2 attempts"):
+        list(LiveStreamConsumer(dead, max_reconnects=2).documents())
+    assert calls["n"] == 3  # initial connect + 2 reconnects
+
+
+def test_live_consumer_budget_resets_on_data():
+    """Delivering any document refills the reconnect budget
+    (reference __reset_connection_attempt_counts on every NUL flush),
+    so a long-lived stream survives unlimited *isolated* drops."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        LiveStreamConsumer,
+    )
+
+    # Connections 1 and 2 each deliver a document then drop; delivery
+    # refills the budget to 1 before each drop spends it, so a budget of
+    # one reconnect survives BOTH drops.  Connection 3 ends cleanly.
+    script = iter(
+        [
+            [b"<d1/>\x00", ConnectionError],
+            [b"<d2/>\x00", ConnectionError],
+            [b"<d3/>\x00"],
+        ]
+    )
+
+    def transport():
+        def connection(steps):
+            for step in steps:
+                if step is ConnectionError:
+                    raise ConnectionError("drop")
+                yield step
+
+        return connection(next(script))
+
+    docs = list(LiveStreamConsumer(transport, max_reconnects=1).documents())
+    assert docs == ["<d1/>", "<d2/>", "<d3/>"]
+
+
+def test_live_stream_reader_offsets_and_backpressure(tmp_path):
+    """The live reader (no Spark needed to drive it): maxDocsPerTrigger
+    bounds each micro-batch, offsets advance by documents consumed."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLLiveStreamReader,
+    )
+
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "def make_stream():\n"
+        "    data = b'<a/>\\x00<b/>\\x00<c/>\\x00'\n"
+        "    for i in range(0, len(data), 5):\n"
+        "        yield data[i:i + 5]\n"
+    )
+    reader = TransisXMLLiveStreamReader(
+        {"transport": f"{mock}:make_stream", "maxdocspertrigger": "2"}
+    )
+    start = reader.initialOffset()
+    rows1, off1 = reader.read(start)
+    rows2, off2 = reader.read(off1)
+    rows3, off3 = reader.read(off2)
+    assert [r[0] for r in rows1] == ["<a/>", "<b/>"]
+    assert [r[0] for r in rows2] == ["<c/>"]
+    assert list(rows3) == [] and off3 == {"n_docs": 3}
+    assert (off1, off2) == ({"n_docs": 2}, {"n_docs": 3})
+
+
+def test_live_stream_micro_batch_parity_with_file_mode(spark, tmp_path):
+    """S1 end-to-end: the SAME captured bytes produce identical rows
+    through (a) the batch file reader and (b) the live injected-stream
+    reader driven by Structured Streaming micro-batches — stream ->
+    micro-batch parity for the defining source."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    register_transis_datasource(spark)
+    payload = (
+        XML_TWO_SITES.encode()
+        + b"\x00"
+        + XML_ERROR.encode()
+        + b"\x00"
+        + XML_TWO_SITES.encode()
+        + b"\x00"
+    )
+    cap = tmp_path / "cap-000.bin"
+    cap.write_bytes(payload)
+
+    batch_rows = [
+        r.value
+        for r in spark.read.format("transis_xml").load(str(cap)).collect()
+    ]
+
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "def make_stream():\n"
+        f"    data = open({str(cap)!r}, 'rb').read()\n"
+        "    for i in range(0, len(data), 7):\n"
+        "        yield data[i:i + 7]\n"
+    )
+    live_rows: list[str] = []
+    q = (
+        spark.readStream.format("transis_xml")
+        .option("transport", f"{mock}:make_stream")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _id: live_rows.extend(r.value for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert live_rows == batch_rows and len(batch_rows) == 3
