@@ -65,7 +65,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write per-query results as a JSON artifact "
+        "(checked in per round so the local rerun is auditable)",
+    )
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -92,10 +99,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": f"spark: {str(e)[:300]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             n_rowsonly += 1
             continue
         try:
@@ -104,6 +117,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(e)[:300]}"}
             n_fail += 1
             continue
         problems = []
@@ -123,14 +137,36 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:400]}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(
         f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
         f"({time.time()-t_all:.1f}s total)"
     )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     spark.stop()
     return 1 if n_fail else 0
 
