@@ -87,6 +87,11 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "kmeans_embedding_clusters",
     "pagerank_nation_trade",
+    # round-3 batch 4: forward as-of, retrieval scoring, novelty, vocab
+    "asof_click_next_purchase",
+    "bm25_topk",
+    "ngram_novelty_decay",
+    "vocab_oov_rate",
     # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
     "boilerplate_shingle_prune",
     "weighted_sample_ares",

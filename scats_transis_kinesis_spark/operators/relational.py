@@ -23,17 +23,20 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (backward) for the same key.
+    ``right.ts <= left.ts`` (``direction="backward"``) or the earliest
+    right row with ``right.ts >= left.ts`` (``direction="forward"``)
+    for the same key.
 
     Implemented as the union-of-streams trick: tag both sides, sort each
-    key's rows by (ts, side) in one window pass, and carry the last seen
-    right values forward with ``last(..., ignorenulls=True)``.  Cost: a
-    single shuffle on the key + an in-partition sort — contrast with a
-    naive range join which is O(n·m) per key.  At equal timestamps the
-    right row sorts first, so equality matches (ASOF semantics).
+    key's rows by (ts, side) in one window pass, and carry the nearest
+    right values across with ``last``/``first(..., ignorenulls=True)``
+    over a preceding/following frame.  Cost: a single shuffle on the key
+    + an in-partition sort — contrast with a naive range join which is
+    O(n·m) per key.  At equal timestamps the right row sorts inside the
+    frame, so equality matches in both directions (ASOF semantics).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_cols = left.columns
     tagged_r = right.select(
         F.col(on).alias(on),
@@ -50,15 +53,26 @@ def asof_join(
         *[F.col(c) for c in l_cols if c != on],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    w = (
-        W.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # Right row first at equal ts; frame looks back.
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = F.last
+    else:
+        # Left row first at equal ts; frame looks forward.
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_right").asc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = F.first
     filled = unioned.select(
         "*",
         *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            pick(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
             for c in right_value_cols
         ],
     )

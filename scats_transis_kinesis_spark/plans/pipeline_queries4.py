@@ -1,0 +1,268 @@
+"""Training-data pipeline queries, round 3 batch 4: forward as-of
+attribution, BM25 retrieval scoring, cross-document n-gram novelty,
+and tokenizer vocabulary coverage.
+
+Same contract discipline as the sibling modules: declarative plans,
+partitioned-only shuffles, exact DuckDB oracles.  FP-accumulating steps
+carry the integer-micro contract (per-term scores round to integral
+micros BEFORE summing, so the cross-engine sum is exact integer math —
+the same trick as unigram_perplexity_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import SHINGLE_N, shingle_sets
+from ..operators.relational import asof_join
+from ..operators.text import tokens
+from ..sources.loaders import load_table
+from .registry import register
+
+
+@register(
+    "asof_click_next_purchase",
+    oracle="""
+        SELECT c.event_id, c.user_id,
+               floor(epoch(p.ts))::BIGINT AS asof_purchase_epoch
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    doc="""FORWARD as-of join — for each click, the EARLIEST purchase at
+    or after it per user (click-to-conversion attribution; the mirror of
+    asof_purchase_last_click, closing the formerly-declared backward-only
+    limitation in operators/relational.py:asof_join).  Same plan shape:
+    union + first-ignorenulls over one per-key window sort — one shuffle,
+    no range explosion.  The carried value is the matched timestamp
+    itself, so ties between equal-ts purchases cannot produce
+    engine-dependent output.""",
+)
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_timestamp("asof_ts").alias("asof_purchase_epoch")
+    )
+
+
+# BM25 constants (the Lucene/Robertson defaults) and a fixed keyword
+# query over the synthetic corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERY = ("spark", "window", "stream")
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+        ), tf AS (
+            SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS tok FROM base)
+            WHERE tok IN {BM25_QUERY!r}
+            GROUP BY doc_id, dl, tok
+        ), df AS (
+            SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT t.doc_id,
+                   round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                         * t.tf * ({BM25_K1} + 1)
+                         / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                               + {BM25_B} * t.dl / s.avgdl))
+                         * 1e6)::BIGINT AS term_micros
+            FROM tf t JOIN df d USING (tok) CROSS JOIN stats s
+        )
+        SELECT doc_id, sum(term_micros)::BIGINT AS score_micros
+        FROM scored GROUP BY doc_id
+        ORDER BY score_micros DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"""BM25 top-{BM25_TOPK} retrieval (Robertson/Sparck Jones; the
+    Lucene-style ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) for a fixed
+    keyword query — the classic search-infra scorer over the corpus.
+    Scale shape: tokens are filtered to the query terms INSIDE the
+    per-document array before any explode, so the exploded frame
+    carries only |query|-term hits, not the corpus token stream; tf is
+    one keyed groupBy; df aggregates the tf frame (|docs·terms| rows);
+    the 1-row (n_docs, avgdl) aggregate broadcast-joins back (bounded
+    BNL, allowlisted); top-k is ORDER BY + LIMIT — Spark executes
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort materialization).  Per-term scores round to integer micros
+    before summing, so cross-engine totals are exact integer math.""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = tokens("text")
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("dl"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = base.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter("w", lambda t: t.isin(*BM25_QUERY))
+        ).alias("tok"),
+    )
+    tf = hits.groupBy("doc_id", "dl", "tok").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_micros = F.round(
+        idf * F.col("tf") * (BM25_K1 + 1) / denom * 1e6
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_micros.alias("term_micros"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_micros").cast("long").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+@register(
+    "ngram_novelty_decay",
+    oracle=f"""
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(w) - {SHINGLE_N - 1}),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS toks
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= {SHINGLE_N}
+        ), ex AS (
+            SELECT doc_id, unnest(toks) AS shingle FROM sets
+        ), first_seen AS (
+            SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle
+        )
+        SELECT e.doc_id,
+               count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_novel,
+               round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                     ::DOUBLE / count(*), 6) AS novelty
+        FROM ex e JOIN first_seen f USING (shingle)
+        GROUP BY e.doc_id
+    """,
+    doc=f"""Cross-document n-gram novelty (the per-document statistic
+    behind dataset "novelty decay" curves: later documents repeat
+    earlier ones' {SHINGLE_N}-grams more and more as a corpus grows —
+    a crawl-freshness / memorization signal).  Each distinct shingle is
+    attributed to the smallest doc_id containing it; a document's
+    novelty is the fraction of its distinct shingles it introduced.
+    Scale shape: the same vocabulary-keyed shuffle as the dedup family
+    (explode distinct shingles → min(doc_id) per shingle), then the
+    first-seen frame joins back on the shingle key — Catalyst reuses
+    the exploded exchange for both branches; no all-pairs stage, no
+    window, no collect.""",
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ex = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    first_seen = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        ex.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(is_novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+# A token is in-vocabulary when it appears at least this many times in
+# the corpus (the same heavy-hitter bound as the inverted index: the
+# vocab size is structurally <= total_tokens / threshold, so the vocab
+# frame always broadcasts).
+VOCAB_MIN_COUNT = 200
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) >= {VOCAB_MIN_COUNT}
+        )
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    """,
+    doc=f"""Tokenizer vocabulary coverage: per-document out-of-vocabulary
+    token rate against the corpus heavy-hitter vocabulary (count >=
+    {VOCAB_MIN_COUNT}) — the statistic that decides whether a tokenizer
+    vocab fits a new data source.  Scale shape: the vocabulary is
+    bounded by construction (<= total_tokens / {VOCAB_MIN_COUNT}) so it
+    broadcast-joins against the token stream; counts are one keyed
+    groupBy per side; no window, no collect.""",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= VOCAB_MIN_COUNT)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    is_oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(is_oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -150,6 +150,35 @@ def test_asof_join_backward(spark):
     assert got == {(1, 10.0, "a"), (1, 20.0, "b"), (2, 15.0, None)}
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (1, 30, 300.0), (2, 15, 150.0)],
+        "k int, ts int, lv double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (1, 25, "c"), (3, 1, "z")], "k int, ts int, rv string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "rv")
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["rv"],
+        direction="forward",
+    )
+    got = {(r["k"], r["ts"].timestamp(), r["asof_rv"]) for r in out.collect()}
+    # ts=10 → earliest right at-or-after is 20 ('b'); ts=20 → equality
+    # matches ('b'); ts=30 → nothing after → NULL; key 2 has no right
+    # rows → NULL.
+    assert got == {
+        (1, 10.0, "b"),
+        (1, 20.0, "b"),
+        (1, 30.0, None),
+        (2, 15.0, None),
+    }
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [(1, 0), (1, 10 * 60), (1, 50 * 60), (1, 51 * 60), (2, 0)], "user_id int, t int"

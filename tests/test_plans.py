@@ -226,6 +226,7 @@ BNL_ALLOWED = {
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
     "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
     "unigram_perplexity_score",       # 1-row corpus token total
+    "bm25_topk",                      # 1-row (n_docs, avgdl) aggregate
 }
 
 
