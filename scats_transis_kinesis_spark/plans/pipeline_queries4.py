@@ -181,14 +181,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty is the fraction of its distinct shingles it introduced.
     Scale shape: the same vocabulary-keyed shuffle as the dedup family
     (explode distinct shingles → min(doc_id) per shingle), then the
-    first-seen frame joins back on the shingle key — Catalyst reuses
-    the exploded exchange for both branches; no all-pairs stage, no
-    window, no collect.""",
+    first-seen frame joins back on the shingle key — the exploded
+    frame is persisted so shingling (the dominant narrow stage) runs
+    once; no all-pairs stage, no window, no collect.""",
 )
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    ex = shingle_sets(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # Persisted: the exploded frame feeds both the first-seen aggregate
+    # and the join-back (same rationale as boilerplate_shingle_prune).
+    ex = (
+        shingle_sets(docs)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
     )
     first_seen = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
