@@ -92,6 +92,8 @@ HEADLINE = [
     "bm25_topk",
     "ngram_novelty_decay",
     "vocab_oov_rate",
+    "emb_hard_negatives",
+    "embedding_label_margin",
     # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
     "boilerplate_shingle_prune",
     "weighted_sample_ares",

@@ -77,6 +77,48 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining (contrastive-training staple): for each
+    query vector, the ``k`` most cosine-similar corpus vectors with a
+    DIFFERENT label — the near-misses a contrastive loss learns most
+    from.  Same plan shape as :func:`cosine_topk_bruteforce` (broadcast
+    query set, corpus scanned once, per-query window top-k); the label
+    inequality rides the join predicate, so negatives are filtered
+    before the window.  The scale path composes exactly like search:
+    swap the corpus scan for the IVF-pruned candidate set of
+    :func:`cosine_topk_bucketed` when |corpus| makes brute force
+    infeasible."""
+    from pyspark.sql import Window as W
+
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    pairs = embeddings.alias("c").join(
+        F.broadcast(q), F.col(f"c.{label_col}") != F.col("qlabel")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("negative_id"),
+        F.col(f"c.{label_col}").alias("negative_label"),
+        F.round(cosine(F.col("qvec"), F.col(f"c.{vec_col}")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "negative_id", "negative_label", "cosine_sim")
+    )
+
+
 def assign_centroids(
     embeddings: DataFrame,
     num_centroids: int = 16,

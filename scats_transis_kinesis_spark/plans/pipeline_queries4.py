@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import SHINGLE_N, shingle_sets
 from ..operators.relational import asof_join
+from ..operators.similarity import cosine, hard_negative_topk
 from ..operators.text import tokens
 from ..sources.loaders import load_table
 from .registry import register
@@ -209,6 +210,133 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
+    )
+
+
+# Fixed query ids for hard-negative mining (same seed set as the
+# sim_topk family).
+HN_QUERY_IDS = (0, 1, 2, 3, 4)
+HN_K = 5
+
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   label AS qlabel
+            FROM embeddings
+            WHERE vec_id IN ({", ".join(map(str, HN_QUERY_IDS))})
+        ), pairs AS (
+            SELECT q.query_id, c.vec_id AS negative_id,
+                   c.label AS negative_label,
+                   {_COS6.format(a="q.qv", b="c.embedding::DOUBLE[]")}
+                       AS cosine_sim
+            FROM q JOIN embeddings c ON c.label <> q.qlabel
+        )
+        SELECT query_id, negative_id, negative_label, cosine_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, negative_id) AS rn
+            FROM pairs
+        ) WHERE rn <= {HN_K}
+    """,
+    doc=f"""Hard-negative mining for contrastive training: for each of
+    {len(HN_QUERY_IDS)} query vectors, the {HN_K} most cosine-similar
+    corpus vectors with a DIFFERENT label
+    (operators/similarity.py:hard_negative_topk).  Broadcast query set
+    against one corpus scan (bounded BNL, allowlisted); sequential-fold
+    double dot products round to 6 digits, matching DuckDB
+    list_dot_product bit-for-bit.""",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_topk(
+        load_table(spark, "embeddings", sf_dir),
+        query_ids=list(HN_QUERY_IDS),
+        k=HN_K,
+    )
+
+
+@register(
+    "embedding_label_margin",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), flat AS (
+            SELECT label, unnest(generate_series(1, len(v))) AS idx, v
+            FROM e
+        ), cent AS (
+            SELECT label,
+                   list(cv ORDER BY idx) AS cvec
+            FROM (
+                SELECT label, idx, round(avg(v[idx]), 6) AS cv
+                FROM flat GROUP BY label, idx
+            ) GROUP BY label
+        ), scored AS (
+            SELECT e.vec_id, e.label, c.label AS clabel,
+                   round(list_dot_product(e.v, c.cvec)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                       AS sim
+            FROM e CROSS JOIN cent c
+        )
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN sim END) AS own_sim,
+               max(CASE WHEN clabel <> label THEN sim END) AS best_other_sim,
+               round(max(CASE WHEN clabel = label THEN sim END)
+                     - max(CASE WHEN clabel <> label THEN sim END), 6)
+                   AS margin
+        FROM scored GROUP BY vec_id, label
+    """,
+    doc="""Embedding-space quality audit: per-vector cosine margin
+    between its own-label centroid and the best other-label centroid —
+    the statistic behind embedding-quality dashboards and mislabel
+    screens (negative margin = the vector sits closer to another
+    class).  Scale shape: centroids are an exploded (label, dim) keyed
+    aggregate — one shuffle of |vectors|·dims skinny rows, bounded
+    output of |labels| rows that broadcasts back; per-vector scoring is
+    a single corpus scan against the broadcast centroid set (bounded
+    BNL, allowlisted).  Centroid elements round to 6 digits BEFORE the
+    dot product (rounded-intermediate contract), so the engine-order
+    of the per-dimension averages can never flip the round-6 margin.""",
+)
+def embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    flat = e.select(
+        "label", F.posexplode("v").alias("idx", "val")
+    )
+    cent = (
+        flat.groupBy("label", "idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("sim"),
+    )
+    own = F.max(F.when(F.col("clabel") == F.col("label"), F.col("sim")))
+    other = F.max(F.when(F.col("clabel") != F.col("label"), F.col("sim")))
+    return scored.groupBy("vec_id", "label").agg(
+        own.alias("own_sim"),
+        other.alias("best_other_sim"),
+        F.round(own - other, 6).alias("margin"),
     )
 
 

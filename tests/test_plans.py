@@ -227,6 +227,8 @@ BNL_ALLOWED = {
     "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
     "unigram_perplexity_score",       # 1-row corpus token total
     "bm25_topk",                      # 1-row (n_docs, avgdl) aggregate
+    "emb_hard_negatives",             # |query set| = 5 broadcast rows
+    "embedding_label_margin",         # |labels| centroid broadcast rows
 }
 
 
