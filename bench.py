@@ -94,6 +94,8 @@ HEADLINE = [
     "vocab_oov_rate",
     "emb_hard_negatives",
     "embedding_label_margin",
+    "length_bucketed_batches",
+    "mixture_epoch_plan",
     # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
     "boilerplate_shingle_prune",
     "weighted_sample_ares",

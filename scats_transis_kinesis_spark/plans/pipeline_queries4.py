@@ -340,6 +340,146 @@ def embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Length-bucketed batching: docs grouped into fixed-size batches of
+# similar token length so per-batch padding (to the batch max) wastes
+# the least compute — the standard inference/training batcher.
+LB_BUCKET_WIDTH = 16
+LB_BATCH_SIZE = 8
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   (len(string_split(text, ' ')) // {LB_BUCKET_WIDTH})::BIGINT
+                       AS bucket
+            FROM documents
+        ), seq AS (
+            SELECT doc_id, n_tokens, bucket,
+                   (row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                       - 1) // {LB_BATCH_SIZE} AS batch_seq
+            FROM t
+        )
+        SELECT bucket, batch_seq::BIGINT AS batch_seq,
+               count(*)::BIGINT AS n_docs,
+               max(n_tokens)::BIGINT AS max_len,
+               sum(n_tokens)::BIGINT AS sum_len,
+               (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT
+                   AS padding_waste,
+               round(sum(n_tokens)::DOUBLE / (max(n_tokens) * count(*)), 6)
+                   AS efficiency
+        FROM seq GROUP BY bucket, batch_seq
+    """,
+    doc=f"""Length-bucketed batching (inference/training serving
+    staple): documents are bucketed by token length
+    (width {LB_BUCKET_WIDTH}) and packed into batches of
+    {LB_BATCH_SIZE} in deterministic id order; each batch reports its
+    padding waste (every sequence pads to the batch max).  Scale
+    shape: the sequencing window partitions on the length bucket —
+    bounded partitions, never a global sort; batch stats are one keyed
+    groupBy with full map-side combine.""",
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(tokens("text"))
+    t = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor(n / LB_BUCKET_WIDTH).alias("bucket"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    seq = t.withColumn(
+        "batch_seq",
+        F.floor((F.row_number().over(w) - 1) / LB_BATCH_SIZE),
+    )
+    eff = F.col("sum_len") / (F.col("max_len") * F.col("n_docs"))
+    return (
+        seq.groupBy("bucket", "batch_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "batch_seq",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            (F.col("max_len") * F.col("n_docs") - F.col("sum_len"))
+            .cast("long")
+            .alias("padding_waste"),
+            F.round(eff, 6).alias("efficiency"),
+        )
+    )
+
+
+# Token budget for one training epoch of the mixture (the recipe math
+# behind Pile/LLaMA-style source weighting).
+MIX_TOKEN_BUDGET = 1_000_000
+# Deterministic per-source target weight: source srcN gets weight
+# (N+1) / sum(1..20) — a stand-in for a hand-tuned recipe table, kept
+# as a formula so the oracle needs no 20-entry literal.
+MIX_WEIGHT_DENOM = 210  # sum(1..20)
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   regexp_extract(source, 'src(\\d+)', 1)::BIGINT + 1
+                       AS src_rank,
+                   sum(len(string_split(text, ' ')))::BIGINT
+                       AS source_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, source_tokens,
+               round(src_rank / {MIX_WEIGHT_DENOM}.0, 6) AS weight,
+               round({MIX_TOKEN_BUDGET} * src_rank
+                     / {MIX_WEIGHT_DENOM}.0)::BIGINT AS target_tokens,
+               round(round({MIX_TOKEN_BUDGET} * src_rank
+                           / {MIX_WEIGHT_DENOM}.0)
+                     / source_tokens::DOUBLE, 6) AS epochs
+        FROM s
+    """,
+    doc=f"""Data-mixture epoch plan (the Pile/LLaMA recipe math): given
+    per-source token inventories and target mixture weights, compute
+    each source's token quota for a {MIX_TOKEN_BUDGET}-token epoch and
+    the repeat factor (epochs > 1 = upsample, < 1 = subsample) needed
+    to hit it.  Scale shape: one keyed aggregate over the corpus for
+    the inventory; the plan itself is |sources| rows of scalar math —
+    the artifact a sampler (curriculum_mixture_sample,
+    weighted_sample_ares) consumes.""",
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = (
+        docs.select(
+            "source",
+            (
+                F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1
+            ).alias("src_rank"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "src_rank")
+        .agg(F.sum("n_tokens").cast("long").alias("source_tokens"))
+    )
+    target = F.round(
+        F.lit(MIX_TOKEN_BUDGET) * F.col("src_rank") / MIX_WEIGHT_DENOM
+    ).cast("long")
+    return s.select(
+        "source",
+        "source_tokens",
+        F.round(F.col("src_rank") / MIX_WEIGHT_DENOM, 6).alias("weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("source_tokens"), 6).alias("epochs"),
+    )
+
+
 # A token is in-vocabulary when it appears at least this many times in
 # the corpus (the same heavy-hitter bound as the inverted index: the
 # vocab size is structurally <= total_tokens / threshold, so the vocab
