@@ -94,7 +94,12 @@ def measure_reference(payload: bytes) -> tuple[int, float]:
     return n_records, time.time() - t0
 
 
-def measure_spark(payload: bytes, n_files: int) -> tuple[int, float]:
+def measure_spark(payload: bytes, n_files: int, source: str) -> tuple[int, float]:
+    """``source``: "datasource" = the Python DataSource
+    (partition-per-file; rows cross Python->JVM — the streaming-capable
+    reader), "text" = the JVM-native text scan with NUL ``lineSep``
+    (sources/xml.py:read_null_delimited — the bulk batch fast path:
+    splitting happens vectorized inside the scan, no Python worker)."""
     from scats_transis_kinesis_spark.operators.flatten import explode_messages
     from scats_transis_kinesis_spark.operators.projection import (
         non_empty_responses,
@@ -104,7 +109,10 @@ def measure_spark(payload: bytes, n_files: int) -> tuple[int, float]:
     from scats_transis_kinesis_spark.sources.datasource import (
         register_transis_datasource,
     )
-    from scats_transis_kinesis_spark.sources.xml import parse_transis_documents
+    from scats_transis_kinesis_spark.sources.xml import (
+        parse_transis_documents,
+        read_null_delimited,
+    )
 
     spark = get_session(
         app_name="ref-parity", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -118,7 +126,10 @@ def measure_spark(payload: bytes, n_files: int) -> tuple[int, float]:
                 fh.write(b"\x00".join(docs[i : i + per]) + b"\x00")
 
         def pipeline():
-            raw = spark.read.format("transis_xml").load(tmp)
+            if source == "datasource":
+                raw = spark.read.format("transis_xml").load(tmp)
+            else:
+                raw = read_null_delimited(spark, tmp)
             return project_detector_count_record(
                 explode_messages(non_empty_responses(parse_transis_documents(raw)))
             )
@@ -141,20 +152,30 @@ def main() -> None:
 
     payload = gen_stream(args.docs, args.sites)
     ref_n, ref_s = measure_reference(payload)
-    spark1_n, spark1_s = measure_spark(payload, n_files=1)
-    sparkN_n, sparkN_s = measure_spark(payload, n_files=args.files)
-    assert ref_n == spark1_n == sparkN_n, (ref_n, spark1_n, sparkN_n)
+    spark1_n, spark1_s = measure_spark(payload, n_files=1, source="datasource")
+    sparkN_n, sparkN_s = measure_spark(
+        payload, n_files=args.files, source="datasource"
+    )
+    text1_n, text1_s = measure_spark(payload, n_files=1, source="text")
+    textN_n, textN_s = measure_spark(payload, n_files=args.files, source="text")
+    assert ref_n == spark1_n == sparkN_n == text1_n == textN_n, (
+        ref_n, spark1_n, sparkN_n, text1_n, textN_n,
+    )
 
     result = {
         "n_documents": args.docs,
         "n_records": ref_n,
         "payload_mb": round(len(payload) / 1e6, 2),
         "reference_records_per_s": round(ref_n / ref_s),
-        "spark_1file_records_per_s": round(spark1_n / spark1_s),
-        "spark_multifile_records_per_s": round(sparkN_n / sparkN_s),
+        "spark_datasource_1file_records_per_s": round(spark1_n / spark1_s),
+        "spark_datasource_multifile_records_per_s": round(sparkN_n / sparkN_s),
+        "spark_text_1file_records_per_s": round(text1_n / text1_s),
+        "spark_text_multifile_records_per_s": round(textN_n / textN_s),
         "n_capture_files": args.files,
-        "speedup_1file": round((spark1_n / spark1_s) / (ref_n / ref_s), 2),
-        "speedup_multifile": round((sparkN_n / sparkN_s) / (ref_n / ref_s), 2),
+        "speedup_datasource_multifile": round(
+            (sparkN_n / sparkN_s) / (ref_n / ref_s), 2
+        ),
+        "speedup_text_multifile": round((textN_n / textN_s) / (ref_n / ref_s), 2),
     }
     with open(os.path.join(REPO, "REFERENCE_THROUGHPUT.json"), "w") as fh:
         json.dump(result, fh, indent=1)
