@@ -405,8 +405,10 @@ def connected_components(
     )
     # labels strictly decrease while propagating, so the label sum is a
     # convergence witness — one scalar aggregate per round (carried
-    # across rounds), no old-vs-new join.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # across rounds), no old-vs-new join.  Seeded lazily: the first
+    # round must run regardless, so its post-round sum serves as the
+    # baseline and the pre-loop aggregate job is saved entirely.
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vertex)
@@ -426,7 +428,7 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     # the loop's count() materialized `labels`; the edge cache is done

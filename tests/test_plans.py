@@ -232,6 +232,15 @@ BNL_ALLOWED = {
 }
 
 
+def test_bm25_topk_uses_take_ordered(spark):
+    # The retrieval top-k must be ORDER BY + LIMIT (TakeOrderedAndProject:
+    # per-partition partial top-k merged on the driver), never a global
+    # sort materialization — the difference between O(k) and O(n log n)
+    # driver/exchange load at 100 TB.
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_unbounded_nested_loop_join_anywhere(spark):
     # Engine-wide scale invariant: CartesianProduct (shuffle cartesian)
     # must never appear, and BroadcastNestedLoopJoin only where the
