@@ -250,6 +250,10 @@ def ngram_jaccard_pairs(
     ).select(id_col, portable_hash64("sh").alias("shash"), "n_sh")
     freq = inverted.groupBy("shash").agg(F.count("*").alias("df"))
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    # Persisted: the prefix index is BOTH sides of the self-join below —
+    # without it each side recomputes the explode + frequency join +
+    # ranking window (at scale: materialize the prefix index once, the
+    # standard PPJoin index-build step).
     ranked = (
         inverted.join(freq, "shash")
         .withColumn(
@@ -260,6 +264,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("rank") <= prefix_len)
         .select(id_col, "shash", "rank", "n_sh")
+        .persist()
     )
     l, r = ranked.alias("l"), ranked.alias("r")
     # Length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|).
