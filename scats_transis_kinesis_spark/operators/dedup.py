@@ -118,9 +118,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
                 ),
             )
         )
+    # Persisted: the banded frame is both sides of the bucket self-join —
+    # unpersisted, each side would recompute the full signature
+    # aggregation (the k grouped mins over the exploded shingles).
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, "b.band", "b.bucket")
+    ).select(id_col, "b.band", "b.bucket").persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -355,9 +358,11 @@ def simhash_near_dup_pairs(
             for band in range(SIMHASH_BANDS)
         ]
     )
+    # Persisted: both sides of the band equi-join — unpersisted, each
+    # side would recompute the per-bit majority aggregation.
     banded = sims.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band", "b.chunk"
-    )
+    ).persist()
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
     )
