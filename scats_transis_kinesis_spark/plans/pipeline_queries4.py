@@ -180,29 +180,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crawl-freshness / memorization signal).  Each distinct shingle is
     attributed to the smallest doc_id containing it; a document's
     novelty is the fraction of its distinct shingles it introduced.
-    Scale shape: the same vocabulary-keyed shuffle as the dedup family
-    (explode distinct shingles → min(doc_id) per shingle), then the
-    first-seen frame joins back on the shingle key — the exploded
-    frame is persisted so shingling (the dominant narrow stage) runs
-    once; no all-pairs stage, no window, no collect.""",
+    Scale shape: the same vocabulary-keyed shuffle as the dedup family —
+    first-seen attribution is a ``min OVER (PARTITION BY shingle)``
+    window, so the shingle stream shuffles ONCE (vs an aggregate +
+    join-back, which shuffles it twice and re-sorts for the join);
+    the per-document rollup is one keyed groupBy.  No all-pairs stage,
+    no unpartitioned window, no collect.""",
 )
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, "documents", sf_dir)
-    # Persisted: the exploded frame feeds both the first-seen aggregate
-    # and the join-back (same rationale as boilerplate_shingle_prune).
-    ex = (
-        shingle_sets(docs)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .persist()
+    ex = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
-    first_seen = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    first_doc = F.min("doc_id").over(W.partitionBy("shingle"))
+    is_novel = (first_doc == F.col("doc_id")).cast("int")
     return (
-        ex.join(first_seen, "shingle")
+        ex.select("doc_id", is_novel.alias("is_novel"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
-            F.sum(is_novel).cast("long").alias("n_novel"),
+            F.sum("is_novel").cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",
