@@ -55,6 +55,54 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup ACROSS ingestion runs — the rolling-crawl shape: a
+    persisted seen-hash table accumulates every content hash ever kept;
+    each new batch drops (a) docs whose hash is already in the table
+    (left-anti join) and (b) within-batch copies (keep min id), then
+    appends the survivors' hashes for the next run.
+
+    Scale shape: the state table is (content_hash, keep_id) only — two
+    longs per distinct document ever seen, NOT the corpus — and the
+    anti-join is hash-keyed (broadcastable while small, shuffle-join
+    with dynamic pruning when it outgrows that; at lakehouse scale the
+    state table would be bucketed by hash so the join co-locates).
+    Returns the surviving (id, hash) rows; the streaming twin
+    (``streaming/pipeline.py:corpus_ingest_stream``) handles the
+    within-horizon case and THIS handles all-of-history."""
+    spark = new_docs.sparkSession
+    hashed = new_docs.select(
+        F.col(id_col), portable_hash64(text_col).alias("content_hash")
+    )
+    try:
+        seen = spark.read.parquet(state_dir).select("content_hash")
+    except Exception:  # first run: no state yet
+        seen = None
+    if seen is not None:
+        hashed = hashed.join(seen, "content_hash", "left_anti")
+    # Materialized via eager localCheckpoint BEFORE the state append —
+    # and deliberately NOT via persist(): the survivors' lineage reads
+    # ``state_dir``, and Spark's CacheManager re-caches any cached plan
+    # whose source path is written (recacheByPath), so a persist would
+    # be re-evaluated against the just-appended hashes and anti-join
+    # the batch against itself (returning nothing).  The checkpoint
+    # cuts the lineage to materialized partitions with no path
+    # dependency, pinning this run's view of the state.
+    survivors = (
+        hashed.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_hash")
+        .localCheckpoint(eager=True)
+    )
+    survivors.select("content_hash").write.mode("append").parquet(state_dir)
+    return survivors
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
 ) -> DataFrame:

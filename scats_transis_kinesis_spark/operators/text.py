@@ -52,20 +52,31 @@ def punct_ratio(text_col: str = "text") -> Column:
     return F.length(stripped) / F.length(text_col)
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The quality heuristic as a bare column expression — composable
+    into any batch OR streaming projection (streaming needs the
+    expression form: a stream can't route through the id-projected
+    :func:`quality_score` frame and join back)."""
+    toks = tokens(text_col)
+    length_part = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_part
+        + 0.3 * stopword_ratio(text_col)
+        + 0.3 * (1 - punct_ratio(text_col)),
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality heuristic: length saturation + stopword
     presence + punctuation cleanliness, each in [0,1]."""
     toks = tokens(text_col)
-    length_part = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
     return df.select(
         id_col,
         F.size(toks).alias("n_tokens"),
         F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
         F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(
-            0.4 * length_part + 0.3 * stopword_ratio(text_col) + 0.3 * (1 - punct_ratio(text_col)),
-            6,
-        ).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 

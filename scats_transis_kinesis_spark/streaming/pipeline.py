@@ -142,6 +142,46 @@ def correlate_streams(
     )
 
 
+def corpus_ingest_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    min_quality: float = 0.5,
+    dedup_horizon: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus curation — the streaming twin of the batch
+    ``corpus_clean_pipeline`` query: a continuously arriving document
+    stream is quality-filtered and exact-deduped ON THE WAY IN, so the
+    lake only ever stores curated text (the rolling-crawl ingest shape
+    for a training-data pipeline).
+
+    Stages, all streaming-safe:
+
+    - quality screen: the same deterministic heuristic as the batch
+      path (``text.quality_expr`` — pure codegen'd columns, no state);
+    - exact dedup: ``dropDuplicatesWithinWatermark`` on the 64-bit
+      content hash — state holds one hash per distinct document inside
+      the watermark horizon and is evicted as it advances, so memory is
+      bounded by (arrival rate × ``dedup_horizon``), not stream length.
+      Re-crawls of the same page within the horizon deduplicate here;
+      cross-horizon history belongs to the batch layer
+      (``dedup.incremental_exact_dedup`` against the persisted seen-
+      hash table).
+
+    Rows must carry an event-time column ``ts_col``; emits the curated
+    rows plus (content_hash, quality)."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.text import quality_expr
+
+    return (
+        docs.withColumn("quality", quality_expr(text_col))
+        .where(F.col("quality") >= min_quality)
+        .withColumn("content_hash", portable_hash64(text_col))
+        .withWatermark(ts_col, dedup_horizon)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None, ts_col: str = "ts") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same key within
     the watermark horizon (``dropDuplicatesWithinWatermark``) — the

@@ -543,3 +543,92 @@ def test_scats_pipeline_via_native_datasource(spark):
 
         sent = ThrottlingKinesisStub(state_dir=stub_dir).sent_records()
         assert {json.loads(r["Data"])["site_id"] for r in sent} == {"2087", "11"}
+
+
+def test_corpus_ingest_stream_filters_and_dedups(spark):
+    """Streaming corpus curation: low-quality docs drop at the quality
+    screen; an exact re-crawl of the same text inside the watermark
+    horizon dedups on the content hash; distinct good docs pass."""
+    from datetime import datetime
+
+    from scats_transis_kinesis_spark.streaming.pipeline import corpus_ingest_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on with "
+        "a steady calm pace for the rest of the day in the sun"
+    )
+    good2 = good.replace("fox", "cat")
+    junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) ____"
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        schema = "doc_id long, text string, ingest_ts timestamp"
+
+        def write(path, rows):
+            import glob
+            import shutil
+
+            staging = path + ".staging"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            shutil.move(glob.glob(os.path.join(staging, "part-*.parquet"))[0], path)
+            shutil.rmtree(staging)
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        write(os.path.join(src, "f1.parquet"), [(1, good, t0), (2, junk, t0)])
+        # batch 2: re-crawl of doc 1's exact text + a new distinct doc
+        write(os.path.join(src, "f2.parquet"), [(3, good, t0), (4, good2, t0)])
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            corpus_ingest_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ingest_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT doc_id, quality FROM ingest_out").collect()
+        finally:
+            q.stop()
+        kept = sorted(r["doc_id"] for r in rows)
+        # junk (2) fails the quality screen; the re-crawl (3) dedups
+        # against doc 1's hash inside the horizon.
+        assert kept == [1, 4], rows
+        assert all(r["quality"] >= 0.5 for r in rows)
+
+
+def test_incremental_exact_dedup_across_runs(spark):
+    """Cross-run exact dedup against the persisted seen-hash table:
+    run 2 drops docs whose text was kept by run 1 (and within-batch
+    copies), and appends only the new hashes."""
+    import tempfile as _tf
+
+    from scats_transis_kinesis_spark.operators.dedup import incremental_exact_dedup
+
+    with _tf.TemporaryDirectory() as d:
+        state = os.path.join(d, "seen")
+        run1 = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+            "doc_id long, text string",
+        )
+        out1 = incremental_exact_dedup(run1, state)
+        kept1 = sorted(r["doc_id"] for r in out1.collect())
+        assert kept1 == [1, 2]  # within-batch copy (3) keeps min id
+
+        run2 = spark.createDataFrame(
+            [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+            "doc_id long, text string",
+        )
+        out2 = incremental_exact_dedup(run2, state)
+        kept2 = sorted(r["doc_id"] for r in out2.collect())
+        assert kept2 == [11]  # alpha seen in run 1; gamma keeps min id
+
+        n_hashes = spark.read.parquet(state).count()
+        assert n_hashes == 3  # alpha, beta, gamma — one row per distinct text
