@@ -96,6 +96,8 @@ HEADLINE = [
     "embedding_label_margin",
     "length_bucketed_batches",
     "mixture_epoch_plan",
+    "quality_calibrate_by_source",
+    "mixture_materialize",
     # round-2 batch 3: boilerplate pruning, weighted sampling, z-order
     "boilerplate_shingle_prune",
     "weighted_sample_ares",

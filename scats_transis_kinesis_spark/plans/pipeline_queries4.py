@@ -479,6 +479,142 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_calibrate_by_source",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, source,
+                   round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                     + 0.3 * (len(list_filter(string_split(text, ' '),
+                           t -> t IN ('a','and','for','in','is','of','on',
+                                      'the','to','with')))
+                         / len(string_split(text, ' ')))
+                     + 0.3 * (1 - len(regexp_replace(lower(text),
+                                      '[a-z0-9 ]', '', 'g'))::DOUBLE
+                                  / len(text)), 6) AS quality
+            FROM documents
+        )
+        SELECT doc_id, source, quality,
+               round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY quality, doc_id), 6)
+                   AS source_pctile,
+               (percent_rank() OVER (PARTITION BY source
+                                     ORDER BY quality, doc_id)) >= 0.2
+                   AS keep
+        FROM q
+    """,
+    doc="""Per-source quality calibration (curation staple): a single
+    global quality threshold over-prunes clean sources and under-prunes
+    noisy ones, so each document is scored by its PERCENTILE WITHIN ITS
+    SOURCE and the keep rule ("top 80% of each source") applies
+    uniformly across sources.  Scale shape: the quality heuristic is
+    the same codegen'd expression as text_quality (no UDF); the
+    percentile is a window PARTITIONED by source — bounded partitions,
+    never a global sort.  doc_id tiebreaks make the rank exact
+    cross-engine.""",
+)
+def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select("doc_id", "source", quality_expr("text").alias("quality"))
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 6).alias("source_pctile"),
+        (pct >= 0.2).alias("keep"),
+    )
+
+
+@register(
+    "mixture_materialize",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   regexp_extract(source, 'src(\\d+)', 1)::BIGINT + 1
+                       AS src_rank,
+                   sum(len(string_split(text, ' ')))::BIGINT
+                       AS source_tokens
+            FROM documents GROUP BY source
+        ), plan AS (
+            SELECT source,
+                   round({MIX_TOKEN_BUDGET} * src_rank
+                         / {MIX_WEIGHT_DENOM}.0)::BIGINT AS target_tokens,
+                   source_tokens
+            FROM s
+        )
+        SELECT d.doc_id, d.source, r.rep AS repeat_idx
+        FROM documents d
+        JOIN plan p ON d.source = p.source,
+        LATERAL (
+            SELECT unnest(generate_series(0,
+                ((p.target_tokens // p.source_tokens)
+                 + CASE WHEN (d.doc_id * 2654435761) % 1000000
+                          < ((p.target_tokens % p.source_tokens) * 1000000
+                             // p.source_tokens)
+                        THEN 1 ELSE 0 END) - 1)) AS rep) r
+    """,
+    doc=f"""Materialize the mixture plan: each document is emitted
+    floor(epochs) times plus one more with probability frac(epochs),
+    decided by a deterministic per-document hash draw — so the
+    realized per-source token mass converges to the plan's quota
+    (Poisson-rounded upsampling, the standard way repeat factors
+    become an actual training set).  Scale shape: the |sources|-row
+    plan broadcast-joins the corpus; repetition is explode(sequence)
+    computed per row — no shuffle of repeated data (downstream
+    shuffling happens post-explode only if the consumer needs it);
+    the hash draw reuses the Knuth multiplicative constant for a
+    uniform integer in [0, 1e6).""",
+)
+def mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = (
+        docs.select(
+            "source",
+            (
+                F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1
+            ).alias("src_rank"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "src_rank")
+        .agg(F.sum("n_tokens").cast("long").alias("source_tokens"))
+    )
+    plan = s.select(
+        "source",
+        F.round(
+            F.lit(MIX_TOKEN_BUDGET) * F.col("src_rank") / MIX_WEIGHT_DENOM
+        )
+        .cast("long")
+        .alias("target_tokens"),
+        "source_tokens",
+    )
+    # Integer arithmetic end to end (div / %): FP division + truncation
+    # can land one ulp under an exact integer ratio, and the oracle's
+    # // is exact — so the Spark side must be exact too.
+    base_reps = F.expr("target_tokens div source_tokens")
+    frac_ppm = F.expr(
+        "((target_tokens % source_tokens) * 1000000) div source_tokens"
+    )
+    draw = (F.col("doc_id") * F.lit(2654435761)) % 1_000_000
+    n_reps = base_reps + F.when(draw < frac_ppm, 1).otherwise(0)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .where(n_reps > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), n_reps - 1)).alias("repeat_idx"),
+        )
+        .select("doc_id", "source", "repeat_idx")
+    )
+
+
 # A token is in-vocabulary when it appears at least this many times in
 # the corpus (the same heavy-hitter bound as the inverted index: the
 # vocab size is structurally <= total_tokens / threshold, so the vocab
