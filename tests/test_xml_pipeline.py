@@ -510,3 +510,52 @@ def test_live_stream_micro_batch_parity_with_file_mode(spark, tmp_path):
     finally:
         q.stop()
     assert live_rows == batch_rows and len(batch_rows) == 3
+
+
+def test_live_stream_fail_stop_on_error_document(spark, tmp_path):
+    """Reference semantics end-to-end through the LIVE transport: an
+    error="true" document arriving mid-stream kills the query
+    (transis_consumer.py:134-136 raises; here the P6 in-plan assert
+    fails the micro-batch), after good documents were delivered."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from scats_transis_kinesis_spark.operators.projection import (
+        assert_no_error_documents,
+    )
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+    from scats_transis_kinesis_spark.sources.xml import parse_transis_documents
+
+    register_transis_datasource(spark)
+    payload = (
+        XML_TWO_SITES.encode() + b"\x00" + XML_ERROR.encode() + b"\x00"
+    )
+    cap = tmp_path / "poison.bin"
+    cap.write_bytes(payload)
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "def make_stream():\n"
+        f"    yield open({str(cap)!r}, 'rb').read()\n"
+    )
+
+    q = (
+        spark.readStream.format("transis_xml")
+        .option("transport", f"{mock}:make_stream")
+        .load()
+        .transform(parse_transis_documents)
+        .transform(assert_no_error_documents)
+        .writeStream.format("memory")
+        .queryName("live_fail_stop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        try:
+            q.processAllAvailable()
+            failed = q.exception() is not None
+        except StreamingQueryException:
+            failed = True
+    finally:
+        q.stop()
+    assert failed, "error document must fail the streaming query"
