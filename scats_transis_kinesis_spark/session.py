@@ -41,6 +41,11 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Cost-based join estimates and reordering activate wherever
+        # table-level statistics exist (ANALYZE TABLE on saved tables);
+        # inert otherwise, so there is no risk to stat-less scans.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # The driver's synthetic parquet carries TIMESTAMP(NANOS) columns
         # (pandas-written); Spark's reader rejects them outright.  Read
         # them as int64 nanos and convert in the loader (integer division

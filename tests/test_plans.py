@@ -254,3 +254,32 @@ def test_no_unbounded_nested_loop_join_anywhere(spark):
             bnl.append(name)
     assert not cartesian, f"shuffle cartesian join in: {cartesian}"
     assert not bnl, f"undeclared nested-loop join in: {bnl}"
+
+
+def test_cbo_consumes_analyzed_table_statistics(spark, tmp_path):
+    """Statistics-driven planning (SCALE.md §6.9): with CBO on, ANALYZE
+    TABLE feeds exact row counts and column NDVs into Catalyst's
+    estimates — the input join reordering and build-side selection key
+    off at 100 TB. Pinned: the optimized plan of a filtered scan over
+    an analyzed table carries a definite rowCount (stat-less plans
+    only have sizeInBytes)."""
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS statsdb LOCATION '{tmp_path}/statsdb'"
+    )
+    try:
+        from scats_transis_kinesis_spark.sources.loaders import load_table
+
+        load_table(spark, "nation", SF_DIR).write.saveAsTable(
+            "statsdb.nation_stats"
+        )
+        spark.sql(
+            "ANALYZE TABLE statsdb.nation_stats COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        t = spark.table("statsdb.nation_stats")
+        stats = t._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "ANALYZE stats not consumed"
+        assert int(str(stats.rowCount().get())) == t.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS statsdb CASCADE")
