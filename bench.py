@@ -115,6 +115,9 @@ HEADLINE = [
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale
 # path over the same threshold is dedup_embedding_lsh.
+# dedup_clusters_minhash is correctness-gated but not timed: it is the
+# same connected-components loop as the two timed CC queries, fed by
+# the already-timed minhash pair generator.
 
 
 def main() -> None:

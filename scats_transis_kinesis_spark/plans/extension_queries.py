@@ -134,6 +134,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_minhash",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_minhash_lsh_oracle()}) t
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+        )
+        SELECT src AS member_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="""Dedup clustering over the TEXT near-dup pairs: connected
+    components on the MinHash+LSH verified pairs — the minhash twin of
+    dedup_clusters_embedding, so both pair generators feed the same
+    iterative min-label propagation
+    (operators/dedup.py:connected_components).  Oracle: the identical
+    fixpoint as a recursive CTE over the replayed signature math.""",
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    return connected_components(dedup_minhash_lsh(spark, sf_dir))
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH sh AS (
