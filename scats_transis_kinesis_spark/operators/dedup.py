@@ -67,21 +67,29 @@ def incremental_exact_dedup(
     (left-anti join) and (b) within-batch copies (keep min id), then
     appends the survivors' hashes for the next run.
 
-    Scale shape: the state table is (content_hash, keep_id) only — two
-    longs per distinct document ever seen, NOT the corpus — and the
+    Scale shape: the state table is a single ``content_hash`` column —
+    one long per distinct document ever seen, NOT the corpus — and the
     anti-join is hash-keyed (broadcastable while small, shuffle-join
     with dynamic pruning when it outgrows that; at lakehouse scale the
     state table would be bucketed by hash so the join co-locates).
     Returns the surviving (id, hash) rows; the streaming twin
     (``streaming/pipeline.py:corpus_ingest_stream``) handles the
     within-horizon case and THIS handles all-of-history."""
+    from pyspark.errors import AnalysisException
+
     spark = new_docs.sparkSession
     hashed = new_docs.select(
         F.col(id_col), portable_hash64(text_col).alias("content_hash")
     )
     try:
         seen = spark.read.parquet(state_dir).select("content_hash")
-    except Exception:  # first run: no state yet
+    except AnalysisException as e:
+        # ONLY a missing state dir means "first run".  Any other read
+        # failure (corrupt footer, permissions, transient FS error) must
+        # raise loudly: silently skipping the anti-join would re-admit
+        # every previously-kept document AND append duplicate hashes.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         seen = None
     if seen is not None:
         hashed = hashed.join(seen, "content_hash", "left_anti")

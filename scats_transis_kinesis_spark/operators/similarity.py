@@ -95,7 +95,7 @@ def hard_negative_topk(
     swap the corpus scan for the IVF-pruned candidate set of
     :func:`cosine_topk_bucketed` when |corpus| makes brute force
     infeasible."""
-    from pyspark.sql import Window as W
+    from .relational import top_k_per_group
 
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -111,12 +111,12 @@ def hard_negative_topk(
         F.col(f"c.{label_col}").alias("negative_label"),
         F.round(cosine(F.col("qvec"), F.col(f"c.{vec_col}")), 6).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("negative_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "negative_id", "negative_label", "cosine_sim")
-    )
+    return top_k_per_group(
+        scored,
+        keys=["query_id"],
+        order=[F.desc("cosine_sim"), F.asc("negative_id")],
+        k=k,
+    ).select("query_id", "negative_id", "negative_label", "cosine_sim")
 
 
 def assign_centroids(

@@ -113,7 +113,9 @@ BM25_QUERY = ("spark", "window", "stream")
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     w = tokens("text")
-    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("dl"))
+    # Persisted: the tokenized frame feeds the (n_docs, avgdl) corpus
+    # aggregate AND the query-term hit extraction.
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("dl")).persist()
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -425,6 +427,30 @@ MIX_TOKEN_BUDGET = 1_000_000
 MIX_WEIGHT_DENOM = 210  # sum(1..20)
 
 
+def _mixture_inventory(docs: DataFrame) -> DataFrame:
+    """Shared recipe math for the mixture queries: per-source token
+    inventory + the epoch token quota (``target_tokens``) — ONE
+    definition so mixture_epoch_plan and mixture_materialize (and their
+    oracles' shared CTE text) cannot silently diverge."""
+    s = (
+        docs.select(
+            "source",
+            (
+                F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1
+            ).alias("src_rank"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "src_rank")
+        .agg(F.sum("n_tokens").cast("long").alias("source_tokens"))
+    )
+    target = F.round(
+        F.lit(MIX_TOKEN_BUDGET) * F.col("src_rank") / MIX_WEIGHT_DENOM
+    ).cast("long")
+    return s.select(
+        "source", "src_rank", "source_tokens", target.alias("target_tokens")
+    )
+
+
 @register(
     "mixture_epoch_plan",
     oracle=f"""
@@ -455,27 +481,15 @@ MIX_WEIGHT_DENOM = 210  # sum(1..20)
     weighted_sample_ares) consumes.""",
 )
 def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    s = (
-        docs.select(
-            "source",
-            (
-                F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1
-            ).alias("src_rank"),
-            F.size(tokens("text")).alias("n_tokens"),
-        )
-        .groupBy("source", "src_rank")
-        .agg(F.sum("n_tokens").cast("long").alias("source_tokens"))
-    )
-    target = F.round(
-        F.lit(MIX_TOKEN_BUDGET) * F.col("src_rank") / MIX_WEIGHT_DENOM
-    ).cast("long")
-    return s.select(
+    inv = _mixture_inventory(load_table(spark, "documents", sf_dir))
+    return inv.select(
         "source",
         "source_tokens",
         F.round(F.col("src_rank") / MIX_WEIGHT_DENOM, 6).alias("weight"),
-        target.alias("target_tokens"),
-        F.round(target / F.col("source_tokens"), 6).alias("epochs"),
+        "target_tokens",
+        F.round(F.col("target_tokens") / F.col("source_tokens"), 6).alias(
+            "epochs"
+        ),
     )
 
 
@@ -573,25 +587,8 @@ def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    s = (
-        docs.select(
-            "source",
-            (
-                F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1
-            ).alias("src_rank"),
-            F.size(tokens("text")).alias("n_tokens"),
-        )
-        .groupBy("source", "src_rank")
-        .agg(F.sum("n_tokens").cast("long").alias("source_tokens"))
-    )
-    plan = s.select(
-        "source",
-        F.round(
-            F.lit(MIX_TOKEN_BUDGET) * F.col("src_rank") / MIX_WEIGHT_DENOM
-        )
-        .cast("long")
-        .alias("target_tokens"),
-        "source_tokens",
+    plan = _mixture_inventory(docs).select(
+        "source", "target_tokens", "source_tokens"
     )
     # Integer arithmetic end to end (div / %): FP division + truncation
     # can land one ulp under an exact integer ratio, and the oracle's
@@ -651,7 +648,12 @@ VOCAB_MIN_COUNT = 200
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # Persisted: the token stream feeds both the vocabulary aggregate
+    # and the join-back pass (same shared-narrow-stage rationale as
+    # boilerplate_shingle_prune).
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).persist()
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))

@@ -53,14 +53,18 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # this converts dark coverage into driver-green rows — plus
 # multimodal_features, round 2's one red row (a canonicalization
 # artifact, fixed this round), which must re-enter the window to go
-# green.  The two never-sampled entries held out by the 50-slot budget
-# are the least informative rows: dedup_embedding_cosine (the declared
-# O(n²) all-pairs baseline whose scale twin dedup_embedding_lsh is
-# driver-green) and dataset_split_train_test (same hash-bucket code
-# path as driver-green sample_hash_bucket).  Names listed here appear
-# first (in this order); everything else follows in registration
-# order.  Unknown names are ignored so the list can name queries added
-# later in a round.
+# green.  The two never-sampled PRE-EXISTING entries held out by the
+# 50-slot budget are the least informative rows: dedup_embedding_cosine
+# (the declared O(n²) all-pairs baseline whose scale twin
+# dedup_embedding_lsh is driver-green) and dataset_split_train_test
+# (same hash-bucket code path as driver-green sample_hash_bucket).
+# Queries ADDED during round 3 (the pipeline_queries4 batch,
+# dedup_clusters_minhash) are also outside this window — local-gate
+# verified only until the round-4 rotation leads with them (the full
+# never-driver-sampled list is tracked in BACKLOG.md).  Names listed
+# here appear first (in this order); everything else follows in
+# registration order.  Unknown names are ignored so the list can name
+# queries added later in a round.
 _PRIORITY: tuple[str, ...] = (
     # relational / TPC-H shapes and built-in function sweeps
     "f4_double_unnest",

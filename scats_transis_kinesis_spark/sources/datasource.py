@@ -247,6 +247,15 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
     """Live-transport streaming mode: micro-batches drain whatever the
     injected byte stream has produced since the last trigger.
 
+    The stream is consumed by a background pump thread feeding a queue;
+    ``read`` drains the queue WITHOUT blocking on the socket — a live
+    feed that pauses mid-document stalls only the pump, never the
+    trigger loop (each trigger waits at most ``pollTimeoutMs``,
+    default 500, for data before committing what it has, possibly an
+    empty batch).  A transport error that exhausts the reconnect budget
+    surfaces as a raise on the next ``read`` — fail-stop, like the
+    reference consumer.
+
     The offset is the count of documents consumed from the live stream.
     A live socket cannot seek, so exact replay is delegated to the
     SimpleDataSourceStreamReader wrapper's prefetch cache (Spark retains
@@ -271,38 +280,88 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
         self.max_docs = int(max_docs) if max_docs else None
         if self.max_docs is not None and self.max_docs < 1:
             raise ValueError("transis_xml: maxDocsPerTrigger must be >= 1")
+        self.poll_timeout_s = (
+            int(
+                options.get("polltimeoutms")
+                or options.get("pollTimeoutMs")
+                or 500
+            )
+            / 1000.0
+        )
         _resolve_transport(spec)  # fail fast on a bad spec
-        self._docs = None  # live connection opens lazily on first read
+        self._pump = None  # background consumer, started on first read
 
-    # Spark pickles the reader into the read task; a live socket (here: a
-    # running generator) can't cross process boundaries.  Only the spec
-    # travels — the revived copy would lazily reopen the transport, and
-    # the normal data path never needs it to (the simple-reader wrapper
-    # ships the driver-prefetched rows to executors).
+    # Spark pickles the reader into the read task; a live socket (and
+    # the pump thread draining it) can't cross process boundaries.  Only
+    # the spec travels — the revived copy would lazily reopen the
+    # transport, and the normal data path never needs it to (the
+    # simple-reader wrapper ships the driver-prefetched rows to
+    # executors).
     def __getstate__(self) -> dict:
         state = dict(self.__dict__)
-        state["_docs"] = None
+        state["_pump"] = None
         return state
 
-    def _documents(self) -> Iterator[str]:
-        if self._docs is None:
-            self._docs = LiveStreamConsumer(
+    def _ensure_pump(self):
+        if self._pump is None:
+            import queue
+            import threading
+
+            pump = {
+                "queue": queue.Queue(),
+                "done": False,
+                "error": None,
+            }
+            consumer = LiveStreamConsumer(
                 _resolve_transport(self.spec), self.max_reconnects
-            ).documents()
-        return self._docs
+            )
+
+            def run() -> None:
+                try:
+                    for doc in consumer.documents():
+                        pump["queue"].put(doc)
+                except BaseException as e:  # noqa: BLE001 - surfaced on read
+                    pump["error"] = e
+                finally:
+                    pump["done"] = True
+
+            thread = threading.Thread(
+                target=run, daemon=True, name="transis-live-pump"
+            )
+            pump["thread"] = thread
+            self._pump = pump
+            thread.start()
+        return self._pump
 
     def initialOffset(self) -> dict:
         return {"n_docs": 0}
 
     def read(self, start: dict) -> tuple[Iterator[tuple[str]], dict]:
+        import queue as _queue
+        import time as _time
+
+        pump = self._ensure_pump()
         rows: list[tuple[str]] = []
         budget = self.max_docs
-        for doc in self._documents():
-            rows.append((doc,))
-            if budget is not None:
-                budget -= 1
-                if budget <= 0:
-                    break
+        deadline = _time.monotonic() + self.poll_timeout_s
+        while budget is None or budget > 0:
+            try:
+                rows.append((pump["queue"].get_nowait(),))
+                if budget is not None:
+                    budget -= 1
+                continue
+            except _queue.Empty:
+                pass
+            if pump["done"] or _time.monotonic() >= deadline:
+                break
+            _time.sleep(0.01)
+        if (
+            not rows
+            and pump["done"]
+            and pump["queue"].empty()
+            and pump["error"] is not None
+        ):
+            raise pump["error"]
         return iter(rows), {"n_docs": start["n_docs"] + len(rows)}
 
 

@@ -169,14 +169,17 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
 
 
 def parquet_column_minmax(path: str, col: str) -> tuple | None:
-    """Exact (min, max) of a column from parquet FOOTER statistics —
-    zero Spark jobs, zero data pages read.
+    """Exact (min, max) of a NUMERIC/temporal column from parquet
+    FOOTER statistics — zero Spark jobs, zero data pages read.
 
     The 100 TB analogue is catalog/table statistics: range-bucketing
     decisions (see ``pack_context_windows``) need only the key's bounds,
     and a metastore or the footers already hold them — spending a full
     column scan on ``agg(min, max)`` is a wasted job.  Returns ``None``
-    when any row group lacks stats (caller falls back to a scan job).
+    when any row group lacks stats (caller falls back to a scan job) —
+    and for string/binary columns unconditionally: parquet writers
+    TRUNCATE long byte-array stats (adjusting max upward), so those
+    bounds are not exact values from the data.
     """
     import pyarrow.parquet as pq
 
@@ -196,6 +199,8 @@ def parquet_column_minmax(path: str, col: str) -> tuple | None:
             idx = md.schema.to_arrow_schema().names.index(col)
         except ValueError:
             return None
+        if md.schema.column(idx).physical_type == "BYTE_ARRAY":
+            return None  # string/binary stats may be truncated, not exact
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:

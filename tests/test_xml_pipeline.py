@@ -559,3 +559,68 @@ def test_live_stream_fail_stop_on_error_document(spark, tmp_path):
     finally:
         q.stop()
     assert failed, "error document must fail the streaming query"
+
+
+def test_live_stream_read_does_not_block_on_paused_transport(tmp_path):
+    """A live feed that pauses mid-stream stalls only the background
+    pump: read() returns what has arrived within pollTimeoutMs instead
+    of blocking the trigger loop until the stream ends."""
+    import time
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLLiveStreamReader,
+    )
+
+    flag = tmp_path / "release.flag"
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "import os, time\n"
+        "def make_stream():\n"
+        "    yield b'<first/>\\x00'\n"
+        f"    while not os.path.exists({str(flag)!r}):\n"
+        "        time.sleep(0.01)\n"
+        "    yield b'<second/>\\x00'\n"
+    )
+    reader = TransisXMLLiveStreamReader(
+        {"transport": f"{mock}:make_stream", "polltimeoutms": "500"}
+    )
+    t0 = time.monotonic()
+    rows1, off1 = reader.read(reader.initialOffset())
+    took = time.monotonic() - t0
+    assert [r[0] for r in rows1] == ["<first/>"]
+    assert off1 == {"n_docs": 1}
+    assert took < 5, f"read blocked {took:.1f}s on a paused stream"
+
+    flag.touch()  # un-pause the transport
+    got: list[str] = []
+    deadline = time.monotonic() + 5
+    off = off1
+    while not got and time.monotonic() < deadline:
+        rows, off = reader.read(off)
+        got = [r[0] for r in rows]
+    assert got == ["<second/>"] and off == {"n_docs": 2}
+
+
+def test_live_stream_read_surfaces_exhausted_budget(tmp_path):
+    """A transport that never connects exhausts the reconnect budget in
+    the pump thread; the failure surfaces as a raise on read() —
+    fail-stop, like the reference consumer."""
+    import pytest
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLLiveStreamReader,
+    )
+
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "def make_stream():\n"
+        "    raise ConnectionError('refused')\n"
+        "    yield b''\n"
+    )
+    reader = TransisXMLLiveStreamReader(
+        {"transport": f"{mock}:make_stream", "maxreconnects": "2"}
+    )
+    with pytest.raises(RuntimeError, match="2 attempts"):
+        # the pump dies quickly; read drains nothing and re-raises
+        for _ in range(50):
+            reader.read(reader.initialOffset())
