@@ -265,3 +265,76 @@ def test_containment_detects_excerpt(spark):
     assert r["containment_b_in_a"] == 1.0
     assert r["containment_a_in_b"] < 1.0
     assert not any(3 in k for k in rows)
+
+
+def test_asof_join_randomized_parity_with_bruteforce(spark):
+    """The union+window as-of against a plain brute-force reference on
+    seeded random data, both directions — guards the frame/tie logic
+    against edge cases (duplicate timestamps, keys with no right rows,
+    equal left/right timestamps)."""
+    import random
+
+    rng = random.Random(42)
+    left = [(rng.randrange(6), rng.randrange(50)) for _ in range(120)]
+    right = [
+        (rng.randrange(6), rng.randrange(50), f"v{i}") for i in range(80)
+    ]
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lid")
+    rdf = spark.createDataFrame(right, "k int, ts int, rv string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "rv"
+    )
+
+    def brute(direction):
+        out = {}
+        for i, (k, t) in enumerate(left):
+            if direction == "backward":
+                cand = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+                # ties on rt: the window's last() picks the right row
+                # sorted last; brute mirrors by max (rt, rv-insertion) —
+                # compare on the TS only, which is tie-safe.
+                out[i] = max((rt for rt, _ in cand), default=None)
+            else:
+                cand = [rt for rk, rt, rv in right if rk == k and rt >= t]
+                out[i] = min(cand, default=None)
+        return out
+
+    for direction in ("backward", "forward"):
+        got_rows = asof_join(
+            ldf,
+            rdf,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_value_cols=["ts"],
+            direction=direction,
+        ).collect()
+        got = {
+            r["lid"]: (None if r["asof_ts"] is None else int(r["asof_ts"].timestamp()))
+            for r in got_rows
+        }
+        assert got == brute(direction), direction
+
+
+def test_hierarchical_row_number_matches_global_sort(spark):
+    """The bucketed rank must equal a true global row_number over
+    (value, tiebreak) on seeded random data with heavy duplicates."""
+    import random
+
+    from scats_transis_kinesis_spark.operators.relational import (
+        hierarchical_row_number,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(20)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    out = hierarchical_row_number(
+        df, F.col("v"), tiebreak="id", out="rn", num_buckets=8
+    ).collect()
+    got = {r["id"]: r["rn"] for r in out}
+    expected = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda x: (x[1], x[0])))
+    }
+    assert got == expected
