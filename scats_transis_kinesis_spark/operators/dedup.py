@@ -44,6 +44,23 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+def _checkpoint_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize a BOUNDED result via ``localCheckpoint`` and
+    unpersist the cached frames it consumed (the pagerank lifecycle,
+    ``operators/graph.py``).
+
+    ``persist()`` entries live in the CacheManager for the process
+    lifetime; across a 150-query gate/bench run they accumulate until
+    LRU eviction.  Checkpointed blocks instead die with the RDD once
+    the returned frame is garbage-collected.  Only call this on frames
+    bounded by construction (candidate/near-dup pair lists — true-dup
+    density, never the corpus)."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist(blocking=False)
+    return out
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: content-hash groupBy keeping the min id.
 
@@ -88,7 +105,17 @@ def incremental_exact_dedup(
         # failure (corrupt footer, permissions, transient FS error) must
         # raise loudly: silently skipping the anti-join would re-admit
         # every previously-kept document AND append duplicate hashes.
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+        # The structured error class is the stable contract (message
+        # text varies across Spark versions); the string probes remain
+        # only as a fallback for builds without getCondition/getErrorClass.
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        code = getter() if callable(getter) else None
+        if code is not None:
+            if code != "PATH_NOT_FOUND":
+                raise
+        elif "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         seen = None
     if seen is not None:
@@ -176,13 +203,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
         )
     # Persisted: the banded frame is both sides of the bucket self-join —
     # unpersisted, each side would recompute the full signature
-    # aggregation (the k grouped mins over the exploded shingles).
+    # aggregation (the k grouped mins over the exploded shingles).  The
+    # candidate-pair output is bounded (bucket-collision density), so it
+    # checkpoints eagerly and the cache is released right here.
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band", "b.bucket").persist()
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -192,6 +221,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+    return _checkpoint_release(pairs, banded)
 
 
 def jaccard_verify(candidates: DataFrame, sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -228,14 +258,17 @@ def minhash_lsh_near_dups(
     The shingle sets are persisted and shared between signature
     computation and verification — shingling is the dominant narrow
     stage, so it runs once (at cluster scale this materialization is a
-    checkpoint of the shingle table)."""
+    checkpoint of the shingle table).  The verified-pair result is
+    bounded by true near-dup density, so it checkpoints eagerly and the
+    shingle cache is released before returning."""
     sets = shingle_sets(df, text_col, id_col).persist()
     sigs = minhash_signatures_from_sets(sets, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
-    return (
+    verified = (
         jaccard_verify(cands, sets, id_col)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return _checkpoint_release(verified, sets)
 
 
 # Containment threshold for excerpt detection: |A∩B|/min(|A|,|B|).
@@ -266,7 +299,7 @@ def containment_near_dups(
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     c_ab = inter / F.size("toks_a")
     c_ba = inter / F.size("toks_b")
-    return (
+    verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -280,6 +313,7 @@ def containment_near_dups(
             >= CONTAINMENT_THRESHOLD
         )
     )
+    return _checkpoint_release(verified, sets)
 
 
 def ngram_jaccard_pairs(
@@ -350,10 +384,11 @@ def ngram_jaccard_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    return (
+    verified = (
         jaccard_verify(candidates, shingled, id_col)
         .where(F.col("jaccard") >= threshold)
     )
+    return _checkpoint_release(verified, shingled, ranked)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -415,7 +450,9 @@ def simhash_near_dup_pairs(
         ]
     )
     # Persisted: both sides of the band equi-join — unpersisted, each
-    # side would recompute the per-bit majority aggregation.
+    # side would recompute the per-bit majority aggregation.  The pair
+    # output is bounded (Hamming-ball density), so it checkpoints
+    # eagerly and the cache is released before returning.
     banded = sims.select(id_col, "simhash", F.explode(bands).alias("b")).select(
         id_col, "simhash", "b.band", "b.chunk"
     ).persist()
@@ -425,13 +462,14 @@ def simhash_near_dup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
     )
-    return (
+    pairs = (
         a.join(b, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return _checkpoint_release(pairs, banded)
 
 
 def connected_components(

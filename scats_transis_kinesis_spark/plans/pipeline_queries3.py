@@ -65,15 +65,15 @@ BP_MAX_RATIO = 0.5
 )
 def boilerplate_shingle_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    # Persisted: the exploded shingle frame feeds BOTH the document-
-    # frequency aggregate and the join-back pass — without it shingling
-    # (the dominant narrow stage) runs twice.  Same pattern as the
-    # minhash family (operators/dedup.py:near_duplicates); at cluster
-    # scale this materialization is a checkpoint of the shingle table.
-    ex = (
-        shingle_sets(docs)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .persist()
+    # NOT persisted: the exploded shingle frame feeds BOTH the document-
+    # frequency aggregate and the join-back pass, but it is the
+    # corpus-scale shingle stream — the 100 TB shape recomputes the
+    # narrow shingling pass from the columnar scan (twice) rather than
+    # caching corpus-scale data in a CacheManager entry that outlives
+    # the query (cf. the bounded-output checkpoint lifecycle the
+    # minhash pair family uses, operators/dedup.py:_checkpoint_release).
+    ex = shingle_sets(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     # shingle_sets emits per-doc DISTINCT shingles, so count(*) per
     # shingle == distinct-document frequency.

@@ -113,9 +113,13 @@ BM25_QUERY = ("spark", "window", "stream")
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     w = tokens("text")
-    # Persisted: the tokenized frame feeds the (n_docs, avgdl) corpus
-    # aggregate AND the query-term hit extraction.
-    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("dl")).persist()
+    # NOT persisted: the tokenized frame feeds both the (n_docs, avgdl)
+    # corpus aggregate and the query-term hit extraction, but it is the
+    # corpus token stream — at 100 TB you never cache that; two narrow
+    # passes over the columnar scan are cheaper than writing + reading
+    # a corpus-scale cache (and a persist here would sit in the
+    # CacheManager for the process lifetime).
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("dl"))
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -568,7 +572,8 @@ def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL (
             SELECT unnest(generate_series(0,
                 ((p.target_tokens // p.source_tokens)
-                 + CASE WHEN (d.doc_id * 2654435761) % 1000000
+                 + CASE WHEN ((d.doc_id % 1000000)
+                              * (2654435761 % 1000000)) % 1000000
                           < ((p.target_tokens % p.source_tokens) * 1000000
                              // p.source_tokens)
                         THEN 1 ELSE 0 END) - 1)) AS rep) r
@@ -597,7 +602,17 @@ def mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac_ppm = F.expr(
         "((target_tokens % source_tokens) * 1000000) div source_tokens"
     )
-    draw = (F.col("doc_id") * F.lit(2654435761)) % 1_000_000
+    # Modular reduction BEFORE the multiply: (a*b) mod m ==
+    # ((a mod m)*(b mod m)) mod m, and the reduced product is < 1e6 *
+    # 435761 < 2^39 — so the draw never wraps a 64-bit long no matter
+    # how large doc_id grows (the naive doc_id * 2654435761 wraps
+    # negative past doc_id ~3.47e9, admitting every doc), and the
+    # oracle's BIGINT multiply cannot overflow-error either.
+    draw = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1_000_000))
+        * F.lit(2654435761 % 1_000_000),
+        F.lit(1_000_000),
+    )
     n_reps = base_reps + F.when(draw < frac_ppm, 1).otherwise(0)
     return (
         docs.select("doc_id", "source")
@@ -648,12 +663,12 @@ VOCAB_MIN_COUNT = 200
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    # Persisted: the token stream feeds both the vocabulary aggregate
-    # and the join-back pass (same shared-narrow-stage rationale as
-    # boilerplate_shingle_prune).
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).persist()
+    # NOT persisted: the token stream feeds both the vocabulary
+    # aggregate and the join-back pass, but it is corpus-scale — the
+    # 100 TB shape recomputes the narrow explode from the columnar scan
+    # rather than caching the token stream (same rationale as
+    # bm25_topk / boilerplate_shingle_prune).
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))

@@ -288,6 +288,19 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
             )
             / 1000.0
         )
+        # Backpressure bound for the pump queue: a producer faster than
+        # the trigger drain rate blocks on put() instead of growing
+        # driver memory without bound.  Default: a few triggers' worth
+        # when maxDocsPerTrigger is set, else a fixed cap.
+        max_buffered = options.get("maxbuffereddocs") or options.get(
+            "maxBufferedDocs"
+        )
+        if max_buffered:
+            self.max_buffered = int(max_buffered)
+            if self.max_buffered < 1:
+                raise ValueError("transis_xml: maxBufferedDocs must be >= 1")
+        else:
+            self.max_buffered = 4 * self.max_docs if self.max_docs else 10_000
         _resolve_transport(spec)  # fail fast on a bad spec
         self._pump = None  # background consumer, started on first read
 
@@ -308,7 +321,10 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
             import threading
 
             pump = {
-                "queue": queue.Queue(),
+                # Bounded: put() blocks when the trigger loop falls
+                # behind the transport, backpressuring consumption to
+                # the drain rate instead of buffering without bound.
+                "queue": queue.Queue(maxsize=self.max_buffered),
                 "done": False,
                 "error": None,
             }

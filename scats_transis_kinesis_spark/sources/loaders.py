@@ -181,6 +181,7 @@ def parquet_column_minmax(path: str, col: str) -> tuple | None:
     TRUNCATE long byte-array stats (adjusting max upward), so those
     bounds are not exact values from the data.
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = [path]
@@ -194,10 +195,24 @@ def parquet_column_minmax(path: str, col: str) -> tuple | None:
             return None
     lo = hi = None
     for f in files:
-        md = pq.ParquetFile(f).metadata
         try:
-            idx = md.schema.to_arrow_schema().names.index(col)
-        except ValueError:
+            md = pq.ParquetFile(f).metadata
+        except (OSError, pa.ArrowInvalid):  # missing/corrupt file → scan fallback
+            return None
+        # Resolve against parquet LEAF columns, not the top-level arrow
+        # schema: a nested (struct/list) column before `col` holds
+        # multiple leaves, so an arrow-level index would silently point
+        # at the wrong leaf's statistics.  ColumnSchema.path equals the
+        # plain name for flat columns and dotted paths for nested ones.
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == col
+            ),
+            None,
+        )
+        if idx is None:
             return None
         if md.schema.column(idx).physical_type == "BYTE_ARRAY":
             return None  # string/binary stats may be truncated, not exact

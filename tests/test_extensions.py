@@ -294,6 +294,34 @@ def test_parquet_column_minmax_reads_footer_stats(spark, tmp_path):
     )
     assert parquet_column_minmax(path, "doc_id") == (7, 106)
     assert parquet_column_minmax(path, "missing_col") is None
+    assert parquet_column_minmax(str(tmp_path / "nope.parquet"), "x") is None
+
+
+def test_parquet_column_minmax_nested_column_shift(spark, tmp_path):
+    """A nested (struct) column BEFORE the target contributes multiple
+    parquet leaves, so an arrow-schema (top-level) index would point at
+    the wrong leaf's statistics — the target must resolve against leaf
+    paths.  Here the struct's two leaves hold ranges disjoint from the
+    flat column's, so a shifted index returns visibly wrong bounds."""
+    from scats_transis_kinesis_spark.sources.loaders import (
+        parquet_column_minmax,
+    )
+
+    path = str(tmp_path / "nested.parquet")
+    (
+        spark.range(50)
+        .selectExpr(
+            "named_struct('a', id + 1000, 'b', id + 2000) AS s",
+            "id + 7 AS doc_id",
+        )
+        .coalesce(1)
+        .write.parquet(path)
+    )
+    assert parquet_column_minmax(path, "doc_id") == (7, 56)
+    # nested leaves are addressable by their dotted path
+    assert parquet_column_minmax(path, "s.a") == (1000, 1049)
+    # the struct container itself has no leaf stats
+    assert parquet_column_minmax(path, "s") is None
 
 
 def test_ensure_parallelism_gated_by_input_size(spark, tmp_path):
