@@ -257,12 +257,22 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
     reference consumer.
 
     The offset is the count of documents consumed from the live stream.
-    A live socket cannot seek, so exact replay is delegated to the
-    SimpleDataSourceStreamReader wrapper's prefetch cache (Spark retains
-    the entries it handed out until the batch commits) — the same
-    at-least-once story as the reference's raw stream, but with the
-    micro-batch boundary recorded; the reference's recursive reconnect
-    loop has no recovery marker at all."""
+    A live socket cannot seek, so WITHIN a run exact replay comes from
+    the SimpleDataSourceStreamReader wrapper's prefetch cache (Spark
+    retains the entries it handed out until the batch commits).  ACROSS
+    a restart that cache is gone — recovery calls
+    ``readBetweenOffsets`` — so the reader journals every delivered
+    document to a spool directory (option ``spoolDir``): ``read``
+    appends an offset-named NUL-delimited file per non-empty batch,
+    ``readBetweenOffsets`` replays any offset range from the journal,
+    and ``commit`` prunes files entirely below the committed offset so
+    the spool stays bounded by one uncommitted batch.  Restarting from
+    a checkpoint therefore resumes exactly where the offset log stopped
+    (at-least-once, batch-replay-exact) — the reference's recursive
+    reconnect loop (transis_consumer.py:141-148) has no recovery marker
+    at all and drops everything in flight.  Without ``spoolDir`` the
+    live path still runs, but a restart that must replay raises with
+    an actionable message instead of silently losing the batch."""
 
     def __init__(self, options: dict) -> None:
         spec = options.get("transport")
@@ -301,6 +311,7 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError("transis_xml: maxBufferedDocs must be >= 1")
         else:
             self.max_buffered = 4 * self.max_docs if self.max_docs else 10_000
+        self.spool_dir = options.get("spooldir") or options.get("spoolDir")
         _resolve_transport(spec)  # fail fast on a bad spec
         self._pump = None  # background consumer, started on first read
 
@@ -378,7 +389,92 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
             and pump["error"] is not None
         ):
             raise pump["error"]
+        if self.spool_dir and rows:
+            self._spool_write(start["n_docs"], rows)
         return iter(rows), {"n_docs": start["n_docs"] + len(rows)}
+
+    # --- replay journal -------------------------------------------------
+    # One NUL-delimited file per non-empty micro-batch, named by its
+    # half-open offset range.  Written atomically (tmp + rename) so a
+    # crash mid-write never leaves a torn file for recovery to trust.
+
+    def _spool_write(self, start_off: int, rows: list[tuple[str]]) -> None:
+        os.makedirs(self.spool_dir, exist_ok=True)
+        end_off = start_off + len(rows)
+        path = os.path.join(
+            self.spool_dir, f"{start_off:012d}-{end_off:012d}.spool"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for (doc,) in rows:
+                f.write(doc.encode("utf-8"))
+                f.write(RECORD_DELIMITER)
+        os.replace(tmp, path)
+
+    def _spool_files(self) -> list[tuple[int, int, str]]:
+        if not self.spool_dir or not os.path.isdir(self.spool_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.spool_dir)):
+            if not name.endswith(".spool"):
+                continue
+            lo, _, hi = name[: -len(".spool")].partition("-")
+            out.append((int(lo), int(hi), os.path.join(self.spool_dir, name)))
+        return out
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start["n_docs"], end["n_docs"]
+        if lo >= hi:
+            return iter([])
+        if not self.spool_dir:
+            raise ValueError(
+                "transis_xml: restart recovery needs to replay documents "
+                f"[{lo}, {hi}) from a previous run, but no 'spoolDir' "
+                "option was set — configure spoolDir so the live reader "
+                "journals delivered documents for exact replay."
+            )
+        rows: list[tuple[str]] = []
+        expected = lo
+        for f_lo, f_hi, path in self._spool_files():
+            if f_hi <= lo or f_lo >= hi:
+                continue
+            with open(path, "rb") as f:
+                docs = f.read().split(RECORD_DELIMITER)[:-1]
+            for i, doc in enumerate(docs):
+                off = f_lo + i
+                if lo <= off < hi:
+                    if off != expected:
+                        break  # gap — fail below with a precise message
+                    rows.append((doc.decode("utf-8"),))
+                    expected += 1
+        if expected != hi:
+            raise RuntimeError(
+                f"transis_xml: spool {self.spool_dir} cannot replay "
+                f"[{lo}, {hi}): documents [{expected}, {hi}) are missing "
+                "(spool pruned beyond the committed offset, or a foreign "
+                "checkpoint was pointed at this spool)."
+            )
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        # Bounded journal: a file is prunable once every offset in it is
+        # at or below the committed watermark — replay can only ever ask
+        # for [committed, planned).  The NEWEST fully-committed file is
+        # retained anyway: deleting the latest commit-log entry to force
+        # one batch to reprocess is a standard Structured Streaming ops
+        # move, and keeping one extra batch of documents makes it work
+        # for this non-seekable source too.
+        committed = end["n_docs"]
+        prunable = [
+            path
+            for _f_lo, f_hi, path in self._spool_files()
+            if f_hi <= committed
+        ]
+        for path in prunable[:-1]:
+            try:
+                os.remove(path)
+            except OSError:
+                pass  # best-effort GC; an undeleted file stays correct
 
 
 class TransisXMLDataSource(DataSource):

@@ -632,3 +632,149 @@ def test_incremental_exact_dedup_across_runs(spark):
 
         n_hashes = spark.read.parquet(state).count()
         assert n_hashes == 3  # alpha, beta, gamma — one row per distinct text
+
+
+# --- live-source checkpoint recovery (S1 + O6: the replay story the
+# reference's recursive reconnect loop lacks) -----------------------------
+
+
+def _live_feed_transport(tmp_path):
+    """A mock live feed that CONTINUES across connections: a position
+    file records how many bytes have been served, so a restarted query's
+    fresh pump receives only what a real long-lived socket would deliver
+    next — never a rewind of history."""
+    src = tmp_path / "feed.bin"
+    pos = tmp_path / "feed.pos"
+    src.write_bytes(b"")
+    mock = tmp_path / "transport.py"
+    mock.write_text(
+        "import os\n"
+        f"SRC = {str(src)!r}\n"
+        f"POS = {str(pos)!r}\n"
+        "def make_stream():\n"
+        "    p = int(open(POS).read()) if os.path.exists(POS) else 0\n"
+        "    data = open(SRC, 'rb').read()\n"
+        "    while p < len(data):\n"
+        "        chunk = data[p:p + 7]\n"
+        "        p += len(chunk)\n"
+        "        with open(POS, 'w') as f:\n"
+        "            f.write(str(p))\n"
+        "        yield chunk\n"
+    )
+    def feed(docs):
+        with open(src, "ab") as f:
+            for d in docs:
+                f.write(d.encode("utf-8") + b"\x00")
+    return f"{mock}:make_stream", feed
+
+
+def test_live_reader_spool_replays_across_instances(tmp_path):
+    """Reader-level recovery contract: a FRESH reader instance (as after
+    a restart — the prefetch cache is gone) replays any uncommitted
+    offset range from the spool journal; commit prunes all but the
+    newest fully-committed file; a spool-less reader fails loudly."""
+    import pytest as _pytest
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLLiveStreamReader,
+    )
+
+    spec, feed = _live_feed_transport(tmp_path)
+    docs = [f'<doc id="{i}"/>' for i in range(5)]
+    feed(docs)
+    opts = {
+        "transport": spec,
+        "spooldir": str(tmp_path / "spool"),
+        "maxdocspertrigger": "2",
+    }
+    r1 = TransisXMLLiveStreamReader(opts)
+    off0 = r1.initialOffset()
+    _rows, off1 = r1.read(off0)          # [0, 2)
+    _rows, off2 = r1.read(off1)          # [2, 4)
+    _rows, off3 = r1.read(off2)          # [4, 5)
+    assert (off1, off2, off3) == (
+        {"n_docs": 2}, {"n_docs": 4}, {"n_docs": 5}
+    )
+    r1.commit(off1)
+    r1.commit(off2)  # prunes [0,2), retains [2,4) (newest committed)
+
+    r2 = TransisXMLLiveStreamReader(opts)  # fresh instance, no pump
+    assert [v for (v,) in r2.readBetweenOffsets(off1, off3)] == docs[2:5]
+    assert [v for (v,) in r2.readBetweenOffsets(off2, off3)] == docs[4:5]
+    assert list(r2.readBetweenOffsets(off3, off3)) == []
+    with _pytest.raises(RuntimeError, match="cannot replay"):
+        list(r2.readBetweenOffsets(off0, off1))  # pruned range
+
+    r3 = TransisXMLLiveStreamReader({"transport": spec})
+    with _pytest.raises(ValueError, match="spoolDir"):
+        list(r3.readBetweenOffsets(off1, off2))
+
+
+def test_live_stream_checkpoint_restart_replays_then_resumes(spark, tmp_path):
+    """End-to-end kill/restart mid-stream: query 1 consumes three
+    documents and stops; the newest commit-log entry is removed
+    (crash-before-commit: the batch is in the offset log but not the
+    commit log); the feed then grows.  The restarted query must first
+    REPLAY the uncommitted batch exactly (from the spool journal — the
+    wrapper's prefetch cache died with query 1) and then resume the
+    live feed with no duplicates and no gaps."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    register_transis_datasource(spark)
+    spec, feed = _live_feed_transport(tmp_path)
+    docs1 = [f'<doc id="{i}"/>' for i in range(3)]
+    feed(docs1)
+    ckpt = tmp_path / "ckpt"
+
+    def run_query(sink):
+        return (
+            spark.readStream.format("transis_xml")
+            .option("transport", spec)
+            .option("spoolDir", str(tmp_path / "spool"))
+            .option("maxDocsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: sink.append(
+                    (bid, [r.value for r in df.collect()])
+                )
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    run1: list = []
+    q = run_query(run1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [v for _, vs in run1 for v in vs] == docs1
+
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    replayed = dict(run1)[int(commits[-1].name)]
+    assert replayed, "newest batch unexpectedly empty"
+    commits[-1].unlink()
+    # the local ChecksumFs keeps a hidden .N.crc sidecar; a stale one
+    # makes the re-written commit file fail its rename on restart
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+
+    docs2 = [f'<doc id="{i}"/>' for i in (3, 4)]
+    feed(docs2)
+
+    run2: list = []
+    q = run_query(run2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat2 = [v for _, vs in run2 for v in vs]
+    assert flat2[: len(replayed)] == replayed, flat2
+    assert flat2[len(replayed):] == docs2, flat2
