@@ -186,6 +186,75 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_long_chain_bounded_rounds(spark):
+    """Adversarial 1000-vertex chain (the worst case for min-label
+    propagation: O(diameter) = 1000 rounds): the alternating-star loop
+    must collapse it to one cluster in O(log²) rounds.  Also pins a
+    shuffled-id chain, so correctness never rides on ids arriving in
+    path order."""
+    import random
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 1000
+    ids = list(range(n))
+    rng = random.Random(7)
+    rng.shuffle(ids)  # chain path visits vertex ids in random order
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert connected_components.last_rounds <= 15, (
+        f"star rounds blew up: {connected_components.last_rounds}"
+    )
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Randomized parity: alternating-star labels must equal a plain
+    union-find ground truth on a random sparse graph (multiple
+    components, cliques, chains, isolated pairs)."""
+    import random
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(123)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {}
+    for v in verts:
+        root = find(v)
+        want[v] = min(u for u in verts if find(u) == root)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+
+
 def test_compact_table_merges_small_files(spark, tmp_path):
     from scats_transis_kinesis_spark.sources.loaders import compact_table
 
