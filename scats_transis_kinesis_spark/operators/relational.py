@@ -111,14 +111,69 @@ def sessionize(
 
 
 def top_k_per_group(
-    df: DataFrame, keys: list[str], order: list[Column], k: int
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    skew_safe: bool = False,
 ) -> DataFrame:
-    """Top-k rows per group via row_number — the shuffle carries all rows
-    but AQE-coalesced; for extreme k≪group-size at 100 TB, pre-filter
-    with a per-partition partial top-k before the window if profiling
-    demands it. ``order`` must include a deterministic tiebreaker."""
+    """Top-k rows per group via row_number.  ``order`` must include a
+    deterministic tiebreaker.
+
+    ``skew_safe=True`` adds a per-input-partition partial top-k before
+    the group window (the TakeOrderedAndProject idea applied per
+    group): row_number over (input partition, group) keeps at most k
+    rows per group per partition, so a hot group — 50% of a 100 TB
+    fact on one key — enters the final window with at most
+    k×num_partitions rows instead of half the table in a single task.
+    The union of per-partition top-k is a superset of the global
+    top-k, so results are identical; the cost is one extra balanced
+    exchange, which is why it is opt-in for uniformly-distributed
+    inputs."""
     w = W.partitionBy(*keys).orderBy(*order)
+    if skew_safe:
+        # materialized pid column: Window specs reject nondeterministic
+        # expressions, a projected column is fine
+        pw = W.partitionBy("_pid", *keys).orderBy(*order)
+        df = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prn", F.row_number().over(pw))
+            .where(F.col("_prn") <= k)
+            .drop("_pid", "_prn")
+        )
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a deterministic salt in
+    [0, buckets) hashed from ``salt_on`` (columns that distinguish rows
+    WITHIN a key — an event id, a timestamp — never the key itself),
+    the dim side is exploded ``buckets``× so every (key, salt) pair
+    exists, and the join runs on the composite key.  A hot key's rows
+    spread over ``buckets`` shuffle partitions instead of one.  Purely
+    a physical strategy: the result equals the plain join row-for-row.
+    (AQE's skew-join split handles moderate skew on sort-merge joins;
+    explicit salting is the tool for pathological single-key hotspots
+    and for joins AQE won't split.)"""
+    sf = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_on), F.lit(buckets)).cast("int")
+    )
+    sd = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return sf.join(
+        sd,
+        (sf[fact_key] == sd[dim_key]) & (sf["_salt"] == sd["_salt"]),
+        how,
+    ).drop("_salt")
 
 
 def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:

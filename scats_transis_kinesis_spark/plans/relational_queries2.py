@@ -134,19 +134,14 @@ SALT_BUCKETS = 8
     for pathological single-key hotspots.)""",
 )
 def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_join
+
     e = load_table(spark, "events", sf_dir)
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
-    salted_e = e.withColumn(
-        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
-    )
-    salted_c = c.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
-    )
     return (
-        salted_e.join(
-            salted_c,
-            (salted_e.user_id == salted_c.c_custkey)
-            & (salted_e.salt == salted_c.salt),
+        salted_join(
+            e, c, "user_id", "c_custkey",
+            salt_on=["event_id"], buckets=SALT_BUCKETS,
         )
         .groupBy("c_nationkey")
         .agg(
