@@ -253,7 +253,13 @@ PACK_NUM_BUCKETS = 64
     bucket bounds come from parquet footer statistics (catalog stats at
     cluster scale), so exactly ONE Spark job runs before the main query
     — round 2 ran three (cache populate + min/max + totals) and paid
-    ~11 s of orchestration overhead at sf0.1.""",
+    ~11 s of orchestration overhead at sf0.1; round 4 measures 0.85 s.
+    The remaining pre-job is irreducible without caching corpus-scale
+    data: per-bucket TOKEN totals are computed from ``text`` (footer
+    stats only cover stored columns), and materializing the tokenized
+    frame to share it between the totals pass and the main pass is the
+    cache-the-token-stream anti-pattern the engine deliberately avoids
+    — two narrow scans beat a corpus-scale cache at 100 TB.""",
 )
 def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -160,6 +160,100 @@ def test_resize_media_rewrites_meta_keeps_payload(spark, documents):
         M.resize_media(media, 1, 1, strict=True).collect()
 
 
+def _ppm_payload(width, height, pixels):
+    """Tiny binary PPM: pixels = [(r, g, b), ...] row-major."""
+    return M.encode_ppm(
+        width, height, bytes(v for px in pixels for v in px)
+    )
+
+
+def _wav_payload(samples, rate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        import array
+
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def _media_df(spark, rows):
+    """rows = [(media_id, payload_bytes, mime)]"""
+    return spark.createDataFrame(
+        [(i, bytearray(p), (mime, None, None, None)) for i, p, mime in rows],
+        M.MEDIA_SCHEMA,
+    )
+
+
+def test_strict_features_decode_real_ppm_and_wav(spark):
+    """strict=True decodes actual payload content (stdlib PPM/WAV
+    decoders — Pillow optional-imports in richer environments): image
+    features carry true dimensions and channel means, audio features
+    carry channels/rate/duration/RMS."""
+    red_green = _ppm_payload(
+        2, 1, [(255, 0, 0), (0, 255, 0)]
+    )  # mean R = mean G = 127.5/255
+    silence = _wav_payload([0] * 8000)  # 1 s of silence at 8 kHz
+    df = _media_df(
+        spark,
+        [
+            (1, red_green, "image/x-portable-pixmap"),
+            (2, silence, "audio/wav"),
+        ],
+    )
+    feats = {r["media_id"]: r["feature"] for r in M.extract_features(df, strict=True).collect()}
+    img = feats[1]
+    assert img[0] == round(2 / 4096.0, 6) and img[1] == round(1 / 4096.0, 6)
+    assert img[2] == img[3] == 0.5  # mean R and G over the two pixels
+    assert img[4] == 0.0  # no blue anywhere
+    audio = feats[2]
+    assert audio[0] == round(1 / 8.0, 6)          # mono
+    assert audio[1] == round(8000 / 48000.0, 6)   # frame rate
+    assert audio[2] == 1.0                        # exactly one second
+    assert audio[3] == 0.0                        # RMS of silence
+
+    loud = _wav_payload([16384, -16384] * 4000)
+    df2 = _media_df(spark, [(3, loud, "audio/wav")])
+    [r] = M.extract_features(df2, strict=True).collect()
+    assert r["feature"][3] == 0.5  # RMS 16384/32768
+
+
+def test_strict_resize_really_resamples_ppm(spark):
+    """strict resize decodes, nearest-neighbor resamples, re-encodes:
+    a 2x2 checkerboard upscaled to 4x4 replicates each source pixel
+    into a 2x2 block, and the metadata matches the new payload."""
+    check = _ppm_payload(
+        2, 2,
+        [(255, 0, 0), (0, 0, 255), (0, 0, 255), (255, 0, 0)],
+    )
+    df = _media_df(spark, [(1, check, "image/x-portable-pixmap")])
+    [r] = M.resize_media(df, width=4, height=4, strict=True).collect()
+    assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+    w, h, rgb = M._parse_ppm(bytes(r["payload"]))
+    assert (w, h) == (4, 4)
+
+    def px(x, y):
+        i = (y * 4 + x) * 3
+        return tuple(rgb[i : i + 3])
+
+    red, blue = (255, 0, 0), (0, 0, 255)
+    for y in range(4):
+        for x in range(4):
+            want = red if (x // 2 + y // 2) % 2 == 0 else blue
+            assert px(x, y) == want, (x, y)
+
+
+def test_strict_features_unsupported_mime_raises(spark):
+    df = _media_df(spark, [(1, b"\x00\x01", "video/mp4")])
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        M.extract_features(df, strict=True).collect()
+
+
 def test_split_error_documents_dead_letter(spark):
     from scats_transis_kinesis_spark.operators.projection import split_error_documents
 
