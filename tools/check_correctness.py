@@ -93,6 +93,10 @@ def main() -> int:
     t_all = time.time()
     for name in names:
         t0 = time.time()
+        # Per-query cache isolation (same as bench.py): persisted
+        # frames are scoped to one query's run, never accumulated
+        # across the 150-query gate process.
+        spark.catalog.clearCache()
         try:
             sdf = qs[name](spark, args.sf_dir)
             scols = sdf.columns
