@@ -80,6 +80,74 @@ def test_partial_aggregation_before_exchange(spark):
     assert agg_then_exchange, "no map-side partial aggregate in dedup_exact"
 
 
+def test_dedup_pair_generator_plans_pre_checkpoint(spark):
+    """The dedup pair generators eagerly localCheckpoint their bounded
+    pair output (cache-lifecycle fix), so the REGISTRY-wide sweeps below
+    see only an ExistingRDD scan for them.  This pins their internal
+    plan hygiene at the pre-checkpoint level instead: the banded /
+    prefix self-joins must be equi-joins (no cartesian, no nested
+    loop), and signature/simhash aggregation must partial-aggregate
+    below the exchange."""
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        minhash_signatures,
+        simhash,
+    )
+    from scats_transis_kinesis_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).limit(50)
+
+    def formatted(df):
+        jvm = spark.sparkContext._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    sigs = minhash_signatures(docs)
+    sig_plan = formatted(sigs)
+    assert re.search(r"HashAggregate.*Exchange.*HashAggregate", sig_plan, re.S), (
+        "minhash signature aggregation lost its map-side combine"
+    )
+
+    # the band self-join, built WITHOUT the checkpoint wrapper: rebuild
+    # the banded frame the way lsh_candidate_pairs does and join it
+    from scats_transis_kinesis_spark.operators import dedup as D
+
+    bands = []
+    for band in range(D.BANDS):
+        cols = [f"m{band * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                D.portable_hash64(
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+                ).alias("bucket"),
+            )
+        )
+    banded = sigs.select(
+        F.col("doc_id"), F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band", "b.bucket")
+    pair_plan = formatted(
+        banded.alias("l").join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+    )
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+    assert "SortMergeJoin" in pair_plan or "ShuffledHashJoin" in pair_plan or (
+        "BroadcastHashJoin" in pair_plan
+    ), pair_plan
+
+    sim_plan = formatted(simhash(docs))
+    assert re.search(r"HashAggregate.*Exchange.*HashAggregate", sim_plan, re.S), (
+        "simhash per-bit aggregation lost its map-side combine"
+    )
+
+
 def test_no_rowwise_python_udf_anywhere(spark):
     # The engine-wide invariant: no registered query may use
     # row-at-a-time Python (BatchEvalPython). Arrow-batched pandas
