@@ -111,6 +111,19 @@ HEADLINE = [
     "time_decay_user_scores",
     "user_daily_streaks",
     "unigram_perplexity_score",
+    # round-4 additions: decayed counters, graph triangles, entropy
+    # quality, hybrid-retrieval fusion, Kneser-Ney LM
+    "decayed_hourly_traffic",
+    "triangle_count_copurchase",
+    "token_entropy_quality",
+    "rrf_fusion_topk",
+    "kneser_ney_bigram_lm",
+    # round-4 batch 2: path mining, community detection, skyline,
+    # entity resolution
+    "event_path_trigrams",
+    "lpa_community_labels",
+    "skyline_pareto_orders",
+    "entity_fuzzy_clusters",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

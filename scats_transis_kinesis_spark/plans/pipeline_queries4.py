@@ -68,9 +68,7 @@ BM25_TOPK = 10
 BM25_QUERY = ("spark", "window", "stream")
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
         WITH base AS (
             SELECT doc_id, string_split(text, ' ') AS w,
                    len(string_split(text, ' ')) AS dl
@@ -96,8 +94,9 @@ BM25_QUERY = ("spark", "window", "stream")
         SELECT doc_id, sum(term_micros)::BIGINT AS score_micros
         FROM scored GROUP BY doc_id
         ORDER BY score_micros DESC, doc_id LIMIT {BM25_TOPK}
-    """,
-    doc=f"""BM25 top-{BM25_TOPK} retrieval (Robertson/Sparck Jones; the
+    """
+
+_BM25_DOC = f"""BM25 top-{BM25_TOPK} retrieval (Robertson/Sparck Jones; the
     Lucene-style ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) for a fixed
     keyword query — the classic search-infra scorer over the corpus.
     Scale shape: tokens are filtered to the query terms INSIDE the
@@ -108,10 +107,14 @@ BM25_QUERY = ("spark", "window", "stream")
     BNL, allowlisted); top-k is ORDER BY + LIMIT — Spark executes
     TakeOrderedAndProject (per-partition partial top-k, no global
     sort materialization).  Per-term scores round to integer micros
-    before summing, so cross-engine totals are exact integer math.""",
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    before summing, so cross-engine totals are exact integer math."""
+
+
+def bm25_score_frame(docs: DataFrame) -> DataFrame:
+    """``(doc_id, score_micros)`` BM25 scores for :data:`BM25_QUERY` —
+    the shared scorer behind ``bm25_topk`` and the RRF fusion query
+    (pipeline_queries5).  Only documents with at least one query-term
+    hit appear."""
     w = tokens("text")
     # NOT persisted: the tokenized frame feeds both the (n_docs, avgdl)
     # corpus aggregate and the query-term hit extraction, but it is the
@@ -148,9 +151,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_micros.alias("term_micros"))
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_micros").cast("long").alias("score_micros")
+    )
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE, doc=_BM25_DOC)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_micros").cast("long").alias("score_micros"))
+        bm25_score_frame(docs)
         .orderBy(F.desc("score_micros"), "doc_id")
         .limit(BM25_TOPK)
     )

@@ -1,0 +1,763 @@
+"""Training-data pipeline queries, round 4: decayed traffic counters,
+distributed triangle counting, per-document token entropy, reciprocal-
+rank fusion of lexical + embedding retrieval, and a Kneser-Ney bigram
+language model.
+
+Same contract discipline as the sibling modules: declarative plans,
+partitioned-only shuffles, exact DuckDB oracles, FP-accumulating sums
+carried as per-term integer micros (round BEFORE the sum, so the
+cross-engine total is exact integer math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+from .pipeline_queries4 import bm25_score_frame
+from .registry import register
+
+# Decayed-counter parameters: half-life decay per hour, bounded horizon.
+# The 1/2 decay base is EXACT in binary floating point (the weight is a
+# plain power-of-two scaling), so the per-term micro rounding is
+# bit-identical across engines — no libm pow() in the contract.
+DECAY_HORIZON = 20
+
+# Reciprocal-rank-fusion parameters (Cormack et al.: 1/(K + rank)).
+RRF_K = 60
+RRF_POOL = 50  # depth of each input ranking
+RRF_TOPK = 10
+RRF_QUERY_VEC_ID = 0  # embedding row used as the dense query
+
+# Kneser-Ney discount (the standard 0.75) and report size.
+KN_DISCOUNT = 0.75
+KN_TOPK = 20
+
+
+@register(
+    "decayed_hourly_traffic",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), terms AS (
+            SELECT event_type, h + to_hours(lag) AS target_h,
+                   round(c * 1e6 / (1::BIGINT << lag))::BIGINT AS term_micros
+            FROM hourly, (SELECT unnest(generate_series(0, {DECAY_HORIZON - 1}))
+                          AS lag) l
+        ), decayed AS (
+            SELECT event_type, target_h AS h,
+                   sum(term_micros)::BIGINT AS decayed_micros
+            FROM terms GROUP BY event_type, target_h
+        )
+        SELECT d.event_type, d.h, hr.c AS n_events, d.decayed_micros
+        FROM decayed d JOIN hourly hr
+          ON d.event_type = hr.event_type AND d.h = hr.h
+    """,
+    doc=f"""Exponentially decayed hourly traffic counter (half-life decay
+    per calendar hour, {DECAY_HORIZON}-hour horizon) — the streaming-
+    analytics primitive behind trending/rate-limiting scores, evaluated
+    at every observed hour.  Scale shape: the recursive EWMA form is
+    inherently sequential per key; this is the parallel reformulation —
+    each hourly count fans out to the ≤{DECAY_HORIZON} future hours it
+    influences via ``explode(sequence(...))`` (a generator, not a
+    join), then one keyed re-aggregation — two shuffles keyed by
+    (event_type, hour), embarrassingly parallel.  The decay base 1/2
+    makes every weight an exact power-of-two scaling, so per-term micro
+    rounding is bit-identical across engines (no libm ``pow`` in the
+    contract).""",
+)
+def decayed_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    terms = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(DECAY_HORIZON - 1))).alias("lag"),
+    ).select(
+        "event_type",
+        F.timestamp_add("HOUR", F.col("lag"), F.col("h")).alias("target_h"),
+        F.round(F.col("c") * 1e6 / F.expr("shiftleft(CAST(1 AS BIGINT), lag)"))
+        .cast("long")
+        .alias("term_micros"),
+    )
+    decayed = terms.groupBy("event_type", F.col("target_h").alias("h")).agg(
+        F.sum("term_micros").cast("long").alias("decayed_micros")
+    )
+    return decayed.join(hourly, ["event_type", "h"]).select(
+        "event_type", "h", F.col("c").alias("n_events"), "decayed_micros"
+    )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+        WITH lines AS (
+            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1996-01-01'
+        ), edges AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+        ), deg AS (
+            SELECT x AS vertex, count(*)::BIGINT AS d
+            FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY x
+        ), oriented AS (
+            SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                       AS src,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                       AS dst,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+                       AS ddst
+            FROM edges e
+            JOIN deg du ON e.u = du.vertex
+            JOIN deg dv ON e.v = dv.vertex
+        ), wedges AS (
+            SELECT o1.dst AS b, o2.dst AS c
+            FROM oriented o1 JOIN oriented o2
+              ON o1.src = o2.src
+             AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+        ), tri AS (
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM wedges w JOIN oriented o ON w.b = o.src AND w.c = o.dst
+        )
+        SELECT (SELECT count(*)::BIGINT FROM deg) AS n_vertices,
+               (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+               n_triangles
+        FROM tri
+    """,
+    doc="""Distributed triangle counting over the 1995 co-purchase graph
+    (parts are vertices; an edge joins two parts appearing in the same
+    order) — the standard graph-health metric for recommender /
+    link-analysis corpora.  Uses the degree-orientation algorithm
+    (Cohen; Suri & Vassilvitskii's MR "last reducer" fix): every edge
+    is directed from its lower-(degree, id) endpoint to the higher, so
+    a vertex's out-degree is bounded by ~sqrt(|E|) regardless of how
+    skewed the raw degree distribution is — the hub that would
+    otherwise emit deg² wedge candidates emits almost none.  Wedge
+    generation is an equi-join on the wedge center, closure is an
+    equi-join on the (b, c) pair; no cartesian anywhere.  Each triangle
+    is counted exactly once (its unique cyclic orientation).""",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lines = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    # The edge list feeds three consumers (degrees, orientation, the
+    # edge-count summary) and the oriented list feeds three more (both
+    # wedge sides + closure probe); materialize each once via eager
+    # localCheckpoint (the dedup pair-generator lifecycle — blocks die
+    # with the RDD, nothing lingers in the CacheManager).  This is the
+    # adjacency materialization every distributed triangle-count does
+    # between rounds (Cohen's MR formulation); at 100 TB the edge list
+    # is a written table, not a recomputed lineage.
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("vertex"))
+        .unionAll(edges.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    with_deg = (
+        edges.join(du, edges.u == F.col("du.vertex"))
+        .join(dv, edges.v == F.col("dv.vertex"))
+        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("ddst"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
+    closed = wedges.join(
+        oriented, (wedges.b == oriented.src) & (wedges.c == oriented.dst)
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    nv = deg.agg(F.count("*").alias("n_vertices"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        F.broadcast(nv)
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(tri)
+        .select("n_vertices", "n_edges", "n_triangles")
+    )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+                   len(string_split(lower(text), ' ')) AS dl
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+            FROM tok GROUP BY doc_id, dl, term
+        )
+        SELECT doc_id, dl,
+               count(*)::BIGINT AS n_distinct_tokens,
+               sum(round(-(tf::DOUBLE / dl) * ln(tf::DOUBLE / dl) * 1e6))::BIGINT
+                   AS entropy_micros
+        FROM tf GROUP BY doc_id, dl
+    """,
+    doc="""Per-document Shannon entropy of the unigram token
+    distribution — the information-density quality signal (low entropy
+    = repetitive/templated text, a standard pre-training filter next to
+    the repetition-ratio heuristics).  One tokenize-explode, one
+    (doc, term) grouped count carrying the document length, one
+    per-document re-aggregation — two keyed shuffles, fully
+    partial-aggregated, no windows.  Each term's −p·ln p contribution
+    rounds to integer micros before the sum (the integer-micro
+    contract), so cross-engine totals are exact integer math.""",
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.lower("text"), " ")
+    tok = docs.select(
+        "doc_id", F.size(w).alias("dl"), F.explode(w).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    p = F.col("tf").cast("double") / F.col("dl")
+    term_micros = F.round(-p * F.log(p) * 1e6)
+    return tf.groupBy("doc_id", "dl").agg(
+        F.count("*").alias("n_distinct_tokens"),
+        F.sum(term_micros).cast("long").alias("entropy_micros"),
+    )
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+        ), tf AS (
+            SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS tok FROM base)
+            WHERE tok IN ('spark', 'window', 'stream')
+            GROUP BY doc_id, dl, tok
+        ), df AS (
+            SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+        ), bm25 AS (
+            SELECT doc_id, sum(round(
+                       ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                       * t.tf * (1.2 + 1)
+                       / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+                       * 1e6))::BIGINT AS score_micros
+            FROM tf t JOIN df d USING (tok) CROSS JOIN stats s
+            GROUP BY doc_id
+        ), qvec AS (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            WHERE vec_id = {RRF_QUERY_VEC_ID}
+        ), cos AS (
+            SELECT vec_id AS doc_id,
+                   round(list_dot_product(embedding::DOUBLE[], q)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q, q))) * 1e6)::BIGINT
+                       AS score_micros
+            FROM embeddings CROSS JOIN qvec
+            WHERE vec_id <> {RRF_QUERY_VEC_ID}
+        ), pooled AS (
+            SELECT 'bm25' AS ranking, doc_id, score_micros FROM bm25
+            UNION ALL
+            SELECT 'cosine' AS ranking, doc_id, score_micros FROM cos
+        ), ranked AS (
+            SELECT ranking, doc_id,
+                   row_number() OVER (PARTITION BY ranking
+                                      ORDER BY score_micros DESC, doc_id)
+                       AS rnk
+            FROM pooled
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_rankings,
+               sum(round(1e6 / ({RRF_K} + rnk)))::BIGINT AS rrf_micros
+        FROM ranked WHERE rnk <= {RRF_POOL}
+        GROUP BY doc_id
+        ORDER BY rrf_micros DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+    doc=f"""Reciprocal-rank fusion (Cormack et al.) of the lexical BM25
+    ranking and the dense embedding-cosine ranking — the standard
+    hybrid-retrieval combiner (score = Σ 1/({RRF_K}+rank) over the two
+    top-{RRF_POOL} pools).  Scale shape: both rankings are bounded
+    pools; the rank assignment is ONE window partitioned by ranking
+    source (never unpartitioned — each ranking is its own partition),
+    fusion is a keyed sum, final top-{RRF_TOPK} is ORDER BY + LIMIT
+    (TakeOrderedAndProject).  The dense side broadcasts the 1-row query
+    vector (bounded BNL, allowlisted); ranks are integers so the RRF
+    terms round to micros deterministically.""",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm25 = bm25_score_frame(docs).select(
+        F.lit("bm25").alias("ranking"), "doc_id", "score_micros"
+    )
+    from ..operators.similarity import cosine
+
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = (
+        emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.lit("cosine").alias("ranking"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")) * 1e6)
+            .cast("long")
+            .alias("score_micros"),
+        )
+    )
+    pooled = bm25.unionAll(cos)
+    rnk = F.row_number().over(
+        Window.partitionBy("ranking").orderBy(
+            F.desc("score_micros"), F.col("doc_id")
+        )
+    )
+    ranked = pooled.select("ranking", "doc_id", rnk.alias("rnk")).where(
+        F.col("rnk") <= RRF_POOL
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_rankings"),
+            F.sum(F.round(1e6 / (RRF_K + F.col("rnk"))))
+            .cast("long")
+            .alias("rrf_micros"),
+        )
+        .orderBy(F.desc("rrf_micros"), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+        ), bigrams AS (
+            SELECT p[1] AS w1, p[2] AS w2
+            FROM (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(w) - 1),
+                           i -> [w[i], w[i + 1]])) AS p
+                FROM base WHERE len(w) >= 2
+            )
+        ), bc AS (
+            SELECT w1, w2, count(*)::BIGINT AS c FROM bigrams GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, sum(c)::BIGINT AS c1, count(*)::BIGINT AS n1_fwd
+            FROM bc GROUP BY w1
+        ), cont AS (
+            SELECT w2, count(*)::BIGINT AS n1_bwd FROM bc GROUP BY w2
+        ), btot AS (
+            SELECT count(*)::BIGINT AS b_types FROM bc
+        ), top AS (
+            SELECT w1, w2, c FROM bc
+            ORDER BY c DESC, w1, w2 LIMIT {KN_TOPK}
+        )
+        SELECT t.w1, t.w2, t.c,
+               round((greatest(t.c - {KN_DISCOUNT}, 0) / ctx.c1
+                      + {KN_DISCOUNT} * ctx.n1_fwd / ctx.c1
+                        * cont.n1_bwd / btot.b_types) * 1e6)::BIGINT
+                   AS p_kn_micros
+        FROM top t
+        JOIN ctx USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN btot
+        ORDER BY t.c DESC, t.w1, t.w2
+    """,
+    doc=f"""Interpolated Kneser-Ney bigram language model (discount
+    D={KN_DISCOUNT}) over the corpus, reported for the top-{KN_TOPK}
+    bigrams: P(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) ·
+    N1+(·w2)/|bigram types| — the smoothing used by every n-gram LM
+    toolkit (KenLM/SRILM) and the perplexity-filter counterpart to
+    unigram_perplexity_score.  Scale shape: bigram extraction is an
+    array zip + explode (no self-join of the token stream); all model
+    statistics are grouped counts over the bigram-count frame; the
+    top-{KN_TOPK} report is TakeOrderedAndProject, then the tiny
+    report frame BROADCASTS into the statistics joins (the corpus-scale
+    frames are never re-shuffled for the report); the 1-row bigram-type
+    total is a bounded broadcast (allowlisted).  All inputs to the
+    probability are integer counts, one rounding at the end.""",
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.lower("text"), " ")
+    base = docs.select(w.alias("w")).where(F.size("w") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(w, 1, size(w) - 1)").alias("w1"),
+                F.expr("slice(w, 2, size(w) - 1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    btot = bc.agg(F.count("*").alias("b_types"))
+    top = bc.orderBy(F.desc("c"), "w1", "w2").limit(KN_TOPK)
+    p_kn = (
+        F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+        + KN_DISCOUNT
+        * F.col("n1_fwd")
+        / F.col("c1")
+        * F.col("n1_bwd")
+        / F.col("b_types")
+    )
+    return (
+        F.broadcast(top)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(p_kn * 1e6).cast("long").alias("p_kn_micros"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+    )
+
+
+# Shared CTE text for the 1995 co-purchase graph (lines → distinct
+# undirected edges), used by the triangle and community oracles.
+_COPURCHASE_EDGE_CTES = """
+        lines AS (
+            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1996-01-01'
+        ), edges AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+        )"""
+
+PATH_TOPK = 10
+LPA_ROUNDS = 2
+
+
+@register(
+    "event_path_trigrams",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               count(*)::BIGINT AS n_paths
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1 || '>' || e2 || '>' || e3
+        ORDER BY n_paths DESC, path LIMIT {PATH_TOPK}
+    """,
+    doc=f"""Sequential path mining: the top-{PATH_TOPK} most common
+    3-step event-type paths across user journeys (the product-analytics
+    "behavior flow" report; the k-step generalization of the 1-step
+    event_transition_matrix).  Trigram extraction is two ``lead``s over
+    ONE window partitioned by user (per-user state never leaves its
+    partition; ties broken by event_id so the sequence is
+    deterministic); counting is a grouped aggregation on the path
+    string; the report is ORDER BY + LIMIT (TakeOrderedAndProject).""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected 1995 co-purchase edges ``(u, v)`` with
+    ``u < v`` — the shared graph behind the triangle and community
+    queries.  Eagerly checkpointed: every consumer reads the edge list
+    several times, and at 100 TB this is a written adjacency table, not
+    a recomputed lineage."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lines = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "lpa_community_labels",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES}, bi AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL
+            SELECT v AS src, u AS dst FROM edges
+        ), l1 AS (
+            SELECT src AS vertex, dst AS lbl
+            FROM (
+                SELECT src, dst, count(*) AS n FROM bi GROUP BY src, dst
+                QUALIFY row_number() OVER (
+                    PARTITION BY src ORDER BY n DESC, dst) = 1
+            )
+        ), l2 AS (
+            SELECT src AS vertex, lbl AS community
+            FROM (
+                SELECT b.src, l.lbl, count(*) AS n
+                FROM bi b JOIN l1 l ON b.dst = l.vertex
+                GROUP BY b.src, l.lbl
+                QUALIFY row_number() OVER (
+                    PARTITION BY b.src ORDER BY n DESC, l.lbl) = 1
+            )
+        )
+        SELECT vertex, community FROM l2
+    """,
+    doc=f"""Community detection via synchronous label propagation
+    (Raghavan et al.), {LPA_ROUNDS} fixed rounds over the 1995
+    co-purchase graph: every vertex adopts the most frequent label among
+    its neighbors (ties → smallest label; labels start as vertex ids).
+    The fixed round count makes the declared query oracle-able — LPA
+    has no cross-engine-stable fixpoint (update order changes the
+    answer), so the synchronous {LPA_ROUNDS}-round contract IS the
+    semantic, the same trick as kmeans_embedding_clusters.  Per round:
+    one equi-join (neighbor label lookup), one grouped count, one
+    window partitioned by vertex for the argmax — all shuffles keyed by
+    vertex, no cartesian, hub fan-in bounded by the grouped pre-count
+    (a vertex receives one row per DISTINCT neighbor label, not per
+    neighbor).""",
+)
+def lpa_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # Round 1 from identity labels: neighbor labels are the neighbor ids.
+    labels = bi.withColumnRenamed("dst", "lbl")
+    for _ in range(LPA_ROUNDS):
+        counted = labels.groupBy("src", "lbl").agg(F.count("*").alias("n"))
+        pick = F.row_number().over(
+            Window.partitionBy("src").orderBy(F.desc("n"), F.col("lbl"))
+        )
+        lab = (
+            counted.withColumn("rn", pick)
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("vertex"), "lbl")
+        )
+        # Next round reads every neighbor's current label.
+        labels = bi.join(lab, bi.dst == lab.vertex).select("src", "lbl")
+    return lab.select("vertex", F.col("lbl").alias("community"))
+
+
+@register(
+    "skyline_pareto_orders",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders e
+            WHERE e.o_orderdate < o.o_orderdate
+              AND e.o_totalprice > o.o_totalprice
+        )
+    """,
+    doc="""Skyline (Pareto-frontier) operator over orders: keep every
+    order not dominated by a strictly earlier AND strictly
+    higher-priced one (Börzsönyi et al.'s SKYLINE OF, the classic
+    "best trade-offs" query).  The oracle is the O(n²) NOT EXISTS
+    definition (DuckDB's IEJoin handles it at gate scale); the engine
+    runs the DISTRIBUTED sweep: bucket orders by month, per-bucket max
+    price is a grouped aggregate whose ~n_months rows collect to the
+    driver (bounded, the pack_context_windows pattern) for an
+    EXCLUSIVE running max that broadcast-joins back; within a bucket a
+    window partitioned by bucket with a RANGE frame to 1 day before
+    the current order date supplies the strictly-earlier same-bucket
+    max.  An order survives iff neither max exceeds its price — two
+    keyed shuffles + one bounded collect, no self-join, no
+    unpartitioned window.""",
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    bucket = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("bucket")
+    t = o.select("*", bucket)
+    per_bucket = [
+        (int(r["bucket"]), float(r["mx"]))
+        for r in t.groupBy("bucket").agg(F.max("o_totalprice").alias("mx")).collect()
+    ]
+    running, prefix = None, []
+    for b, mx in sorted(per_bucket):
+        prefix.append((b, running))
+        running = mx if running is None else max(running, mx)
+    prev_max = t.sparkSession.createDataFrame(
+        prefix, "bucket long, prev_bucket_max double"
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = t.join(F.broadcast(prev_max), "bucket").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.greatest(
+            F.max("o_totalprice").over(win), F.col("prev_bucket_max")
+        ).alias("earlier_max"),
+    )
+    return scored.where(
+        F.col("earlier_max").isNull()
+        | (F.col("earlier_max") <= F.col("o_totalprice"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "entity_fuzzy_clusters",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND a.c_nationkey = b.c_nationkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ), bi AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT src, dst FROM bi
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN bi e2 ON r.dst = e2.src
+        )
+        SELECT src AS member_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """,
+    doc="""Entity resolution end-to-end: compound-blocked fuzzy matching
+    feeds connected components (the alternating large/small-star
+    operator), so transitively-linked record variants collapse into one
+    entity cluster keyed by its minimum member id — the dedup-a-CRM
+    pipeline as one declared query.  Blocking is COMPOUND, the standard
+    ER design (Fellegi-Sunter / dedupe.io practice): a candidate pair
+    must agree on a reliable exact attribute (nation) AND share a
+    SymSpell deletion-neighborhood key of the name — both equi-join
+    conditions, no theta join; only candidates get the exact
+    levenshtein verify.  The exact-attribute block also keeps the
+    match graph from degenerating into one giant component (the
+    synthetic names differ pairwise by single digits), which is
+    precisely the pathological shape real ER blocking exists to
+    prevent.  The oracle replays the all-pairs ground truth with a
+    recursive-CTE closure.""",
+)
+def entity_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    # Block key i=0 is the string itself; i>=1 deletes the i-th char
+    # (fuzzy_match_blocked's deletion neighborhood, plus the exact
+    # nation attribute in the join key).
+    variants = c.select(
+        "id",
+        "name",
+        "nation",
+        F.explode(F.sequence(F.lit(0), F.length("name"))).alias("i"),
+    ).select(
+        "id",
+        "name",
+        "nation",
+        F.when(F.col("i") == 0, F.col("name"))
+        .otherwise(
+            F.expr(
+                "concat(substring(name, 1, i - 1),"
+                " substring(name, i + 1, length(name)))"
+            )
+        )
+        .alias("block"),
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        "nation", "block",
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        "nation", "block",
+    )
+    pairs = (
+        a.join(b, ["nation", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+    )
+    return connected_components(pairs)

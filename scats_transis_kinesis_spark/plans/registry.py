@@ -149,3 +149,4 @@ from . import pipeline_queries  # noqa: E402,F401
 from . import pipeline_queries2  # noqa: E402,F401
 from . import pipeline_queries3  # noqa: E402,F401
 from . import pipeline_queries4  # noqa: E402,F401
+from . import pipeline_queries5  # noqa: E402,F401

@@ -297,6 +297,9 @@ BNL_ALLOWED = {
     "bm25_topk",                      # 1-row (n_docs, avgdl) aggregate
     "emb_hard_negatives",             # |query set| = 5 broadcast rows
     "embedding_label_margin",         # |labels| centroid broadcast rows
+    "rrf_fusion_topk",                # 1-row query vector + 1-row corpus stats
+    "kneser_ney_bigram_lm",           # 1-row bigram-type total
+    "triangle_count_copurchase",      # 1-row vertex/edge-count summaries
 }
 
 
