@@ -346,3 +346,60 @@ def hierarchical_ranks(
             .drop(bucket_cols[out], f"_hr_loc_{out}", f"_hr_off_{out}")
         )
     return t, n_rows
+
+
+def skyline_2d(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any row
+    with strictly smaller ``order_col`` AND strictly larger
+    ``value_col`` (Börzsönyi et al.'s SKYLINE OF).
+
+    ``bucket_col`` must be a coarser monotone function of ``order_col``
+    (every value in a lower bucket strictly precedes every value in a
+    higher one — e.g. month buckets over day numbers).  The distributed
+    sweep then needs no self-join and no global window:
+
+    - per-bucket max of ``value_col`` is a grouped aggregate whose
+      |buckets| rows collect to the driver (bounded by construction,
+      the pack_context_windows pattern) for an EXCLUSIVE running max
+      that broadcast-joins back;
+    - the strictly-earlier max WITHIN a bucket comes from a window
+      partitioned by bucket with a RANGE frame ending 1 before the
+      current ``order_col``.
+
+    A row survives iff neither max strictly exceeds its value.  Two
+    keyed shuffles + one bounded collect; survives any column
+    distribution because the window never sees more than one bucket."""
+    from pyspark.sql import Window as W
+
+    t = df
+    per_bucket = [
+        (r[0], r[1])
+        for r in t.groupBy(bucket_col)
+        .agg(F.max(value_col).alias("mx"))
+        .collect()
+    ]
+    running, prefix = None, []
+    for b, mx in sorted(per_bucket, key=lambda kv: kv[0]):
+        prefix.append((b, running))
+        running = mx if running is None else max(running, mx)
+    prev_max = t.sparkSession.createDataFrame(
+        prefix, f"{bucket_col} long, _prev_bucket_max double"
+    )
+    win = (
+        W.partitionBy(bucket_col)
+        .orderBy(F.col(order_col))
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    scored = t.join(F.broadcast(prev_max), bucket_col).withColumn(
+        "_earlier_max",
+        F.greatest(F.max(value_col).over(win), F.col("_prev_bucket_max")),
+    )
+    return scored.where(
+        F.col("_earlier_max").isNull()
+        | (F.col("_earlier_max") <= F.col(value_col))
+    ).drop("_earlier_max", "_prev_bucket_max")

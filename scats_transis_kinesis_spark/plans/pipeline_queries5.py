@@ -147,79 +147,9 @@ def decayed_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is counted exactly once (its unique cyclic orientation).""",
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    lines = (
-        li.join(
-            orders.where(
-                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-            ).select("o_orderkey"),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    a, b = lines.alias("a"), lines.alias("b")
-    # The edge list feeds three consumers (degrees, orientation, the
-    # edge-count summary) and the oriented list feeds three more (both
-    # wedge sides + closure probe); materialize each once via eager
-    # localCheckpoint (the dedup pair-generator lifecycle — blocks die
-    # with the RDD, nothing lingers in the CacheManager).  This is the
-    # adjacency materialization every distributed triangle-count does
-    # between rounds (Cohen's MR formulation); at 100 TB the edge list
-    # is a written table, not a recomputed lineage.
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("u").alias("vertex"))
-        .unionAll(edges.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count("*").alias("d"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    with_deg = (
-        edges.join(du, edges.u == F.col("du.vertex"))
-        .join(dv, edges.v == F.col("dv.vertex"))
-        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
-    )
-    u_first = (F.col("d_u") < F.col("d_v")) | (
-        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("ddst"),
-    ).localCheckpoint(eager=True)
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.ddst") < F.col("o2.ddst"))
-            | (
-                (F.col("o1.ddst") == F.col("o2.ddst"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        ),
-    ).select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
-    closed = wedges.join(
-        oriented, (wedges.b == oriented.src) & (wedges.c == oriented.dst)
-    )
-    tri = closed.agg(F.count("*").alias("n_triangles"))
-    nv = deg.agg(F.count("*").alias("n_vertices"))
-    ne = edges.agg(F.count("*").alias("n_edges"))
-    return (
-        F.broadcast(nv)
-        .crossJoin(F.broadcast(ne))
-        .crossJoin(tri)
-        .select("n_vertices", "n_edges", "n_triangles")
-    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
 @register(
@@ -596,25 +526,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor).""",
 )
 def lpa_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
-    bi = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    # Round 1 from identity labels: neighbor labels are the neighbor ids.
-    labels = bi.withColumnRenamed("dst", "lbl")
-    for _ in range(LPA_ROUNDS):
-        counted = labels.groupBy("src", "lbl").agg(F.count("*").alias("n"))
-        pick = F.row_number().over(
-            Window.partitionBy("src").orderBy(F.desc("n"), F.col("lbl"))
-        )
-        lab = (
-            counted.withColumn("rn", pick)
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("vertex"), "lbl")
-        )
-        # Next round reads every neighbor's current label.
-        labels = bi.join(lab, bi.dst == lab.vertex).select("src", "lbl")
-    return lab.select("vertex", F.col("lbl").alias("community"))
+    from ..operators.graph import lpa_communities
+
+    return lpa_communities(_copurchase_edges(spark, sf_dir), rounds=LPA_ROUNDS)
 
 
 @register(
@@ -644,38 +558,21 @@ def lpa_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window.""",
 )
 def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import skyline_2d
+
     o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_orderdate", "o_totalprice"
-    )
-    bucket = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("bucket")
-    t = o.select("*", bucket)
-    per_bucket = [
-        (int(r["bucket"]), float(r["mx"]))
-        for r in t.groupBy("bucket").agg(F.max("o_totalprice").alias("mx")).collect()
-    ]
-    running, prefix = None, []
-    for b, mx in sorted(per_bucket):
-        prefix.append((b, running))
-        running = mx if running is None else max(running, mx)
-    prev_max = t.sparkSession.createDataFrame(
-        prefix, "bucket long, prev_bucket_max double"
-    )
-    win = (
-        Window.partitionBy("bucket")
-        .orderBy(F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")))
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    scored = t.join(F.broadcast(prev_max), "bucket").select(
         "o_orderkey",
         "o_orderdate",
         "o_totalprice",
-        F.greatest(
-            F.max("o_totalprice").over(win), F.col("prev_bucket_max")
-        ).alias("earlier_max"),
+        F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).alias(
+            "order_day"
+        ),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("bucket"),
     )
-    return scored.where(
-        F.col("earlier_max").isNull()
-        | (F.col("earlier_max") <= F.col("o_totalprice"))
+    return skyline_2d(
+        o, order_col="order_day", value_col="o_totalprice", bucket_col="bucket"
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
 
 

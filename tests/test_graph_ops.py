@@ -1,0 +1,77 @@
+"""Unit tests for the round-4 graph/skyline operators on tiny
+hand-checkable inputs — the oracle gate replays the same algorithm in
+SQL, so these pin the semantics against an INDEPENDENT ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.operators.graph import (
+    lpa_communities,
+    triangle_count,
+)
+from scats_transis_kinesis_spark.operators.relational import skyline_2d
+
+
+def test_triangle_count_k4_plus_cycle(spark):
+    # K4 on {1,2,3,4} has C(4,3)=4 triangles; a 5-cycle on {10..14} has
+    # none.  9 vertices, 11 edges, 4 triangles.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    cyc = [(10, 11), (11, 12), (12, 13), (13, 14), (10, 14)]
+    edges = spark.createDataFrame(k4 + cyc, "u long, v long")
+    row = triangle_count(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (9, 11, 4)
+
+
+def test_triangle_count_star_has_none(spark):
+    # A star (hub 0 to 8 leaves) has no triangles — and under degree
+    # orientation the hub (highest degree) emits NO wedges at all.
+    edges = spark.createDataFrame([(0, i) for i in range(1, 9)], "u long, v long")
+    row = triangle_count(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (9, 8, 0)
+
+
+def test_lpa_two_rounds_disjoint_triangles(spark):
+    # Hand-computed synchronous 2-round LPA from identity labels on two
+    # disjoint triangles: round 1 gives each vertex its min neighbor id;
+    # round 2 collapses each triangle onto its min vertex id.
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(tri1 + tri2, "u long, v long")
+    got = {
+        r["vertex"]: r["community"] for r in lpa_communities(edges, rounds=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_skyline_keeps_nondominated_and_value_ties(spark):
+    # (day, val): frontier keeps day 1 (earliest), rising maxima, and
+    # the day-4 TIE with the earlier max (domination must be strict in
+    # BOTH dimensions); day 3 is dominated by day 2.
+    rows = [(1, 10.0), (2, 12.0), (3, 9.0), (4, 12.0), (5, 15.0)]
+    df = spark.createDataFrame(rows, "day long, val double").withColumn(
+        "bucket", (F.col("day") / 2).cast("long")
+    )
+    got = sorted(
+        r["day"]
+        for r in skyline_2d(
+            df, order_col="day", value_col="val", bucket_col="bucket"
+        ).collect()
+    )
+    assert got == [1, 2, 4, 5]
+
+
+def test_skyline_same_day_rows_do_not_dominate_each_other(spark):
+    # Two rows on the SAME day never dominate one another (strictly
+    # earlier required), so both survive when nothing earlier beats them.
+    rows = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    df = spark.createDataFrame(rows, "day long, val double").withColumn(
+        "bucket", F.lit(0).cast("long")
+    )
+    got = sorted(
+        (r["day"], r["val"])
+        for r in skyline_2d(
+            df, order_col="day", value_col="val", bucket_col="bucket"
+        ).collect()
+    )
+    assert got == [(1, 10.0), (1, 20.0)]
