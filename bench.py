@@ -123,7 +123,6 @@ HEADLINE = [
     "event_path_trigrams",
     "lpa_community_labels",
     "skyline_pareto_orders",
-    "entity_fuzzy_clusters",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale
@@ -131,6 +130,9 @@ HEADLINE = [
 # dedup_clusters_minhash is correctness-gated but not timed: it is the
 # same connected-components loop as the two timed CC queries, fed by
 # the already-timed minhash pair generator.
+# entity_fuzzy_clusters is correctness-gated but not timed for the same
+# reason: the timed fuzzy_match_blocked pair generator feeding the same
+# (twice-timed) connected-components loop.
 
 
 def main() -> None:
