@@ -148,15 +148,29 @@ def main() -> None:
         "noop"
     ).save()
 
+    # Each query is timed over PASSES runs and reports the MINIMUM —
+    # this host shows bursty multi-tenant CPU steal (measured: the same
+    # query varies 2.3 s ↔ 21 s across suite runs with no code change),
+    # and the min is the standard spike-robust estimator for
+    # deterministic single-machine workloads (it converges on the
+    # noise-free cost; mean/median keep the steal).  Methodology is
+    # pinned in BASELINE.md.
+    PASSES = 2
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
-        # Iterative operators cache intermediates for their own run;
-        # drop them so query N+1's measurement doesn't pay query N's
-        # leftover executor-memory pressure.
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(PASSES):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # Iterative operators cache intermediates for their own run;
+            # drop them so the next measurement doesn't pay leftover
+            # executor-memory pressure.
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
 
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
