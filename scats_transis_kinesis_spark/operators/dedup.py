@@ -72,6 +72,32 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _read_state_or_none(spark, state_dir: str):
+    """Read a cross-run parquet state table; ``None`` ONLY when the
+    state dir does not exist yet (first run).  Any other read failure
+    (corrupt footer, permissions, transient FS error) raises loudly —
+    silently skipping the history join would re-admit every previously
+    kept document AND append duplicate state rows.  The structured
+    error class is the stable contract (message text varies across
+    Spark versions); the string probes remain only as a fallback for
+    builds without getCondition/getErrorClass."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(state_dir)
+    except AnalysisException as e:
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        code = getter() if callable(getter) else None
+        if code is not None:
+            if code != "PATH_NOT_FOUND":
+                raise
+        elif "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     state_dir: str,
@@ -92,34 +118,13 @@ def incremental_exact_dedup(
     Returns the surviving (id, hash) rows; the streaming twin
     (``streaming/pipeline.py:corpus_ingest_stream``) handles the
     within-horizon case and THIS handles all-of-history."""
-    from pyspark.errors import AnalysisException
-
     spark = new_docs.sparkSession
     hashed = new_docs.select(
         F.col(id_col), portable_hash64(text_col).alias("content_hash")
     )
-    try:
-        seen = spark.read.parquet(state_dir).select("content_hash")
-    except AnalysisException as e:
-        # ONLY a missing state dir means "first run".  Any other read
-        # failure (corrupt footer, permissions, transient FS error) must
-        # raise loudly: silently skipping the anti-join would re-admit
-        # every previously-kept document AND append duplicate hashes.
-        # The structured error class is the stable contract (message
-        # text varies across Spark versions); the string probes remain
-        # only as a fallback for builds without getCondition/getErrorClass.
-        getter = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
-        )
-        code = getter() if callable(getter) else None
-        if code is not None:
-            if code != "PATH_NOT_FOUND":
-                raise
-        elif "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        seen = None
+    seen = _read_state_or_none(spark, state_dir)
     if seen is not None:
-        hashed = hashed.join(seen, "content_hash", "left_anti")
+        hashed = hashed.join(seen.select("content_hash"), "content_hash", "left_anti")
     # Materialized via eager localCheckpoint BEFORE the state append —
     # and deliberately NOT via persist(): the survivors' lineage reads
     # ``state_dir``, and Spark's CacheManager re-caches any cached plan
@@ -183,6 +188,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return minhash_signatures_from_sets(shingle_sets(df, text_col, id_col), id_col)
 
 
+def _banded(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: each of the
+    BANDS disjoint ROWS_PER_BAND-row slices hashes to one bucket key.
+    Lazy and unpersisted — callers decide materialization."""
+    bands = []
+    for band in range(BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                portable_hash64(
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+                ).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band", "b.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -203,25 +228,12 @@ def lsh_candidate_pairs(
     mid-pipeline materialization costs ~50% extra wall time (measured
     4.9 s vs 3.1 s on dedup_minhash_lsh at sf0.1) for no memory benefit
     when a later stage materializes anyway."""
-    bands = []
-    for band in range(BANDS):
-        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                portable_hash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
-                    "bucket"
-                ),
-            )
-        )
     # Persisted: the banded frame is both sides of the bucket self-join —
     # unpersisted, each side would recompute the full signature
     # aggregation (the k grouped mins over the exploded shingles).  The
     # candidate-pair output is bounded (bucket-collision density), so it
     # checkpoints eagerly and the cache is released right here.
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("b")
-    ).select(id_col, "b.band", "b.bucket").persist()
+    banded = _banded(signatures, id_col).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -287,6 +299,98 @@ def minhash_lsh_near_dups(
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return _checkpoint_release(verified, sets, *caches)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    est_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """NEAR-dup dedup ACROSS ingestion runs — the rolling-crawl twin of
+    :func:`incremental_exact_dedup` for the fuzzy case: a persisted
+    signature table accumulates the MinHash signature of every document
+    ever kept; each new batch drops (a) docs whose signature-estimated
+    Jaccard against ANY historical doc reaches ``est_threshold``
+    (banded candidate join, never all-pairs) and (b) within-batch
+    near-dups (the smaller id of each verified pair wins), then appends
+    the survivors' signatures for the next run.
+
+    Scale shape: state is k=32 ints per document ever kept — NOT the
+    corpus text — and candidate generation is the same (band, bucket)
+    equi-join as :func:`lsh_candidate_pairs`, with history on one side
+    and the batch on the other (at lakehouse scale the state table is
+    bucketed by band hash so the join co-locates; banding is a narrow
+    projection of the signature columns).  Verification is the
+    SIGNATURE-ESTIMATED Jaccard (matching-row fraction; unbiased,
+    σ≈0.09 at k=32) because the historical shingle sets are not
+    retained — the documented accuracy trade of keeping state bounded.
+    A production pipeline wanting exact verification would join the
+    candidate ids back to the corpus store.
+
+    Returns the surviving ``(id, m0..m31)`` signature rows."""
+    spark = new_docs.sparkSession
+    k = len(MINHASH_COEFFS)
+    sig_cols = [f"m{i}" for i in range(k)]
+    sigs = minhash_signatures(new_docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    est = (
+        sum(
+            F.when(F.col(f"l.{c}") == F.col(f"r.{c}"), 1).otherwise(0)
+            for c in sig_cols
+        )
+        / F.lit(float(k))
+    )
+    seen = _read_state_or_none(spark, state_dir)
+    survivors = sigs
+    if seen is not None:
+        hist_banded = _banded(seen, id_col)
+        new_banded = _banded(survivors, id_col)
+        cand = (
+            new_banded.alias("n")
+            .join(
+                hist_banded.alias("h"),
+                (F.col("n.band") == F.col("h.band"))
+                & (F.col("n.bucket") == F.col("h.bucket")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"h.{id_col}").alias("hist_id"),
+            )
+            .distinct()
+        )
+        dup_vs_history = (
+            cand.join(
+                survivors.alias("l"), cand.new_id == F.col(f"l.{id_col}")
+            )
+            .join(seen.alias("r"), cand.hist_id == F.col(f"r.{id_col}"))
+            .where(est >= est_threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(dup_vs_history, id_col, "left_anti")
+    # Within-batch near-dups among the remaining docs: banded self-join,
+    # estimate, drop the larger id of each verified pair.
+    caches: list[DataFrame] = []
+    pairs = lsh_candidate_pairs(survivors, id_col, defer_release=caches)
+    batch_dups = (
+        pairs.join(survivors.alias("l"), pairs.id_a == F.col(f"l.{id_col}"))
+        .join(survivors.alias("r"), pairs.id_b == F.col(f"r.{id_col}"))
+        .where(est >= est_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = survivors.join(batch_dups, id_col, "left_anti")
+    # Checkpoint BEFORE the state append (recacheByPath: the survivors'
+    # lineage reads state_dir when history exists — same hazard as
+    # incremental_exact_dedup), then release the banded cache.
+    survivors = _checkpoint_release(
+        survivors.select(id_col, *sig_cols), *caches
+    )
+    survivors.write.mode("append").parquet(state_dir)
+    return survivors
 
 
 # Containment threshold for excerpt detection: |A∩B|/min(|A|,|B|).

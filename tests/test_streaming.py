@@ -634,6 +634,66 @@ def test_incremental_exact_dedup_across_runs(spark):
         assert n_hashes == 3  # alpha, beta, gamma — one row per distinct text
 
 
+def test_incremental_minhash_dedup_across_runs(spark):
+    """Cross-run NEAR-dup dedup against the persisted signature table:
+    run 2 drops a near-duplicate (one word changed) of a run-1 doc via
+    the banded candidate join + signature-estimated Jaccard, drops the
+    larger id of a within-batch near-dup pair, keeps novel docs, and
+    appends only the survivors' signatures."""
+    import tempfile as _tf
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a bamboo grove near the quiet river "
+        "bend under an amber autumn sky before the long rains arrive"
+    )
+    near = base.replace("amber", "golden")  # 1 of ~33 words changed
+    other = (
+        "completely different content about distributed query engines "
+        "partitioning shuffles broadcast joins and columnar scan pruning "
+        "with adaptive execution and whole stage code generation stages"
+    )
+    other_near = other.replace("adaptive", "runtime")
+
+    with _tf.TemporaryDirectory() as d:
+        state = os.path.join(d, "sigs")
+        run1 = spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, text string"
+        )
+        kept1 = sorted(r["doc_id"] for r in incremental_minhash_dedup(run1, state).collect())
+        assert kept1 == [1, 2]
+
+        run2 = spark.createDataFrame(
+            [(10, near), (11, "a fresh unrelated tiny document about gardens "
+                              "growing tomatoes herbs and sunflowers in spring"),
+             (12, other_near)],
+            "doc_id long, text string",
+        )
+        # 10 ~ run-1 doc 1 (cross-run near-dup) and 12 ~ run-1 doc 2 —
+        # both dropped against history; 11 is novel.
+        kept2 = sorted(r["doc_id"] for r in incremental_minhash_dedup(run2, state).collect())
+        assert kept2 == [11]
+
+        # Within-batch: two near-dup variants arriving together keep the
+        # smaller id only (neither matches history).
+        run3 = spark.createDataFrame(
+            [(20, "silver mountain trails wind through ancient cedar forests "
+                  "toward a hidden lake where herons nest every summer season"),
+             (21, "silver mountain trails wind through ancient cedar forests "
+                  "toward a hidden lake where herons nest every winter season")],
+            "doc_id long, text string",
+        )
+        kept3 = sorted(r["doc_id"] for r in incremental_minhash_dedup(run3, state).collect())
+        assert kept3 == [20]
+
+        # State holds one signature row per KEPT doc: 1, 2, 11, 20.
+        assert spark.read.parquet(state).count() == 4
+
+
 # --- live-source checkpoint recovery (S1 + O6: the replay story the
 # reference's recursive reconnect loop lacks) -----------------------------
 
