@@ -178,6 +178,58 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hof_array_surface",
+    oracle="""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               len(w)::BIGINT AS n_words,
+               list_sum(list_transform(w, x -> length(x)))::BIGINT
+                   AS total_chars,
+               len(list_filter(w, x -> length(x) > 4))::BIGINT
+                   AS n_long_words,
+               CAST(list_contains(w, 'spark') AS INT) AS has_spark,
+               CAST(len(list_filter(w, x -> length(x) >= 20)) = 0 AS INT)
+                   AS all_short,
+               array_to_string(
+                   list_transform(generate_series(1, least(3, len(w))),
+                                  i -> w[i] || ':' || i), ',')
+                   AS first3_indexed
+        FROM base
+    """,
+    doc="""Higher-order-function surface: transform (word→length map
+    inside the array), aggregate (per-row sum over the transformed
+    array), filter (+ size), exists (membership), forall (bounded
+    length), and zip_with against a generated index sequence — the
+    lambda-expression family Catalyst evaluates per-row WITHOUT
+    exploding (no shuffle, no row multiplication; the whole query is
+    one codegen'd projection over the scan).  Booleans cast to INT for
+    cross-engine canon.""",
+)
+def hof_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split("text", " ")
+    lengths = F.transform(w, lambda x: F.length(x))
+    indexed = F.zip_with(
+        w,
+        F.sequence(F.lit(1), F.size(w)),
+        lambda x, i: F.concat(x, F.lit(":"), i.cast("string")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            lengths, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.size(F.filter(w, lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long_words"),
+        F.exists(w, lambda x: x == "spark").cast("int").alias("has_spark"),
+        F.forall(w, lambda x: F.length(x) < 20).cast("int").alias("all_short"),
+        F.array_join(F.slice(indexed, 1, 3), ",").alias("first3_indexed"),
+    )
+
+
+@register(
     "setops_bag_semantics",
     oracle="""
         SELECT user_id, count(*) AS n FROM (

@@ -107,3 +107,39 @@ class JobAuditListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
+
+
+# --- observed row metrics (df.observe) ----------------------------------
+#
+# The listener above audits JOB lifecycle; ``observe`` audits ROWS — the
+# metric aggregates piggyback on the query's own pass (Spark evaluates
+# them inside the existing plan as an accumulator-backed aggregate), so
+# a 100 TB pipeline gets its data-quality counters for free instead of
+# paying a second corpus scan.  Batch callers read them through
+# ``pyspark.sql.Observation``; streaming callers find the same values in
+# ``StreamingQueryProgress.observedMetrics`` per micro-batch.
+
+
+def corpus_metric_exprs(text_col: str = "text"):
+    """The standard ingest data-quality counter set: row count, null /
+    empty text counts, total characters, and mean length — one
+    accumulator-backed aggregate, zero extra scans."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(F.when(F.length(c) == 0, 1).otherwise(0)).alias("n_empty_text"),
+        F.sum(F.coalesce(F.length(c), F.lit(0))).alias("total_chars"),
+    ]
+
+
+def observe_corpus_metrics(df, observation, text_col: str = "text"):
+    """Attach the corpus counters to ``df``'s next action.
+
+    ``observation`` is a ``pyspark.sql.Observation`` (batch: read
+    ``observation.get`` after the action) or a string metric name
+    (streaming: the values arrive in each progress event's
+    ``observedMetrics[name]``)."""
+    return df.observe(observation, *corpus_metric_exprs(text_col))

@@ -142,6 +142,54 @@ def test_audit_listener_lifecycle(spark):
         spark.streams.removeListener(listener)
 
 
+def test_observed_corpus_metrics_batch_and_streaming(spark):
+    """Row-level data-quality counters via df.observe — computed inside
+    the query's own pass (accumulator-backed aggregate, no second
+    scan): batch values arrive through Observation, streaming values in
+    every progress event's observedMetrics."""
+    from pyspark.sql import Observation
+
+    from scats_transis_kinesis_spark.streaming.audit import (
+        observe_corpus_metrics,
+    )
+
+    rows = [(1, "hello world"), (2, ""), (3, None), (4, "abc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("corpus")
+    observe_corpus_metrics(df, obs).write.mode("overwrite").format("noop").save()
+    got = obs.get
+    assert got == {
+        "n_rows": 4,
+        "n_null_text": 1,
+        "n_empty_text": 1,
+        "total_chars": 14,
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            observe_corpus_metrics(stream, "corpus_stream")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("observe_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            metrics = None
+            for p in reversed(q.recentProgress):
+                if p.observedMetrics.get("corpus_stream"):
+                    metrics = p.observedMetrics["corpus_stream"].asDict()
+                    break
+            assert metrics is not None, "no observed metrics in progress"
+            assert metrics["n_rows"] == 4 and metrics["total_chars"] == 14
+        finally:
+            q.stop()
+
+
 def _scats_doc(sid="2087", reg="ROZ", count="5", date="2019-10-03T15:43:00+10:00"):
     return (
         f'<TransisResponse error="false"><DetectorCountMessages>'
