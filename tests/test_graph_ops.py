@@ -75,3 +75,66 @@ def test_skyline_same_day_rows_do_not_dominate_each_other(spark):
         ).collect()
     )
     assert got == [(1, 10.0), (1, 20.0)]
+
+
+def test_triangle_count_randomized_parity_with_bruteforce(spark):
+    # Random G(n, p) graphs vs an itertools brute force — the unit
+    # cases pin chosen shapes; this pins arbitrary ones (the
+    # asof-join randomized-parity pattern).
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        p = rng.choice([0.2, 0.4, 0.6])
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        if not edges:
+            continue
+        adj = set(edges)
+        expected = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        vertices = {x for e in edges for x in e}
+        row = triangle_count(
+            spark.createDataFrame(edges, "u long, v long")
+        ).collect()[0]
+        assert row["n_triangles"] == expected, (trial, edges)
+        assert row["n_vertices"] == len(vertices)
+        assert row["n_edges"] == len(edges)
+
+
+def test_skyline_randomized_parity_with_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        width = rng.choice([1, 3, 10])
+        rows = [
+            (i, rng.randint(0, 20), float(rng.randint(0, 50)))
+            for i in range(n)
+        ]
+        expected = sorted(
+            rid
+            for rid, d, v in rows
+            if not any(d2 < d and v2 > v for _, d2, v2 in rows)
+        )
+        df = spark.createDataFrame(
+            rows, "rid long, day long, val double"
+        ).withColumn("bucket", (F.col("day") / width).cast("long"))
+        got = sorted(
+            r["rid"]
+            for r in skyline_2d(
+                df, order_col="day", value_col="val", bucket_col="bucket"
+            ).collect()
+        )
+        assert got == expected, (trial, width, rows)
