@@ -123,6 +123,8 @@ HEADLINE = [
     "event_path_trigrams",
     "lpa_community_labels",
     "skyline_pareto_orders",
+    "association_rules_pairs",
+    "winsorize_order_stats",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -456,15 +456,14 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected 1995 co-purchase edges ``(u, v)`` with
-    ``u < v`` — the shared graph behind the triangle and community
-    queries.  Eagerly checkpointed: every consumer reads the edge list
-    several times, and at 100 TB this is a written adjacency table, not
-    a recomputed lineage."""
+def _copurchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 1995 ``(order, part)`` basket rows — the shared input
+    behind the co-purchase graph and the market-basket queries.
+    Eagerly checkpointed: every consumer reads it at least twice (both
+    sides of a within-basket self-join)."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    lines = (
+    return (
         li.join(
             orders.where(
                 (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
@@ -476,6 +475,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected 1995 co-purchase edges ``(u, v)`` with
+    ``u < v`` — the shared graph behind the triangle and community
+    queries.  Eagerly checkpointed: every consumer reads the edge list
+    several times, and at 100 TB this is a written adjacency table, not
+    a recomputed lineage."""
+    lines = _copurchase_lines(spark, sf_dir)
     a, b = lines.alias("a"), lines.alias("b")
     return (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
@@ -658,3 +666,153 @@ def entity_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("name_a", "name_b") <= 1)
     )
     return connected_components(pairs)
+
+
+ASSOC_TOPK = 20
+ASSOC_MIN_PAIR = 2
+
+
+@register(
+    "association_rules_pairs",
+    oracle=f"""
+        WITH lines AS (
+            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1996-01-01'
+        ), n AS (
+            SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM lines
+        ), item AS (
+            SELECT pk, count(*)::BIGINT AS c FROM lines GROUP BY pk
+        ), pair AS (
+            SELECT a.pk AS pk_a, b.pk AS pk_b, count(*)::BIGINT AS c_ab
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        ), top AS (
+            SELECT pk_a, pk_b, c_ab FROM pair
+            WHERE c_ab >= {ASSOC_MIN_PAIR}
+            ORDER BY c_ab DESC, pk_a, pk_b LIMIT {ASSOC_TOPK}
+        )
+        SELECT t.pk_a, t.pk_b, t.c_ab,
+               round(1e6 * t.c_ab / n.n_baskets)::BIGINT AS support_micros,
+               round(1e6 * t.c_ab / ia.c)::BIGINT AS confidence_micros,
+               round(1e6 * t.c_ab * n.n_baskets / (ia.c * ib.c))::BIGINT
+                   AS lift_micros
+        FROM top t
+        JOIN item ia ON t.pk_a = ia.pk
+        JOIN item ib ON t.pk_b = ib.pk
+        CROSS JOIN n
+        ORDER BY t.c_ab DESC, t.pk_a, t.pk_b
+    """,
+    doc=f"""Association-rule mining (market-basket pairs, the Apriori
+    k=2 report): the top-{ASSOC_TOPK} co-purchased part pairs of 1995
+    with support, confidence(a→b) and lift.  Scale shape: pair
+    counting is the within-basket self-join (bounded by per-basket
+    item count squared, never |items|²), item supports and the basket
+    total are grouped counts; the tiny top-{ASSOC_TOPK} report frame
+    BROADCASTS into the support joins (the Kneser-Ney report pattern)
+    and the 1-row basket total is a bounded broadcast (allowlisted).
+    All metric inputs are integer counts; each metric rounds to micros
+    once.""",
+)
+def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _copurchase_lines(spark, sf_dir)
+    n = lines.select("ok").distinct().agg(F.count("*").alias("n_baskets"))
+    item = lines.groupBy(F.col("pk")).agg(F.count("*").alias("c"))
+    a, b = lines.alias("a"), lines.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    top = (
+        pair.where(F.col("c_ab") >= ASSOC_MIN_PAIR)
+        .orderBy(F.desc("c_ab"), "pk_a", "pk_b")
+        .limit(ASSOC_TOPK)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("c").alias("c_b"))
+    return (
+        F.broadcast(top)
+        .join(ia, "pk_a")
+        .join(ib, "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "c_ab",
+            F.round(1e6 * F.col("c_ab") / F.col("n_baskets"))
+            .cast("long")
+            .alias("support_micros"),
+            F.round(1e6 * F.col("c_ab") / F.col("c_a"))
+            .cast("long")
+            .alias("confidence_micros"),
+            F.round(
+                1e6 * F.col("c_ab") * F.col("n_baskets")
+                / (F.col("c_a") * F.col("c_b"))
+            )
+            .cast("long")
+            .alias("lift_micros"),
+        )
+        .orderBy(F.desc("c_ab"), "pk_a", "pk_b")
+    )
+
+
+@register(
+    "winsorize_order_stats",
+    oracle="""
+        WITH q AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.05) AS p05,
+                   quantile_cont(o_totalprice, 0.95) AS p95
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(q.p05, 4) AS p05,
+               round(q.p95, 4) AS p95,
+               round(avg(least(greatest(o.o_totalprice, q.p05), q.p95)), 4)
+                   AS winsorized_mean,
+               round(avg(o.o_totalprice), 4) AS raw_mean
+        FROM orders o JOIN q USING (o_orderpriority)
+        GROUP BY o.o_orderpriority, q.p05, q.p95
+    """,
+    doc="""Winsorized robust statistics per order priority: clip each
+    price to its group's exact [P05, P95] band, then average — the
+    outlier-robust mean every metrics pipeline reports next to the raw
+    one.  Two passes over the keyed data: an exact-quantile grouped
+    aggregate (|groups| rows) that BROADCAST-joins back onto the scan,
+    then one grouped average — no window, no sort of the fact table.
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` at round-4 (the
+    quantiles_exact contract).""",
+)
+def winsorize_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+    )

@@ -300,6 +300,7 @@ BNL_ALLOWED = {
     "rrf_fusion_topk",                # 1-row query vector + 1-row corpus stats
     "kneser_ney_bigram_lm",           # 1-row bigram-type total
     "triangle_count_copurchase",      # 1-row vertex/edge-count summaries
+    "association_rules_pairs",        # 1-row basket-count total
 }
 
 
