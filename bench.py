@@ -125,6 +125,7 @@ HEADLINE = [
     "skyline_pareto_orders",
     "association_rules_pairs",
     "winsorize_order_stats",
+    "recursive_cte_hierarchy",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -816,3 +816,84 @@ def winsorize_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean",
         )
     )
+
+
+# Identical ANSI text for BOTH engines (the sql_interface_orders
+# pattern): a WITH RECURSIVE hierarchy walk — Spark 4 executes
+# recursive CTEs natively (UnionLoop; each step is a bounded
+# materialized increment), DuckDB likewise.  The hierarchy is the
+# derived decimal-digit forest over part keys: parent(pk) =
+# floor(pk/10), roots pk < 10 — contiguous keys guarantee every parent
+# exists and depth is bounded by the key's digit count (≤7 at 100 TB
+# scale; the recursion is O(depth) keyed joins, never unbounded).
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE chain (pk, root, depth) AS (
+        SELECT p_partkey AS pk, p_partkey AS root, 0 AS depth
+        FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT p.p_partkey AS pk, c.root, c.depth + 1 AS depth
+        FROM part p JOIN chain c
+          ON CAST(floor(p.p_partkey / 10) AS BIGINT) = c.pk
+        WHERE p.p_partkey >= 10
+    )
+    SELECT depth,
+           count(*) AS n_parts,
+           min(root) AS min_root,
+           max(root) AS max_root,
+           sum(pk) AS sum_keys
+    FROM chain GROUP BY depth
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    doc="""Recursive CTE (Spark 4 WITH RECURSIVE, executed natively as
+    a UnionLoop): per-depth rollup of the derived parent hierarchy over
+    part keys (parent = floor(key/10)) — the org-chart / BOM-explosion
+    traversal shape.  The EXACT same ANSI text runs through spark.sql
+    and DuckDB (the sql_interface_orders pattern).  Scale shape: each
+    recursion step is one keyed equi-join of the previous increment
+    against the scan, depth bounded by the key's digit count — the
+    declarative replacement for a driver-side iterative loop.""",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+@register(
+    "variant_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+               CAST(json_extract_string(props, '$.missing') AS BIGINT)
+                   AS missing_is_null,
+               CAST(json_valid(props) AS INT) AS is_parseable
+        FROM events
+    """,
+    doc="""Semi-structured VARIANT surface (Spark 4): ``parse_json``
+    into the binary VARIANT encoding, typed path extraction via
+    ``variant_get`` (missing path → NULL, the shredding-friendly
+    fail-soft), parse validity via try_parse_json — the open-schema
+    ingestion path for event payloads that evolve without migrations.
+    VARIANT keeps the parsed tree in one binary column (no
+    per-field top-level columns, no re-parse per access) — the Spark-4
+    answer to the JSON-string column this table ships.  The oracle
+    checks the same typed values through DuckDB's JSON functions.""",
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_typed"
+        ),
+        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "missing_is_null"
+        ),
+        F.expr("CAST(try_parse_json(props) IS NOT NULL AS INT)").alias(
+            "is_parseable"
+        ),
+    )
