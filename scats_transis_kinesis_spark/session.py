@@ -55,6 +55,13 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # Eager localCheckpoint blocks (the iterative operators' round
+        # cuts and the dedup pipelines' end-of-pipeline materializations)
+        # are freed by the ContextCleaner only after a driver GC notices
+        # the RDD is unreachable; the default 30min periodic GC lets them
+        # accumulate across a 160-query gate/bench run.  5min bounds the
+        # accumulation window at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
