@@ -370,7 +370,13 @@ def incremental_minhash_dedup(
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
-        survivors = survivors.join(dup_vs_history, id_col, "left_anti")
+        # Materialize once: the post-history-filter frame feeds the
+        # banded self-join (both sides), both estimate sides, and the
+        # final anti-join — uncheckpointed, the history candidate join
+        # would re-run for each consumer.
+        survivors = survivors.join(
+            dup_vs_history, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
     # Within-batch near-dups among the remaining docs: banded self-join,
     # estimate, drop the larger id of each verified pair.
     caches: list[DataFrame] = []
@@ -670,7 +676,16 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     if edges.count() < 1_000_000:
         edges = edges.coalesce(1)
-    vertices = edges.select("u").union(edges.select("v")).distinct()
+    # Vertices come from the RAW pair list, not the self-loop-filtered
+    # edges: a vertex whose only pairs are reflexive (id_a == id_b)
+    # still belongs to the output as its own singleton cluster (the
+    # pre-star min-label implementation emitted it; dropping it would
+    # lose members from the canonicalization).
+    vertices = (
+        pairs.select(F.col(id_a).alias("u"))
+        .union(pairs.select(F.col(id_b).alias("u")))
+        .distinct()
+    )
     # Order-insensitive edge-set checksum: equal consecutive rounds ⇒
     # the star composition reached its fixed point (a star forest —
     # the composition has no cycles: its potential strictly decreases,

@@ -175,6 +175,8 @@ def lpa_communities(
     neighbor label (the grouped pre-count), not per neighbor."""
     from pyspark.sql import Window as W
 
+    if rounds < 1:
+        raise ValueError(f"lpa_communities needs rounds >= 1, got {rounds}")
     bi = edges.select(
         F.col(u).alias("src"), F.col(v).alias("dst")
     ).unionAll(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))

@@ -162,7 +162,18 @@ def salted_join(
     a physical strategy: the result equals the plain join row-for-row.
     (AQE's skew-join split handles moderate skew on sort-merge joins;
     explicit salting is the tool for pathological single-key hotspots
-    and for joins AQE won't split.)"""
+    and for joins AQE won't split.)
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported:
+    an outer side that PRESERVES the exploded dim would emit every
+    unmatched dim row ``buckets`` times, breaking the row-for-row
+    guarantee."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full joins would duplicate unmatched dim rows "
+            f"{buckets}x (one per salt replica)"
+        )
     sf = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_on), F.lit(buckets)).cast("int")
     )
@@ -373,14 +384,23 @@ def skyline_2d(
 
     A row survives iff neither max strictly exceeds its value.  Two
     keyed shuffles + one bounded collect; survives any column
-    distribution because the window never sees more than one bucket."""
+    distribution because the window never sees more than one bucket.
+
+    Preconditions: ``order_col`` must be INTEGER-valued (the RANGE
+    frame ends 1 before the current value — fractional order keys in
+    (cur-1, cur) would silently escape domination; use day numbers /
+    epoch seconds, not raw timestamps or floats); ``bucket_col`` must
+    be integral and ``value_col`` numeric (both are normalized to
+    long/double internally)."""
     from pyspark.sql import Window as W
 
     t = df
+    # Normalize driver-side values so the broadcast frame's schema works
+    # for int/Decimal value columns and any integral bucket type.
     per_bucket = [
-        (r[0], r[1])
+        (int(r[0]), float(r[1]))
         for r in t.groupBy(bucket_col)
-        .agg(F.max(value_col).alias("mx"))
+        .agg(F.max(F.col(value_col).cast("double")).alias("mx"))
         .collect()
     ]
     running, prefix = None, []

@@ -869,7 +869,7 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
                CAST(json_extract_string(props, '$.missing') AS BIGINT)
                    AS missing_is_null,
-               CAST(json_valid(props) AS INT) AS is_parseable
+               CAST(coalesce(json_valid(props), false) AS INT) AS is_parseable
         FROM events
     """,
     doc="""Semi-structured VARIANT surface (Spark 4): ``parse_json``
@@ -884,15 +884,17 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    v = F.parse_json("props")
+    # try_parse_json everywhere: a NULL or malformed props row (the rows
+    # is_parseable exists to flag) must yield NULL extractions, never
+    # fail the query — matching the oracle's fail-soft JSON functions.
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+        F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')").alias(
             "k_typed"
         ),
-        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')").alias(
-            "missing_is_null"
-        ),
+        F.expr(
+            "variant_get(try_parse_json(props), '$.missing', 'bigint')"
+        ).alias("missing_is_null"),
         F.expr("CAST(try_parse_json(props) IS NOT NULL AS INT)").alias(
             "is_parseable"
         ),

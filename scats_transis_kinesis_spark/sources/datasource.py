@@ -401,6 +401,17 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
     def _spool_write(self, start_off: int, rows: list[tuple[str]]) -> None:
         os.makedirs(self.spool_dir, exist_ok=True)
         end_off = start_off + len(rows)
+        # A crash between a spool write and Spark's offset-log commit
+        # leaves a stale file covering the same offsets from the DEAD
+        # connection; on restart this batch is re-read from the live
+        # transport, and the stale journal entry must not shadow it (two
+        # files starting at the same offset would make recovery replay
+        # dead-connection documents, then fail on the gap).  Any existing
+        # file overlapping the range being written is superseded by this
+        # authoritative re-delivery — delete it first.
+        for f_lo, f_hi, old_path in self._spool_files():
+            if f_lo < end_off and f_hi > start_off:
+                os.remove(old_path)
         path = os.path.join(
             self.spool_dir, f"{start_off:012d}-{end_off:012d}.spool"
         )

@@ -280,6 +280,22 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_keeps_self_pair_singletons(spark):
+    # A vertex whose only pair is reflexive must survive as its own
+    # singleton cluster (the min-label implementation's behavior; the
+    # star rewrite must not drop it with the self-loop filter).
+    from scats_transis_kinesis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["member_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(7, 7), (1, 1), (2, 1)}
+
+
 def test_connected_components_long_chain_bounded_rounds(spark):
     """Adversarial 1000-vertex chain (the worst case for min-label
     propagation: O(diameter) = 1000 rounds): the alternating-star loop

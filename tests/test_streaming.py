@@ -818,6 +818,39 @@ def test_live_reader_spool_replays_across_instances(tmp_path):
         list(r3.readBetweenOffsets(off1, off2))
 
 
+def test_live_reader_spool_supersedes_stale_file_after_crash(tmp_path):
+    """Crash between the spool write and Spark's offset-log commit: the
+    restarted reader re-reads the batch from the LIVE transport and
+    journals it again from the same start offset.  The re-delivery must
+    supersede the dead connection's stale file — recovery replays the
+    documents that were actually emitted, never the dead ones, and
+    never fails on the overlap."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLLiveStreamReader,
+    )
+
+    spec, feed = _live_feed_transport(tmp_path)
+    feed([f'<doc id="{i}"/>' for i in range(2)])
+    opts = {"transport": spec, "spooldir": str(tmp_path / "spool")}
+
+    r1 = TransisXMLLiveStreamReader(opts)
+    # Simulate run 1's batch journal whose offsets never reached the
+    # offset log: a dead-connection file [0, 1) with different content.
+    r1._spool_write(0, [("<dead-connection-doc/>",)])
+
+    # Run 2 restarts at offset 0 and drains the real feed: [0, 2).
+    rows, off = r1.read(r1.initialOffset())
+    assert off == {"n_docs": 2}
+
+    # Recovery from a FRESH instance replays the live documents; the
+    # stale overlapping file is gone.
+    r2 = TransisXMLLiveStreamReader(opts)
+    replayed = [v for (v,) in r2.readBetweenOffsets({"n_docs": 0}, off)]
+    assert replayed == ['<doc id="0"/>', '<doc id="1"/>']
+    names = sorted(p.name for p in (tmp_path / "spool").iterdir())
+    assert names == ["000000000000-000000000002.spool"]
+
+
 def test_live_stream_checkpoint_restart_replays_then_resumes(spark, tmp_path):
     """End-to-end kill/restart mid-stream: query 1 consumes three
     documents and stops; the newest commit-log entry is removed
