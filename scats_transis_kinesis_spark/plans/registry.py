@@ -117,6 +117,26 @@ _PRIORITY: tuple[str, ...] = (
     "boilerplate_shingle_prune",
     "phrase_search_positional",
     "table_profile",
+    # --- positions 51+: round-4 additions, never driver-sampled — the
+    # ROUND-5 rotation list (BACKLOG.md).  Round 5 moves these to the
+    # front of the window; listing them here already pins the intended
+    # order and keeps them adjacent in the registry surface.
+    "decayed_hourly_traffic",
+    "triangle_count_copurchase",
+    "token_entropy_quality",
+    "rrf_fusion_topk",
+    "kneser_ney_bigram_lm",
+    "event_path_trigrams",
+    "lpa_community_labels",
+    "skyline_pareto_orders",
+    "entity_fuzzy_clusters",
+    "association_rules_pairs",
+    "winsorize_order_stats",
+    "recursive_cte_hierarchy",
+    "variant_json_extract",
+    "hof_array_surface",
+    # (bm25_topk's scorer was also refactored this round; it already
+    # sits in the lead-13 window above.)
 )
 
 
