@@ -22,9 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: modulus of the universal-hash permutation
-# family (Broder '97 min-wise resemblance estimation).
-MERSENNE_P = (1 << 61) - 1
+# Modulus of the universal-hash permutation family (Broder '97
+# min-wise resemblance estimation): the smallest prime ABOVE the 32-bit
+# hash domain, 2^32 + 15.  The modulus must sit close to the domain:
+# with coefficients a < 2^30 the product a*h reaches ~2^62, so a prime
+# this size wraps ~2^29 times and (a*h + b) mod p is a genuinely
+# scrambled pairwise-independent permutation.  (An earlier 2^61-1
+# modulus exceeded a*h almost everywhere, leaving the map near-MONOTONE
+# in h — every "permutation" shared the same argmin shingle, collapsing
+# the k=32 signature into one correlated sample.  Banding + exact-verify
+# masked it; the signature-estimated Jaccard verifier exposed it.)
+MINHASH_P = (1 << 32) + 15
 
 
 def portable_hash64(col: Column | str) -> Column:
@@ -56,9 +64,9 @@ def minhash_value(hash32_col: Column, a: int, b: int) -> Column:
     ``a*h < 2^62`` cannot overflow int64, so Spark and DuckDB agree
     bit-for-bit.
     """
-    return (hash32_col * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+    return (hash32_col * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_value_sql(hash32_sql: str, a: int, b: int) -> str:
     """DuckDB-SQL rendering of :func:`minhash_value`."""
-    return f"(({hash32_sql} * {a} + {b}) % {MERSENNE_P})"
+    return f"(({hash32_sql} * {a} + {b}) % {MINHASH_P})"

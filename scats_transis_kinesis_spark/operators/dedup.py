@@ -21,7 +21,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE_P, portable_hash32, portable_hash64
+from ..functions.hashing import MINHASH_P, portable_hash32, portable_hash64
 
 # --- shared deterministic parameters (mirrored into the oracle SQL) -------
 
@@ -178,7 +178,7 @@ def minhash_signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> Dat
         .select(id_col, portable_hash32("token").alias("h"))
     )
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)

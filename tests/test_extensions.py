@@ -541,3 +541,57 @@ def test_ensure_parallelism_gated_by_input_size(spark, tmp_path):
     expected_cap = spark.sparkContext.defaultParallelism
     assert 1 < fanned <= expected_cap
     assert fanned <= max(1, n_bytes // _MIN_FANOUT_BYTES_PER_SLOT) + 1
+
+
+def test_minhash_signature_estimate_tracks_exact_jaccard(spark):
+    """Calibration of incremental_minhash_dedup's verifier: the
+    matching-row fraction of two k=32 signatures is an unbiased
+    Jaccard estimator with sigma ~= 0.088 — random doc pairs across
+    the overlap range must estimate within 4-sigma each and well
+    within 2-sigma on average."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        SHINGLE_N,
+        minhash_signatures,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    docs, truths = [], {}
+    pair_id = 0
+    for overlap in [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]:
+        for _ in range(3):
+            base = [rng.choice(vocab) for _ in range(60)]
+            other = list(base)
+            n_replace = int(len(base) * (1 - overlap))
+            for idx in rng.sample(range(len(base)), n_replace):
+                other[idx] = rng.choice(vocab)
+            a_id, b_id = 2 * pair_id, 2 * pair_id + 1
+            docs.append((a_id, " ".join(base)))
+            docs.append((b_id, " ".join(other)))
+
+            def shingles(toks):
+                return {
+                    " ".join(toks[i : i + SHINGLE_N])
+                    for i in range(len(toks) - SHINGLE_N + 1)
+                }
+            sa, sb = shingles(base), shingles(other)
+            truths[(a_id, b_id)] = len(sa & sb) / len(sa | sb)
+            pair_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(32)]
+        for r in minhash_signatures(df).collect()
+    }
+    errs = []
+    for (a_id, b_id), exact in truths.items():
+        est = sum(
+            1 for x, y in zip(sigs[a_id], sigs[b_id]) if x == y
+        ) / 32.0
+        assert abs(est - exact) <= 0.36, (a_id, b_id, est, exact)
+        errs.append(abs(est - exact))
+    assert sum(errs) / len(errs) <= 0.15, errs

@@ -241,17 +241,18 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
 
 
 def test_containment_detects_excerpt(spark):
-    # Doc 2 is a verbatim excerpt (first 18 words) of doc 1: symmetric
-    # Jaccard is 16/22 ≈ 0.73 (enough for an LSH band collision — tiny
-    # excerpts inside huge documents fall below banding recall, the
-    # caveat documented on the operator) but the excerpt's containment
-    # in the parent is exactly 1.0.  Doc 3 is unrelated.
+    # Doc 2 is a verbatim excerpt (first 22 words) of doc 1: symmetric
+    # Jaccard is 20/22 ≈ 0.91 — comfortably above the 8×4 banding's
+    # recall knee (per-band collision 0.91^4 ≈ 0.68; tiny excerpts
+    # inside huge documents fall below banding recall, the caveat
+    # documented on the operator) — while the excerpt's containment in
+    # the parent is exactly 1.0.  Doc 3 is unrelated.
     from scats_transis_kinesis_spark.operators.dedup import (
         containment_near_dups,
     )
 
     parent = " ".join(f"w{i}" for i in range(24))
-    excerpt = " ".join(f"w{i}" for i in range(18))
+    excerpt = " ".join(f"w{i}" for i in range(22))
     other = " ".join(f"x{i}" for i in range(24))
     df = spark.createDataFrame(
         [(1, parent), (2, excerpt), (3, other)], "doc_id long, text string"

@@ -12,7 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from scats_transis_kinesis_spark.functions.hashing import (
-    MERSENNE_P,
+    MINHASH_P,
     duckdb_hash32_sql,
     duckdb_hash64_sql,
     minhash_value,
@@ -71,7 +71,7 @@ def test_minhash_permutation_matches_duckdb(spark, values, a, b):
         values, lambda e: minhash_value_sql(duckdb_hash32_sql(e), a, b)
     )
     assert got == want
-    assert all(0 <= v < MERSENNE_P for v in got)
+    assert all(0 <= v < MINHASH_P for v in got)
 
 
 @pytest.mark.parametrize(

@@ -59,3 +59,15 @@ def test_entry_module_exports_match_registry():
     os_ = entry.oracle_sql()
     assert set(qs) == set(REGISTRY)
     assert set(os_) == {n for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def test_bench_headline_names_resolve():
+    # Every bench.py HEADLINE entry must be a registered query — a typo
+    # would crash the driver's per-round bench at runtime.
+    import bench
+
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+
+    unknown = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not unknown, f"bench HEADLINE names not in REGISTRY: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
