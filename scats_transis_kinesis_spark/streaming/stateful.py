@@ -127,3 +127,103 @@ def site_liveness(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- streaming decayed counters (the decayed_hourly_traffic twin) --------
+
+DECAY_HORIZON = 20  # hours; mirrors plans/pipeline_queries5.DECAY_HORIZON
+
+DECAYED_OUTPUT_SCHEMA = (
+    "event_type string, hour_epoch long, n_events long, decayed_micros long"
+)
+DECAYED_STATE_SCHEMA = "hours array<long>, counts array<long>"
+
+
+def decayed_counter_fn(
+    key: tuple,
+    pdf_iter: Iterator["pd.DataFrame"],  # noqa: F821
+    state: "GroupState",
+    horizon: int = DECAY_HORIZON,
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Per-key decayed hourly counter with half-life decay — the
+    INCREMENTAL form of the batch ``decayed_hourly_traffic`` query:
+    state holds the trailing ``horizon`` hourly counts (bounded: ≤20
+    (hour, count) pairs per key, pruned on every batch), each batch
+    merges its hours and emits, for every hour observed in the batch,
+    the identical per-term-micro-rounded decayed sum the batch query
+    computes.  Hours are epoch-hours (ts // 3600)."""
+    import pandas as pd
+
+    if state.exists:
+        hours, counts = state.get
+        tally = dict(zip(hours, counts))
+    else:
+        tally = {}
+    batch_hours = set()
+    for pdf in pdf_iter:
+        for h, n in pdf.groupby("hour_epoch").size().items():
+            tally[int(h)] = tally.get(int(h), 0) + int(n)
+            batch_hours.add(int(h))
+    if not batch_hours:
+        return
+    hi = max(tally)
+    tally = {h: c for h, c in tally.items() if h > hi - horizon}
+    state.update((list(tally), [tally[h] for h in tally]))
+    out = []
+    for h in sorted(batch_hours):
+        if h not in tally:
+            # Older than the horizon of the newest data in this batch —
+            # already pruned; nothing in state can decay into it.
+            continue
+        # int(x + 0.5) = HALF_UP for positive values, matching Spark's
+        # round() (Python's round() is banker's and diverges exactly at
+        # the .5 terms odd counts produce at lag 7+).  The division by
+        # a power of two is float-exact, so the tie cases are real.
+        decayed = sum(
+            int(c * 1e6 / (1 << (h - g)) + 0.5)
+            for g, c in tally.items()
+            if 0 <= h - g < horizon
+        )
+        out.append((key[0], h, tally[h], decayed))
+    yield pd.DataFrame(
+        out, columns=["event_type", "hour_epoch", "n_events", "decayed_micros"]
+    )
+
+
+def decayed_counters(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    horizon: int = DECAY_HORIZON,
+) -> DataFrame:
+    """Streaming decayed counters keyed by event type.
+
+    Scale shape: state per key is ≤``horizon`` (hour, count) pairs —
+    O(|keys|·horizon) total, independent of event volume; each batch
+    shuffles only (key, hour) counts.  The decay weight is the exact
+    power-of-two family of the batch twin, so a drained stream's output
+    matches ``decayed_hourly_traffic`` row-for-row on the hours it
+    observed (parity pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    def fn(key: tuple, it: Iterator[Any], state: GroupState) -> Iterator[Any]:
+        return decayed_counter_fn(key, it, state, horizon)
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("event_type"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).withColumn(
+        "hour_epoch",
+        (F.unix_timestamp("ts") / 3600).cast("long"),
+    )
+    return (
+        keyed.withWatermark("ts", "0 seconds")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DECAYED_OUTPUT_SCHEMA,
+            stateStructType=DECAYED_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

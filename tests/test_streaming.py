@@ -69,6 +69,95 @@ def test_windowed_traffic_streaming_matches_batch(spark):
         assert got == expected and len(got) > 0
 
 
+def test_decayed_counters_streaming_matches_batch(spark):
+    """The stateful streaming decayed counter must reproduce the batch
+    decayed_hourly_traffic query row-for-row across micro-batches:
+    batch 2's hours decay counts that arrived in batch 1 (held in
+    state), and the .5-tie terms (odd count at lag 7) round HALF_UP on
+    both paths."""
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+    from scats_transis_kinesis_spark.streaming.stateful import decayed_counters
+
+    def rows_for(hour, event_type, n, base_id):
+        return [
+            (base_id + i, f"2024-01-01 {hour:02d}:0{i}:00", 1, event_type, 1.0, None)
+            for i in range(n)
+        ]
+
+    schema = (
+        "event_id long, t string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = (
+        rows_for(0, "click", 3, 0) + rows_for(1, "click", 5, 10)
+        + rows_for(0, "view", 1, 20) + rows_for(2, "view", 4, 30)
+    )
+    batch2 = rows_for(7, "click", 2, 40) + rows_for(8, "view", 1, 50)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events.parquet")
+
+        os.makedirs(src, exist_ok=True)
+
+        def write(rows, part, mtime):
+            import shutil
+
+            stage = os.path.join(d, f"stage_{part}")
+            (
+                spark.createDataFrame(rows, schema)
+                .select(
+                    "event_id", F.col("t").cast("timestamp").alias("ts"),
+                    "user_id", "event_type", "value", "props",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part_file = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dest = os.path.join(src, f"{part}.parquet")
+            shutil.move(os.path.join(stage, part_file), dest)
+            os.utime(dest, (mtime, mtime))
+
+        write(batch1, "b1", 1_700_000_000)
+        write(batch2, "b2", 1_700_000_100)
+
+        expected = {
+            (
+                r["event_type"],
+                int(r["h"].timestamp() // 3600),
+                r["n_events"],
+                r["decayed_micros"],
+            )
+            for r in REGISTRY["decayed_hourly_traffic"].fn(spark, d).collect()
+        }
+
+        stream_schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            decayed_counters(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("decay_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["event_type"], r["hour_epoch"], r["n_events"], r["decayed_micros"])
+                for r in spark.sql("SELECT * FROM decay_out").collect()
+            }
+        finally:
+            q.stop()
+        assert got == expected and len(got) == 6
+
+
 def test_kinesis_sink_retries_only_failed_subset(spark):
     # Mirrors the reference's retry test (reference: tests.py:128-147):
     # a throttled record is retried alone and succeeds; everything is
