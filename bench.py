@@ -126,6 +126,7 @@ HEADLINE = [
     "association_rules_pairs",
     "winsorize_order_stats",
     "recursive_cte_hierarchy",
+    "sketch_mergeability_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -899,3 +899,81 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_parseable"
         ),
     )
+
+
+@register(
+    "sketch_mergeability_audit",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(DISTINCT o_custkey) AS md
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        )
+        SELECT (SELECT count(*) FROM monthly) AS n_months,
+               (SELECT count(DISTINCT o_custkey) FROM orders)
+                   AS exact_distinct,
+               (SELECT quantile_cont(o_totalprice, 0.5) FROM orders) IS NOT
+                   NULL AS kll_p50_ok,
+               TRUE AS hll_merged_ok,
+               TRUE AS theta_merged_ok,
+               TRUE AS kll_p99_ok
+    """,
+    doc="""Mergeable-sketch audit (Apache DataSketches built-ins, Spark
+    4): HLL and theta distinct sketches and a KLL quantile sketch are
+    built PER MONTH over orders, then UNIONED across months — the
+    re-aggregation property that makes sketches the 100 TB answer to
+    distinct/quantile rollups (pre-aggregate per partition/day, merge
+    for any ad-hoc range — never rescan).  Sketch internals are
+    engine-specific, so the hash contract is the approx_distinct
+    pattern: the merged HLL (lgK=14) and theta estimates must land
+    within 5% of the exact distinct count, and the merged KLL p50/p99
+    must sit between the exact neighboring order statistics with 2%
+    rank tolerance — booleans the oracle carries as literal TRUE.""",
+)
+def sketch_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    monthly = o.groupBy("m").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("hll"),
+        F.theta_sketch_agg("o_custkey").alias("theta"),
+        F.kll_sketch_agg_double("o_totalprice").alias("kll"),
+    )
+    merged = monthly.agg(
+        F.count("*").alias("n_months"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_est"),
+        F.theta_sketch_estimate(
+            F.expr("theta_union_agg(theta)")
+        ).alias("theta_est"),
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(kll), 0.5)"
+        ).alias("kll_p50"),
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(kll), 0.99)"
+        ).alias("kll_p99"),
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.expr("percentile(o_totalprice, array(0.48, 0.52, 0.97, 1.0))")
+        .alias("p_bounds"),
+    )
+    j = merged.crossJoin(F.broadcast(exact))
+    within = lambda est: (  # noqa: E731
+        F.abs(est - F.col("exact_distinct")) <= 0.05 * F.col("exact_distinct")
+    )
+    return j.select(
+        "n_months",
+        "exact_distinct",
+        (
+            (F.col("kll_p50") >= F.col("p_bounds")[0])
+            & (F.col("kll_p50") <= F.col("p_bounds")[1])
+        ).alias("kll_p50_ok"),
+        within(F.col("hll_est")).alias("hll_merged_ok"),
+        within(F.col("theta_est")).alias("theta_merged_ok"),
+        (
+            (F.col("kll_p99") >= F.col("p_bounds")[2])
+            & (F.col("kll_p99") <= F.col("p_bounds")[3])
+        ).alias("kll_p99_ok"),
+    )
