@@ -135,8 +135,12 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_cte_hierarchy",
     "variant_json_extract",
     "hof_array_surface",
-    # (bm25_topk's scorer was also refactored this round; it already
-    # sits in the lead-13 window above.)
+    "sketch_mergeability_audit",
+    # (bm25_topk's scorer was also refactored this round, and the fixed
+    # permutation modulus changed dedup_minhash_lsh /
+    # dedup_clusters_minhash / dedup_containment values — all four
+    # already sit inside the first-50 window above, so the driver
+    # re-checks them this round.)
 )
 
 
