@@ -39,8 +39,10 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -488,6 +490,75 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
                 pass  # best-effort GC; an undeleted file stays correct
 
 
+class _WriteCommit(WriterCommitMessage):
+    def __init__(self, staged: str, final: str) -> None:
+        self.staged = staged
+        self.final = final
+
+
+class TransisXMLBatchWriter(DataSourceWriter):
+    """Batch write path: each partition renders its rows as one
+    NUL-delimited capture file (the reference's wire format, so a
+    written directory reads back through the same source —
+    ``_split_file`` drops the trailing empty fragment).
+
+    Two-phase commit: executors write to per-task staging names and
+    report them in commit messages; the driver renames the staged set
+    into place (and, for overwrite, clears prior captures) only after
+    EVERY task succeeded — a failed/aborted job leaves the target
+    untouched.  On a local filesystem the rename is atomic; an
+    object-store deployment swaps this for a manifest commit, the same
+    contract every file sink uses."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("transis_xml write needs a 'path' option")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_WriteCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{pid:05d}.xml0")
+        staged = os.path.join(
+            self.path, f"_staged-{pid:05d}-{os.getpid()}.tmp"
+        )
+        n = 0
+        with open(staged, "wb") as f:
+            for row in iterator:
+                doc = row[0]
+                if doc is None:
+                    continue
+                f.write(doc.encode("utf-8"))
+                f.write(RECORD_DELIMITER)
+                n += 1
+        if n == 0:
+            os.remove(staged)
+            return _WriteCommit("", "")
+        return _WriteCommit(staged, final)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".xml0"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m.staged:
+                os.replace(m.staged, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and getattr(m, "staged", ""):
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 class TransisXMLDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -498,6 +569,9 @@ class TransisXMLDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TransisXMLBatchReader:
         return TransisXMLBatchReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> TransisXMLBatchWriter:
+        return TransisXMLBatchWriter(self.options, overwrite)
 
     def simpleStreamReader(
         self, schema: StructType

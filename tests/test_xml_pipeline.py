@@ -624,3 +624,38 @@ def test_live_stream_read_surfaces_exhausted_budget(tmp_path):
         # the pump dies quickly; read drains nothing and re-raises
         for _ in range(50):
             reader.read(reader.initialOffset())
+
+
+def test_transis_xml_write_roundtrip(spark, tmp_path):
+    """The DataSource WRITE path: df.write.format('transis_xml')
+    renders NUL-delimited capture files that read back through the same
+    source byte-identically; overwrite mode replaces prior captures;
+    the two-phase commit leaves no staging files behind."""
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    import os
+
+    register_transis_datasource(spark)
+    docs = [f'<doc id="{i}" body="text {i}"/>' for i in range(25)]
+    df = spark.createDataFrame([(d,) for d in docs], "value string")
+    out = str(tmp_path / "captures")
+
+    df.repartition(4).write.format("transis_xml").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".xml0") for f in files)
+    raw = b"".join(
+        open(os.path.join(out, f), "rb").read() for f in files
+    )
+    assert raw.count(b"\x00") == len(docs)
+
+    back = {r["value"] for r in spark.read.format("transis_xml").load(out).collect()}
+    assert back == set(docs)
+
+    # Overwrite replaces the previous capture set entirely.
+    df2 = spark.createDataFrame([("<doc id='fresh'/>",)], "value string")
+    df2.coalesce(1).write.format("transis_xml").mode("overwrite").save(out)
+    back2 = {r["value"] for r in spark.read.format("transis_xml").load(out).collect()}
+    assert back2 == {"<doc id='fresh'/>"}
+    assert not [f for f in os.listdir(out) if f.startswith("_staged")]
