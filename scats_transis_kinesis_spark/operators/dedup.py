@@ -663,29 +663,28 @@ def connected_components(
     Rounds are cut with eager ``localCheckpoint`` (bounded iterative
     lineage, the pagerank pattern) and a non-convergence within
     ``max_iters`` raises rather than returning wrong clusters."""
-    edges = (
+    # ONE evaluation of the (possibly expensive) pair lineage: the raw
+    # distinct pair list checkpoints first, and both the edge list and
+    # the vertex set derive from the checkpointed frame.  Vertices come
+    # from the RAW pairs, not the self-loop-filtered edges: a vertex
+    # whose only pairs are reflexive (id_a == id_b) still belongs to
+    # the output as its own singleton cluster (the pre-star min-label
+    # implementation emitted it; dropping it would lose members from
+    # the canonicalization).
+    raw = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    edges = raw.where(F.col("u") != F.col("v"))
     # The pair graph is tiny relative to the corpus (near-dup pairs are
     # rare by construction): below this edge count the whole loop runs
     # single-partition — every round's joins and aggregates become one
     # task with no exchanges, cutting per-round overhead ~10×.  A truly
     # large graph keeps the scan's parallelism.
-    edges = edges.localCheckpoint(eager=True)
-    if edges.count() < 1_000_000:
+    if raw.count() < 1_000_000:
         edges = edges.coalesce(1)
-    # Vertices come from the RAW pair list, not the self-loop-filtered
-    # edges: a vertex whose only pairs are reflexive (id_a == id_b)
-    # still belongs to the output as its own singleton cluster (the
-    # pre-star min-label implementation emitted it; dropping it would
-    # lose members from the canonicalization).
-    vertices = (
-        pairs.select(F.col(id_a).alias("u"))
-        .union(pairs.select(F.col(id_b).alias("u")))
-        .distinct()
-    )
+    vertices = raw.select("u").union(raw.select("v")).distinct()
     # Order-insensitive edge-set checksum: equal consecutive rounds ⇒
     # the star composition reached its fixed point (a star forest —
     # the composition has no cycles: its potential strictly decreases,
