@@ -13,8 +13,10 @@ Widths:
 - 60-bit (15 hex chars) for fingerprints / exact-dedup keys — collision
   odds negligible.
 - 32-bit (8 hex chars) as the minhash base so the universal-hash
-  permutation ``(a*h + b) mod p`` (a < 2^30, h < 2^32, p = 2^61-1)
-  stays exactly representable in signed int64 in both engines.
+  permutation ``(a*h + b) mod p`` (a < 2^30, h < 2^32, p = 2^32+15)
+  stays exactly representable in signed int64 in both engines while
+  the product wraps the modulus ~2^29 times (see :data:`MINHASH_P`
+  for why the modulus must sit close to the hash domain).
 """
 
 from __future__ import annotations

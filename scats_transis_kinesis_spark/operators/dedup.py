@@ -21,7 +21,12 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_P, portable_hash32, portable_hash64
+from ..functions.hashing import (
+    MINHASH_P,
+    minhash_value,
+    portable_hash32,
+    portable_hash64,
+)
 
 # --- shared deterministic parameters (mirrored into the oracle SQL) -------
 
@@ -35,6 +40,13 @@ SIMHASH_BITS = 24
 # true near-copies.
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
+
+# Version stamp for persisted signature state (incremental_minhash_dedup):
+# bump whenever the permutation family changes (modulus, coefficients,
+# k, the base hash) — cross-family signatures never match, so mixing
+# versions in one state table silently re-admits every historical
+# near-dup.  v2 = the 2^32+15 modulus.
+MINHASH_SIG_VERSION = 2
 
 _rng = random.Random(42)
 # a odd in [1, 2^30): a*h < 2^62 for 32-bit h — no int64 overflow in
@@ -178,7 +190,7 @@ def minhash_signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> Dat
         .select(id_col, portable_hash32("token").alias("h"))
     )
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        F.min(minhash_value(F.col("h"), a, b)).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -329,6 +341,13 @@ def incremental_minhash_dedup(
     A production pipeline wanting exact verification would join the
     candidate ids back to the corpus store.
 
+    The state table carries a ``sig_version`` column: signatures are
+    only comparable when hashed with the same permutation family, so a
+    state dir written under a different version (e.g. the round-4
+    modulus fix) fails loudly instead of silently re-admitting every
+    historical near-dup (old-family signatures never collide with
+    new-family ones).
+
     Returns the surviving ``(id, m0..m31)`` signature rows."""
     spark = new_docs.sparkSession
     k = len(MINHASH_COEFFS)
@@ -346,6 +365,24 @@ def incremental_minhash_dedup(
     seen = _read_state_or_none(spark, state_dir)
     survivors = sigs
     if seen is not None:
+        if "sig_version" not in seen.columns:
+            raise ValueError(
+                f"incremental_minhash_dedup state at {state_dir} predates "
+                "signature versioning — rebuild it (signatures from a "
+                "different permutation family never match, so continuing "
+                "would silently re-admit every historical near-dup)"
+            )
+        stale = (
+            seen.where(F.col("sig_version") != MINHASH_SIG_VERSION)
+            .limit(1)
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                f"incremental_minhash_dedup state at {state_dir} was "
+                f"written under a different signature version than "
+                f"{MINHASH_SIG_VERSION} — rebuild it"
+            )
         hist_banded = _banded(seen, id_col)
         new_banded = _banded(survivors, id_col)
         cand = (
@@ -395,7 +432,9 @@ def incremental_minhash_dedup(
     survivors = _checkpoint_release(
         survivors.select(id_col, *sig_cols), *caches
     )
-    survivors.write.mode("append").parquet(state_dir)
+    survivors.withColumn(
+        "sig_version", F.lit(MINHASH_SIG_VERSION)
+    ).write.mode("append").parquet(state_dir)
     return survivors
 
 

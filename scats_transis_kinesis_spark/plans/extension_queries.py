@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_P
+from ..functions.hashing import minhash_value_sql
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -30,7 +30,7 @@ _H64 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 def _minhash_lsh_oracle() -> str:
     mins = ",\n               ".join(
-        f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        f"min({minhash_value_sql('h', a, b)}) AS m{i}"
         for i, (a, b) in enumerate(D.MINHASH_COEFFS)
     )
     band_rows = []

@@ -502,31 +502,42 @@ class TransisXMLBatchWriter(DataSourceWriter):
     written directory reads back through the same source —
     ``_split_file`` drops the trailing empty fragment).
 
-    Two-phase commit: executors write to per-task staging names and
-    report them in commit messages; the driver renames the staged set
-    into place (and, for overwrite, clears prior captures) only after
-    EVERY task succeeded — a failed/aborted job leaves the target
-    untouched.  On a local filesystem the rename is atomic; an
-    object-store deployment swaps this for a manifest commit, the same
-    contract every file sink uses."""
+    Two-phase commit: executors write into a hidden ``_staging``
+    SUBDIRECTORY (the reader's capture listing takes regular files
+    only, so in-flight or leaked staging files are invisible to reads
+    and to the streaming offset log); the driver renames the staged
+    set into place (and, for overwrite, clears prior captures) only
+    after EVERY task succeeded — a failed/aborted job leaves the
+    target untouched.  Final names carry a per-JOB unique token, so
+    append mode never collides with the capture files of a previous
+    write (deterministic ``part-00000`` names would silently clobber
+    them).  On a local filesystem the rename is atomic; an
+    object-store deployment swaps this for a manifest commit, the
+    same contract every file sink uses."""
 
     def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("transis_xml write needs a 'path' option")
         self.path = path
         self.overwrite = overwrite
+        # Generated once on the driver; the pickled writer carries it to
+        # every task, so all of one job's files share the token and two
+        # jobs never share a name.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> "_WriteCommit":
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{pid:05d}.xml0")
-        staged = os.path.join(
-            self.path, f"_staged-{pid:05d}-{os.getpid()}.tmp"
-        )
+        staging_dir = os.path.join(self.path, "_staging")
+        os.makedirs(staging_dir, exist_ok=True)
+        name = f"part-{self.job_token}-{pid:05d}.xml0"
+        final = os.path.join(self.path, name)
+        staged = os.path.join(staging_dir, f"{name}.{os.getpid()}.tmp")
         n = 0
         with open(staged, "wb") as f:
             for row in iterator:
@@ -549,6 +560,7 @@ class TransisXMLBatchWriter(DataSourceWriter):
         for m in messages:
             if m.staged:
                 os.replace(m.staged, m.final)
+        self._gc_staging()
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -557,6 +569,24 @@ class TransisXMLBatchWriter(DataSourceWriter):
                     os.remove(m.staged)
                 except OSError:
                     pass
+        self._gc_staging()
+
+    def _gc_staging(self) -> None:
+        # Best-effort: drop anything this job leaked (a task that died
+        # mid-write never reported its staged file in a commit message).
+        staging_dir = os.path.join(self.path, "_staging")
+        if not os.path.isdir(staging_dir):
+            return
+        for name in os.listdir(staging_dir):
+            if self.job_token in name:
+                try:
+                    os.remove(os.path.join(staging_dir, name))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(staging_dir)  # succeeds only when empty
+        except OSError:
+            pass
 
 
 class TransisXMLDataSource(DataSource):

@@ -166,15 +166,14 @@ def decayed_counter_fn(
             batch_hours.add(int(h))
     if not batch_hours:
         return
-    hi = max(tally)
-    tally = {h: c for h, c in tally.items() if h > hi - horizon}
-    state.update((list(tally), [tally[h] for h in tally]))
+    # Emit from the UN-pruned tally — a batch hour that lags the
+    # batch's newest hour must still see every in-horizon decay term
+    # (pruning before emission dropped both the lagging hour's output
+    # row and its older terms, silently breaking batch parity).  The
+    # prune applies only to what is STORED: hours that can no longer
+    # decay into anything at or after the newest seen hour.
     out = []
     for h in sorted(batch_hours):
-        if h not in tally:
-            # Older than the horizon of the newest data in this batch —
-            # already pruned; nothing in state can decay into it.
-            continue
         # int(x + 0.5) = HALF_UP for positive values, matching Spark's
         # round() (Python's round() is banker's and diverges exactly at
         # the .5 terms odd counts produce at lag 7+).  The division by
@@ -185,6 +184,9 @@ def decayed_counter_fn(
             if 0 <= h - g < horizon
         )
         out.append((key[0], h, tally[h], decayed))
+    hi = max(tally)
+    kept = {h: c for h, c in tally.items() if h > hi - horizon}
+    state.update((list(kept), [kept[h] for h in kept]))
     yield pd.DataFrame(
         out, columns=["event_type", "hour_epoch", "n_events", "decayed_micros"]
     )
@@ -213,8 +215,11 @@ def decayed_counters(
         F.col(key_col).cast("string").alias("event_type"),
         F.col(ts_col).cast("timestamp").alias("ts"),
     ).withColumn(
+        # floor, not cast-truncation: a cast rounds toward zero, so a
+        # pre-1970 timestamp would land one hour LATE vs the batch
+        # twin's date_trunc (which floors).
         "hour_epoch",
-        (F.unix_timestamp("ts") / 3600).cast("long"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long"),
     )
     return (
         keyed.withWatermark("ts", "0 seconds")

@@ -830,6 +830,60 @@ def test_incremental_minhash_dedup_across_runs(spark):
         # State holds one signature row per KEPT doc: 1, 2, 11, 20.
         assert spark.read.parquet(state).count() == 4
 
+        # A state row written under a different signature version must
+        # fail loudly — cross-family signatures never match, so running
+        # on would silently re-admit every historical near-dup.
+        stale = spark.read.parquet(state).limit(1).withColumn(
+            "sig_version", F.lit(1)
+        )
+        stale.write.mode("append").parquet(state)
+        run4 = spark.createDataFrame([(30, other)], "doc_id long, text string")
+        with pytest.raises(Exception, match="signature version"):
+            incremental_minhash_dedup(run4, state)
+
+
+def test_decayed_counter_fn_emits_lagging_batch_hours():
+    """A micro-batch whose hours span more than the horizon must still
+    emit EVERY observed hour with its full in-horizon decay terms —
+    pruning applies to stored state only, never to emission (batch
+    parity)."""
+    import pandas as pd
+
+    from scats_transis_kinesis_spark.streaming.stateful import (
+        decayed_counter_fn,
+    )
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # State carries hour 5 (count 4); the batch contains hours 10 and 26.
+    st = FakeState(([5], [4]))
+    pdf = pd.DataFrame({"hour_epoch": [10, 10, 26]})
+    [out] = list(decayed_counter_fn(("click",), iter([pdf]), st))
+    rows = {r.hour_epoch: (r.n_events, r.decayed_micros) for r in out.itertuples()}
+    # Hour 10 sees the lag-5 term from hour 5: 4e6/32 = 125000, plus its
+    # own 2e6.
+    assert rows[10] == (2, 2_000_000 + 125_000)
+    # Hour 26 is beyond hour 10's horizon contribution? lag 16 < 20, so
+    # hour 10 decays in: 2e6/2^16 ≈ 30.52 → 31 (HALF_UP); hour 5 is at
+    # lag 21, outside the horizon.
+    assert rows[26] == (1, 1_000_000 + 31)
+    # Stored state pruned to hours within the horizon of hour 26.
+    kept_hours, _ = st.get
+    assert sorted(kept_hours) == [10, 26]
+
 
 # --- live-source checkpoint recovery (S1 + O6: the replay story the
 # reference's recursive reconnect loop lacks) -----------------------------

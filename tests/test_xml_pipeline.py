@@ -653,9 +653,20 @@ def test_transis_xml_write_roundtrip(spark, tmp_path):
     back = {r["value"] for r in spark.read.format("transis_xml").load(out).collect()}
     assert back == set(docs)
 
+    # A second APPEND job must not clobber the first job's captures
+    # (final names carry a per-job token, never bare partition ids).
+    extra = ["<doc id='extra-a'/>", "<doc id='extra-b'/>"]
+    spark.createDataFrame([(d,) for d in extra], "value string").coalesce(
+        1
+    ).write.format("transis_xml").mode("append").save(out)
+    back_appended = {
+        r["value"] for r in spark.read.format("transis_xml").load(out).collect()
+    }
+    assert back_appended == set(docs) | set(extra)
+
     # Overwrite replaces the previous capture set entirely.
     df2 = spark.createDataFrame([("<doc id='fresh'/>",)], "value string")
     df2.coalesce(1).write.format("transis_xml").mode("overwrite").save(out)
     back2 = {r["value"] for r in spark.read.format("transis_xml").load(out).collect()}
     assert back2 == {"<doc id='fresh'/>"}
-    assert not [f for f in os.listdir(out) if f.startswith("_staged")]
+    assert not os.path.isdir(os.path.join(out, "_staging"))
