@@ -127,6 +127,7 @@ HEADLINE = [
     "winsorize_order_stats",
     "recursive_cte_hierarchy",
     "sketch_mergeability_audit",
+    "theta_overlap_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

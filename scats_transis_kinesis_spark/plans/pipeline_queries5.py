@@ -977,3 +977,84 @@ def sketch_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("kll_p99") <= F.col("p_bounds")[3])
         ).alias("kll_p99_ok"),
     )
+
+
+@register(
+    "theta_overlap_audit",
+    oracle="""
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM c) AS exact_clickers,
+               (SELECT count(*) FROM p) AS exact_purchasers,
+               (SELECT count(*) FROM c JOIN p USING (user_id))
+                   AS exact_both,
+               (SELECT count(*) FROM c ANTI JOIN p USING (user_id))
+                   AS exact_click_only,
+               TRUE AS intersection_ok,
+               TRUE AS difference_ok
+    """,
+    doc="""Theta-sketch SET ALGEBRA (audience-overlap analytics): the
+    clicker and purchaser distinct-user sketches intersect and
+    difference WITHOUT rescanning events — the capability HLL lacks
+    (union-only) and the reason theta sketches exist (Dalvi et al. /
+    DataSketches).  At 100 TB: one sketch per segment per day, any
+    audience overlap answered from sketch algebra.  Engine-specific
+    internals → the bounded-error contract: intersection and
+    difference estimates within 10% (absolute 2) of the exact
+    anti/semi-join counts, carried as always-true booleans.""",
+)
+def theta_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sketches = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id"
+            " END)"
+        ).alias("s_click"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN"
+            " user_id END)"
+        ).alias("s_purchase"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_clickers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchasers"),
+    )
+    c = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    exact = (
+        c.join(p, "user_id")
+        .agg(F.count("*").alias("exact_both"))
+        .crossJoin(
+            F.broadcast(
+                c.join(p, "user_id", "left_anti").agg(
+                    F.count("*").alias("exact_click_only")
+                )
+            )
+        )
+    )
+    j = sketches.crossJoin(F.broadcast(exact))
+    est_i = F.expr(
+        "theta_sketch_estimate(theta_intersection(s_click, s_purchase))"
+    )
+    est_d = F.expr(
+        "theta_sketch_estimate(theta_difference(s_click, s_purchase))"
+    )
+    tol = lambda est, ref: (  # noqa: E731
+        F.abs(est - ref) <= F.greatest(F.lit(2.0), 0.10 * ref)
+    )
+    return j.select(
+        "exact_clickers",
+        "exact_purchasers",
+        "exact_both",
+        "exact_click_only",
+        tol(est_i, F.col("exact_both")).alias("intersection_ok"),
+        tol(est_d, F.col("exact_click_only")).alias("difference_ok"),
+    )

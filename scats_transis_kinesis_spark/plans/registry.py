@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_json_extract",
     "hof_array_surface",
     "sketch_mergeability_audit",
+    "theta_overlap_audit",
     # (bm25_topk's scorer was also refactored this round, and the fixed
     # permutation modulus changed dedup_minhash_lsh /
     # dedup_clusters_minhash / dedup_containment values — all four

@@ -313,6 +313,7 @@ BNL_ALLOWED = {
     "triangle_count_copurchase",      # 1-row vertex/edge-count summaries
     "association_rules_pairs",        # 1-row basket-count total
     "sketch_mergeability_audit",      # 1-row exact-stats aggregate
+    "theta_overlap_audit",            # 1-row exact-overlap aggregates
 }
 
 
