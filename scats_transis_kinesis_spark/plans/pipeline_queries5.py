@@ -840,7 +840,7 @@ _RECURSIVE_HIERARCHY_SQL = """
            count(*) AS n_parts,
            min(root) AS min_root,
            max(root) AS max_root,
-           sum(pk) AS sum_keys
+           CAST(sum(pk) AS BIGINT) AS sum_keys
     FROM chain GROUP BY depth
 """
 
