@@ -128,6 +128,9 @@ HEADLINE = [
     "recursive_cte_hierarchy",
     "sketch_mergeability_audit",
     "theta_overlap_audit",
+    "sensor_outage_islands",
+    "weekly_growth_rates",
+    "key_skew_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -1058,3 +1058,149 @@ def theta_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol(est_i, F.col("exact_both")).alias("intersection_ok"),
         tol(est_d, F.col("exact_click_only")).alias("difference_ok"),
     )
+
+
+@register(
+    "sensor_outage_islands",
+    oracle="""
+        WITH hourly AS (
+            SELECT DISTINCT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+            FROM events
+        ), grp AS (
+            SELECT event_type, h,
+                   h - row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS island_key
+            FROM hourly
+        )
+        SELECT event_type,
+               min(h) AS island_start_hour,
+               max(h) AS island_end_hour,
+               count(*) AS n_hours
+        FROM grp GROUP BY event_type, island_key
+        HAVING count(*) >= 3
+    """,
+    doc="""Islands detection (gaps-and-islands): maximal runs of
+    consecutive active hours per event type, reporting runs of 3+
+    hours — the sensor-uptime / outage-boundary report (the dual of
+    resample_gapfill's missing-hour filling).  The classic
+    constant-difference trick: within a key, consecutive hours minus
+    their row_number share one island key, so island extraction is ONE
+    window partitioned by the stream key plus one grouped aggregate —
+    no self-joins, no sequential scan dependency.""",
+)
+def sensor_outage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).distinct()
+    island_key = F.col("h") - F.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")
+    )
+    return (
+        hourly.withColumn("island_key", island_key)
+        .groupBy("event_type", "island_key")
+        .agg(
+            F.min("h").alias("island_start_hour"),
+            F.max("h").alias("island_end_hour"),
+            F.count("*").alias("n_hours"),
+        )
+        .where(F.col("n_hours") >= 3)
+        .drop("island_key")
+    )
+
+
+@register(
+    "weekly_growth_rates",
+    oracle="""
+        WITH weekly AS (
+            SELECT event_type,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type, date_trunc('week', ts)
+        )
+        SELECT event_type, wk, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                   AS prev_n,
+               CASE WHEN lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY wk) IS NULL THEN NULL
+                    ELSE round((n - lag(n) OVER (PARTITION BY event_type
+                                                 ORDER BY wk))
+                               * 1e6 / lag(n) OVER (PARTITION BY event_type
+                                                    ORDER BY wk))::BIGINT
+               END AS wow_growth_micros
+        FROM weekly
+    """,
+    doc="""Week-over-week growth (period-over-period reporting, the
+    dashboard staple): weekly counts per event type with the previous
+    week's value and the integer-micro growth rate.  One grouped
+    aggregation to |keys × weeks| rows, then ONE lag window
+    partitioned by event type — the window runs over the tiny
+    aggregate, never the event log.  DuckDB's date_trunc('week')
+    returns DATE (the round-1 gotcha), so Spark's is cast to match;
+    growth uses integer counts with one micro rounding.""",
+)
+def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    weekly = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "wk",
+        "n",
+        prev.alias("prev_n"),
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.round((F.col("n") - prev) * 1e6 / prev).cast("long"))
+        .alias("wow_growth_micros"),
+    )
+
+
+@register(
+    "key_skew_audit",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, count(*)::BIGINT AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*)::BIGINT AS n_keys,
+               sum(n)::BIGINT AS n_rows,
+               max(n)::BIGINT AS max_key_rows,
+               round(quantile_cont(n, 0.5), 4) AS median_key_rows,
+               round(max(n) * count(*) / sum(n)::DOUBLE, 4)
+                   AS hot_key_ratio,
+               round(sum(n * n) * count(*) / (sum(n)::DOUBLE * sum(n)),
+                     6) AS imbalance_factor
+        FROM per_key
+    """,
+    doc="""Partition-skew audit — the diagnostic run BEFORE choosing a
+    join strategy at 100 TB: per-key row counts reduced to the skew
+    statistics that decide salting (max/median ratio, the hot-key
+    share) and the expected shuffle imbalance (sum(n²)·k/total² — the
+    factor by which the largest hash partition exceeds uniform).  Two
+    grouped aggregations, both fully partial-aggregated; the operator
+    family it feeds (salted_join, skew-safe top-k) is pinned in
+    tests/test_skew.py.""",
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("median_key_rows"),
+        F.round(
+            F.max("n") * F.count("*") / F.sum("n").cast("double"), 4
+        ).alias("hot_key_ratio"),
+        F.round(
+            F.sum(F.col("n") * F.col("n"))
+            * F.count("*")
+            / (F.sum("n").cast("double") * F.sum("n")),
+            6,
+        ).alias("imbalance_factor"),
+    )

@@ -137,6 +137,9 @@ _PRIORITY: tuple[str, ...] = (
     "hof_array_surface",
     "sketch_mergeability_audit",
     "theta_overlap_audit",
+    "sensor_outage_islands",
+    "weekly_growth_rates",
+    "key_skew_audit",
     # (bm25_topk's scorer was also refactored this round, and the fixed
     # permutation modulus changed dedup_minhash_lsh /
     # dedup_clusters_minhash / dedup_containment values — all four
