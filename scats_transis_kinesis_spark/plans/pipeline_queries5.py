@@ -990,7 +990,8 @@ def sketch_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM p) AS exact_purchasers,
                (SELECT count(*) FROM c JOIN p USING (user_id))
                    AS exact_both,
-               (SELECT count(*) FROM c ANTI JOIN p USING (user_id))
+               (SELECT count(*) FROM c)
+                   - (SELECT count(*) FROM c JOIN p USING (user_id))
                    AS exact_click_only,
                TRUE AS intersection_ok,
                TRUE AS difference_ok
@@ -1029,18 +1030,13 @@ def theta_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    exact = (
-        c.join(p, "user_id")
-        .agg(F.count("*").alias("exact_both"))
-        .crossJoin(
-            F.broadcast(
-                c.join(p, "user_id", "left_anti").agg(
-                    F.count("*").alias("exact_click_only")
-                )
-            )
-        )
+    # exact_click_only = clickers − both (user_id is non-null), so one
+    # semi-join aggregate covers both exact overlap numbers — no
+    # anti-join, one fewer scan and one fewer broadcast.
+    exact = c.join(p, "user_id").agg(F.count("*").alias("exact_both"))
+    j = sketches.crossJoin(F.broadcast(exact)).withColumn(
+        "exact_click_only", F.col("exact_clickers") - F.col("exact_both")
     )
-    j = sketches.crossJoin(F.broadcast(exact))
     est_i = F.expr(
         "theta_sketch_estimate(theta_intersection(s_click, s_purchase))"
     )
@@ -1173,8 +1169,8 @@ def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(quantile_cont(n, 0.5), 4) AS median_key_rows,
                round(max(n) * count(*) / sum(n)::DOUBLE, 4)
                    AS hot_key_ratio,
-               round(sum(n * n) * count(*) / (sum(n)::DOUBLE * sum(n)),
-                     6) AS imbalance_factor
+               round(sum(n::DOUBLE * n) * count(*)
+                     / (sum(n)::DOUBLE * sum(n)), 6) AS imbalance_factor
         FROM per_key
     """,
     doc="""Partition-skew audit — the diagnostic run BEFORE choosing a
@@ -1197,8 +1193,12 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.max("n") * F.count("*") / F.sum("n").cast("double"), 4
         ).alias("hot_key_ratio"),
+        # n² accumulates in DOUBLE: sum(n²)·k ≥ total² (Cauchy-Schwarz),
+        # so a long accumulator overflows right at the event volumes the
+        # audit targets; the oracle's HUGEINT never would, and the two
+        # engines must round the same value.
         F.round(
-            F.sum(F.col("n") * F.col("n"))
+            F.sum(F.col("n").cast("double") * F.col("n"))
             * F.count("*")
             / (F.sum("n").cast("double") * F.sum("n")),
             6,
