@@ -74,14 +74,23 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def _optional_pil():
-    """Pillow via optional import — None when absent (this container)."""
-    try:
-        from PIL import Image  # noqa: PLC0415
+_PIL_CACHE: list = []  # [] = unprobed; [None] = absent; [Image] = present
 
-        return Image
-    except ImportError:
-        return None
+
+def _optional_pil():
+    """Pillow via optional import — None when absent (this container).
+
+    Memoized: Python does not cache FAILED imports, so without the
+    cache every decoded payload would re-run the import machinery
+    (a sys.path directory scan per row inside the Arrow batch loop)."""
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_CACHE.append(Image)
+        except ImportError:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
 
 
 def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:

@@ -174,17 +174,35 @@ def salted_join(
             "right/full joins would duplicate unmatched dim rows "
             f"{buckets}x (one per salt replica)"
         )
+    for frame, name in ((fact, "fact"), (dim, "dim")):
+        for helper in ("_salt", "_dim_key"):
+            if helper in frame.columns:
+                raise ValueError(
+                    f"salted_join: the {name} side already has a "
+                    f"'{helper}' column — rename it first (the operator "
+                    "uses that name internally)"
+                )
     sf = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_on), F.lit(buckets)).cast("int")
     )
-    sd = dim.withColumn(
+    # The dim key is renamed internally so that when fact_key ==
+    # dim_key the output keeps exactly ONE key column (a
+    # boolean-condition join would keep both same-named columns and
+    # make every downstream reference AMBIGUOUS_REFERENCE — the plain
+    # `join(dim, on=key)` this operator substitutes for coalesces
+    # them); with distinct names the dim key is restored, matching the
+    # plain join's shape.
+    sd = dim.withColumnRenamed(dim_key, "_dim_key").withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    return sf.join(
+    joined = sf.join(
         sd,
-        (sf[fact_key] == sd[dim_key]) & (sf["_salt"] == sd["_salt"]),
+        (sf[fact_key] == sd["_dim_key"]) & (sf["_salt"] == sd["_salt"]),
         how,
     ).drop("_salt")
+    if dim_key == fact_key:
+        return joined.drop("_dim_key")
+    return joined.withColumnRenamed("_dim_key", dim_key)
 
 
 def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
@@ -397,12 +415,19 @@ def skyline_2d(
     t = df
     # Normalize driver-side values so the broadcast frame's schema works
     # for int/Decimal value columns and any integral bucket type.
-    per_bucket = [
-        (int(r[0]), float(r[1]))
-        for r in t.groupBy(bucket_col)
+    per_bucket = []
+    for r in (
+        t.groupBy(bucket_col)
         .agg(F.max(F.col(value_col).cast("double")).alias("mx"))
         .collect()
-    ]
+    ):
+        if r[0] is None or r[1] is None:
+            raise ValueError(
+                f"skyline_2d: NULL in '{bucket_col if r[0] is None else value_col}'"
+                " — the sweep needs non-null bucket and value columns; "
+                "filter or impute first"
+            )
+        per_bucket.append((int(r[0]), float(r[1])))
     running, prefix = None, []
     for b, mx in sorted(per_bucket, key=lambda kv: kv[0]):
         prefix.append((b, running))

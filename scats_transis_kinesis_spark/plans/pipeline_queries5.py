@@ -34,6 +34,21 @@ RRF_QUERY_VEC_ID = 0  # embedding row used as the dense query
 KN_DISCOUNT = 0.75
 KN_TOPK = 20
 
+# Shared CTE text for the 1995 co-purchase graph, used by the triangle,
+# community and association-rule oracles (ONE definition of the date
+# window and basket/edge canonicalization — the Spark twin is
+# _copurchase_lines/_copurchase_edges below).
+_COPURCHASE_LINES_CTE = """lines AS (
+            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1996-01-01'
+        )"""
+_COPURCHASE_EDGE_CTES = f"""{_COPURCHASE_LINES_CTE}, edges AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+        )"""
+
 
 @register(
     "decayed_hourly_traffic",
@@ -96,16 +111,8 @@ def decayed_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "triangle_count_copurchase",
-    oracle="""
-        WITH lines AS (
-            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderdate >= DATE '1995-01-01'
-              AND o.o_orderdate < DATE '1996-01-01'
-        ), edges AS (
-            SELECT DISTINCT a.pk AS u, b.pk AS v
-            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
-        ), deg AS (
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES}, deg AS (
             SELECT x AS vertex, count(*)::BIGINT AS d
             FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
             GROUP BY x
@@ -397,19 +404,6 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE text for the 1995 co-purchase graph (lines → distinct
-# undirected edges), used by the triangle and community oracles.
-_COPURCHASE_EDGE_CTES = """
-        lines AS (
-            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderdate >= DATE '1995-01-01'
-              AND o.o_orderdate < DATE '1996-01-01'
-        ), edges AS (
-            SELECT DISTINCT a.pk AS u, b.pk AS v
-            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
-        )"""
-
 PATH_TOPK = 10
 LPA_ROUNDS = 2
 
@@ -675,12 +669,7 @@ ASSOC_MIN_PAIR = 2
 @register(
     "association_rules_pairs",
     oracle=f"""
-        WITH lines AS (
-            SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderdate >= DATE '1995-01-01'
-              AND o.o_orderdate < DATE '1996-01-01'
-        ), n AS (
+        WITH {_COPURCHASE_LINES_CTE}, n AS (
             SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM lines
         ), item AS (
             SELECT pk, count(*)::BIGINT AS c FROM lines GROUP BY pk

@@ -369,9 +369,34 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
         import queue as _queue
         import time as _time
 
-        pump = self._ensure_pump()
+        start_off = start["n_docs"]
         rows: list[tuple[str]] = []
         budget = self.max_docs
+        # REPLAY-FIRST: any journaled documents at or past `start` were
+        # consumed from the transport by a previous instance whose batch
+        # never reached Spark's offset log (crash between the spool
+        # write and the offset commit).  A live socket cannot re-deliver
+        # them — the journal is their only copy — so they form the head
+        # of this batch instead of being discarded.
+        if self.spool_dir:
+            for f_lo, _f_hi, path in self._spool_files():
+                if _f_hi <= start_off:
+                    continue
+                if budget is not None and budget <= 0:
+                    break
+                with open(path, "rb") as f:
+                    docs = f.read().split(RECORD_DELIMITER)[:-1]
+                for i, doc in enumerate(docs):
+                    off = f_lo + i
+                    if off < start_off:
+                        continue
+                    if budget is not None and budget <= 0:
+                        break
+                    rows.append((doc.decode("utf-8"),))
+                    if budget is not None:
+                        budget -= 1
+        n_replayed = len(rows)
+        pump = self._ensure_pump()
         deadline = _time.monotonic() + self.poll_timeout_s
         while budget is None or budget > 0:
             try:
@@ -391,9 +416,13 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
             and pump["error"] is not None
         ):
             raise pump["error"]
-        if self.spool_dir and rows:
-            self._spool_write(start["n_docs"], rows)
-        return iter(rows), {"n_docs": start["n_docs"] + len(rows)}
+        # Journal only the FRESH tail — the replayed head is already on
+        # disk, and fresh offsets start exactly at the journal's end, so
+        # spool files never overlap.
+        fresh = rows[n_replayed:]
+        if self.spool_dir and fresh:
+            self._spool_write(start_off + n_replayed, fresh)
+        return iter(rows), {"n_docs": start_off + len(rows)}
 
     # --- replay journal -------------------------------------------------
     # One NUL-delimited file per non-empty micro-batch, named by its
@@ -403,14 +432,14 @@ class TransisXMLLiveStreamReader(SimpleDataSourceStreamReader):
     def _spool_write(self, start_off: int, rows: list[tuple[str]]) -> None:
         os.makedirs(self.spool_dir, exist_ok=True)
         end_off = start_off + len(rows)
-        # A crash between a spool write and Spark's offset-log commit
-        # leaves a stale file covering the same offsets from the DEAD
-        # connection; on restart this batch is re-read from the live
-        # transport, and the stale journal entry must not shadow it (two
-        # files starting at the same offset would make recovery replay
-        # dead-connection documents, then fail on the gap).  Any existing
-        # file overlapping the range being written is superseded by this
-        # authoritative re-delivery — delete it first.
+        # Overlaps cannot arise in normal operation: read() replays the
+        # journaled suffix FIRST and journals only the fresh tail, so
+        # every write starts at the journal's end.  The delete below is
+        # defense-in-depth for a mis-behaving transport that rewinds and
+        # re-delivers (at-least-once double delivery): the newest write
+        # for an offset range wins, and recovery never sees two files
+        # claiming the same offsets (which would replay one and then
+        # fail on the gap).
         for f_lo, f_hi, old_path in self._spool_files():
             if f_lo < end_off and f_hi > start_off:
                 os.remove(old_path)

@@ -122,8 +122,9 @@ class JobAuditListener(StreamingQueryListener):
 
 def corpus_metric_exprs(text_col: str = "text"):
     """The standard ingest data-quality counter set: row count, null /
-    empty text counts, total characters, and mean length — one
-    accumulator-backed aggregate, zero extra scans."""
+    empty text counts, and total characters (mean length = total_chars
+    / n_rows, derived by the consumer) — one accumulator-backed
+    aggregate, zero extra scans."""
     from pyspark.sql import functions as F
 
     c = F.col(text_col)

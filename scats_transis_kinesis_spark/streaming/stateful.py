@@ -197,15 +197,25 @@ def decayed_counters(
     ts_col: str = "ts",
     key_col: str = "event_type",
     horizon: int = DECAY_HORIZON,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming decayed counters keyed by event type.
 
     Scale shape: state per key is ≤``horizon`` (hour, count) pairs —
     O(|keys|·horizon) total, independent of event volume; each batch
     shuffles only (key, hour) counts.  The decay weight is the exact
-    power-of-two family of the batch twin, so a drained stream's output
-    matches ``decayed_hourly_traffic`` row-for-row on the hours it
-    observed (parity pinned in tests)."""
+    power-of-two family of the batch twin.
+
+    Parity contract (honest scope): output matches
+    ``decayed_hourly_traffic`` row-for-row when hours arrive IN ORDER
+    across micro-batches (parity pinned in tests).  Out-of-order
+    arrivals follow streaming semantics instead: rows later than
+    ``watermark_delay`` are dropped by the engine, and rows that update
+    an already-emitted hour re-emit THAT hour (update mode — latest
+    emission wins) but do not retract later hours already emitted; a
+    pipeline needing full revision under heavy disorder should widen
+    ``watermark_delay`` and treat the batch query as the backfill
+    authority."""
     from pyspark.sql import functions as F
 
     def fn(key: tuple, it: Iterator[Any], state: GroupState) -> Iterator[Any]:
@@ -222,7 +232,7 @@ def decayed_counters(
         F.floor(F.unix_timestamp("ts") / 3600).cast("long"),
     )
     return (
-        keyed.withWatermark("ts", "0 seconds")
+        keyed.withWatermark("ts", watermark_delay)
         .groupBy("event_type")
         .applyInPandasWithState(
             fn,

@@ -98,7 +98,14 @@ def test_multimodal_strict_mode_raises(spark, documents):
     media = M.documents_as_media(documents.limit(2))
     with pytest.raises(Exception) as exc_info:
         M.extract_features(media, strict=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+    msg = str(exc_info.value)
+    # Pillow-less container: the documented NotImplementedError; with
+    # Pillow installed the strict decode still fails on this synthetic
+    # text payload, but as UnidentifiedImageError.
+    assert any(
+        s in msg
+        for s in ("NotImplementedError", "codec", "identify image")
+    ), msg
 
 
 def test_frame_sampling(spark):
@@ -156,7 +163,9 @@ def test_resize_media_rewrites_meta_keeps_payload(spark, documents):
 
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+    with _pytest.raises(
+        Exception, match="NotImplementedError|codec|identify image"
+    ):
         M.resize_media(media, 1, 1, strict=True).collect()
 
 

@@ -121,24 +121,12 @@ def test_dedup_pair_generator_plans_pre_checkpoint(spark):
         "minhash signature aggregation lost its map-side combine"
     )
 
-    # the band self-join, built WITHOUT the checkpoint wrapper: rebuild
-    # the banded frame the way lsh_candidate_pairs does and join it
+    # the band self-join, built WITHOUT the checkpoint wrapper: use the
+    # SAME banding helper lsh_candidate_pairs uses, so a banding-scheme
+    # change keeps this hygiene pin aligned with production.
     from scats_transis_kinesis_spark.operators import dedup as D
 
-    bands = []
-    for band in range(D.BANDS):
-        cols = [f"m{band * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
-        bands.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                D.portable_hash64(
-                    F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-                ).alias("bucket"),
-            )
-        )
-    banded = sigs.select(
-        F.col("doc_id"), F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", "b.band", "b.bucket")
+    banded = D._banded(sigs)
     pair_plan = formatted(
         banded.alias("l").join(
             banded.alias("r"),

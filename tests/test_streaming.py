@@ -961,37 +961,50 @@ def test_live_reader_spool_replays_across_instances(tmp_path):
         list(r3.readBetweenOffsets(off1, off2))
 
 
-def test_live_reader_spool_supersedes_stale_file_after_crash(tmp_path):
+def test_live_reader_replays_journaled_suffix_after_crash(tmp_path):
     """Crash between the spool write and Spark's offset-log commit: the
-    restarted reader re-reads the batch from the LIVE transport and
-    journals it again from the same start offset.  The re-delivery must
-    supersede the dead connection's stale file — recovery replays the
-    documents that were actually emitted, never the dead ones, and
-    never fails on the overlap."""
+    journaled documents were already consumed from the live transport
+    (a socket cannot re-deliver them), so the restarted reader's next
+    batch must REPLAY the journaled suffix first and only then continue
+    with fresh transport output — no document lost, no offset
+    mislabeled, no overlapping journal files."""
     from scats_transis_kinesis_spark.sources.datasource import (
         TransisXMLLiveStreamReader,
     )
 
     spec, feed = _live_feed_transport(tmp_path)
-    feed([f'<doc id="{i}"/>' for i in range(2)])
+    feed(['<doc id="A"/>', '<doc id="B"/>'])
     opts = {"transport": spec, "spooldir": str(tmp_path / "spool")}
 
     r1 = TransisXMLLiveStreamReader(opts)
-    # Simulate run 1's batch journal whose offsets never reached the
-    # offset log: a dead-connection file [0, 1) with different content.
-    r1._spool_write(0, [("<dead-connection-doc/>",)])
+    # Run 1 consumed this document from the socket and journaled it, but
+    # crashed before Spark's offset log recorded the batch.
+    r1._spool_write(0, [("<doc id='consumed-pre-crash'/>",)])
 
-    # Run 2 restarts at offset 0 and drains the real feed: [0, 2).
+    # Run 2 restarts at offset 0: the journaled doc leads the batch,
+    # fresh transport docs follow at the next offsets.
     rows, off = r1.read(r1.initialOffset())
-    assert off == {"n_docs": 2}
+    assert [v for (v,) in rows] == [
+        "<doc id='consumed-pre-crash'/>",
+        '<doc id="A"/>',
+        '<doc id="B"/>',
+    ]
+    assert off == {"n_docs": 3}
 
-    # Recovery from a FRESH instance replays the live documents; the
-    # stale overlapping file is gone.
+    # The journal now covers [0,1) + [1,3) with no overlap, and a FRESH
+    # instance can replay the whole committed range.
+    names = sorted(p.name for p in (tmp_path / "spool").iterdir())
+    assert names == [
+        "000000000000-000000000001.spool",
+        "000000000001-000000000003.spool",
+    ]
     r2 = TransisXMLLiveStreamReader(opts)
     replayed = [v for (v,) in r2.readBetweenOffsets({"n_docs": 0}, off)]
-    assert replayed == ['<doc id="0"/>', '<doc id="1"/>']
-    names = sorted(p.name for p in (tmp_path / "spool").iterdir())
-    assert names == ["000000000000-000000000002.spool"]
+    assert replayed == [
+        "<doc id='consumed-pre-crash'/>",
+        '<doc id="A"/>',
+        '<doc id="B"/>',
+    ]
 
 
 def test_live_stream_checkpoint_restart_replays_then_resumes(spark, tmp_path):
