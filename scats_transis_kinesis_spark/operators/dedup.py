@@ -372,8 +372,14 @@ def incremental_minhash_dedup(
                 "different permutation family never match, so continuing "
                 "would silently re-admit every historical near-dup)"
             )
+        # Null-safe: a NULL sig_version is NOT the current family (a
+        # plain != filters NULLs to nothing and would silently treat a
+        # version-less state table as current, re-admitting every
+        # historical near-dup — the exact failure this check prevents).
         stale = (
-            seen.where(F.col("sig_version") != MINHASH_SIG_VERSION)
+            seen.where(
+                ~F.col("sig_version").eqNullSafe(F.lit(MINHASH_SIG_VERSION))
+            )
             .limit(1)
             .count()
         )

@@ -22,7 +22,9 @@ from .registry import register
 # The 1/2 decay base is EXACT in binary floating point (the weight is a
 # plain power-of-two scaling), so the per-term micro rounding is
 # bit-identical across engines — no libm pow() in the contract.
-DECAY_HORIZON = 20
+# Single source of truth lives beside the streaming twin so the pinned
+# batch/stream parity contract cannot drift on an edit to one side.
+from ..streaming.stateful import DECAY_HORIZON  # noqa: E402
 
 # Reciprocal-rank-fusion parameters (Cormack et al.: 1/(K + rank)).
 RRF_K = 60

@@ -566,7 +566,19 @@ class TransisXMLBatchWriter(DataSourceWriter):
         os.makedirs(staging_dir, exist_ok=True)
         name = f"part-{self.job_token}-{pid:05d}.xml0"
         final = os.path.join(self.path, name)
-        staged = os.path.join(staging_dir, f"{name}.{os.getpid()}.tmp")
+        # Stage under the task ATTEMPT id, not the worker pid: a retried
+        # or speculative attempt of the same partition can land on the
+        # same reused Python worker process, and a pid-keyed name would
+        # let the two attempts interleave writes into one staged file
+        # and commit a corrupt capture.  Attempt ids are unique per
+        # attempt by contract; uuid covers the no-TaskContext case.
+        if ctx is not None:
+            attempt = f"a{ctx.taskAttemptId()}"
+        else:
+            import uuid
+
+            attempt = f"u{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(staging_dir, f"{name}.{attempt}.tmp")
         n = 0
         with open(staged, "wb") as f:
             for row in iterator:

@@ -131,7 +131,9 @@ def site_liveness(
 
 # --- streaming decayed counters (the decayed_hourly_traffic twin) --------
 
-DECAY_HORIZON = 20  # hours; mirrors plans/pipeline_queries5.DECAY_HORIZON
+# hours; THE single definition — plans/pipeline_queries5 imports it, so
+# the batch/stream parity contract cannot drift.
+DECAY_HORIZON = 20
 
 DECAYED_OUTPUT_SCHEMA = (
     "event_type string, hour_epoch long, n_events long, decayed_micros long"
@@ -147,11 +149,18 @@ def decayed_counter_fn(
 ) -> Iterator["pd.DataFrame"]:  # noqa: F821
     """Per-key decayed hourly counter with half-life decay — the
     INCREMENTAL form of the batch ``decayed_hourly_traffic`` query:
-    state holds the trailing ``horizon`` hourly counts (bounded: ≤20
+    state holds the trailing ``2*horizon`` hourly counts (bounded: ≤40
     (hour, count) pairs per key, pruned on every batch), each batch
     merges its hours and emits, for every hour observed in the batch,
     the identical per-term-micro-rounded decayed sum the batch query
-    computes.  Hours are epoch-hours (ts // 3600)."""
+    computes.  Hours are epoch-hours (ts // 3600).
+
+    Why ``2*horizon`` and not ``horizon``: a LATE hour h admitted by a
+    watermark_delay shorter than ``horizon`` hours satisfies
+    h > max_seen - horizon, and its decay terms reach back to
+    h - horizon + 1 > max_seen - 2*horizon — pruning at one horizon
+    would drop those terms (and possibly h's own prior count) and make
+    the re-emission numerically wrong, not merely late."""
     import pandas as pd
 
     if state.exists:
@@ -185,7 +194,10 @@ def decayed_counter_fn(
         )
         out.append((key[0], h, tally[h], decayed))
     hi = max(tally)
-    kept = {h: c for h, c in tally.items() if h > hi - horizon}
+    # Keep TWO horizons of history (see docstring): one horizon covers
+    # emission for the newest hour; the second covers the decay terms of
+    # any late hour a sub-horizon watermark_delay can still admit.
+    kept = {h: c for h, c in tally.items() if h > hi - 2 * horizon}
     state.update((list(kept), [kept[h] for h in kept]))
     yield pd.DataFrame(
         out, columns=["event_type", "hour_epoch", "n_events", "decayed_micros"]
@@ -201,7 +213,7 @@ def decayed_counters(
 ) -> DataFrame:
     """Streaming decayed counters keyed by event type.
 
-    Scale shape: state per key is ≤``horizon`` (hour, count) pairs —
+    Scale shape: state per key is ≤``2*horizon`` (hour, count) pairs —
     O(|keys|·horizon) total, independent of event volume; each batch
     shuffles only (key, hour) counts.  The decay weight is the exact
     power-of-two family of the batch twin.
@@ -212,10 +224,13 @@ def decayed_counters(
     arrivals follow streaming semantics instead: rows later than
     ``watermark_delay`` are dropped by the engine, and rows that update
     an already-emitted hour re-emit THAT hour (update mode — latest
-    emission wins) but do not retract later hours already emitted; a
-    pipeline needing full revision under heavy disorder should widen
-    ``watermark_delay`` and treat the batch query as the backfill
-    authority."""
+    emission wins) but do not retract later hours already emitted.  As
+    long as ``watermark_delay`` stays under ``horizon`` hours, every
+    re-emission is numerically EXACT: state retains two horizons of
+    counts, so a late hour still sees all of its in-horizon decay terms
+    and its own prior count.  A pipeline needing full revision under
+    heavier disorder should widen ``watermark_delay`` and treat the
+    batch query as the backfill authority."""
     from pyspark.sql import functions as F
 
     def fn(key: tuple, it: Iterator[Any], state: GroupState) -> Iterator[Any]:

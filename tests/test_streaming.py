@@ -880,9 +880,17 @@ def test_decayed_counter_fn_emits_lagging_batch_hours():
     # hour 10 decays in: 2e6/2^16 ≈ 30.52 → 31 (HALF_UP); hour 5 is at
     # lag 21, outside the horizon.
     assert rows[26] == (1, 1_000_000 + 31)
-    # Stored state pruned to hours within the horizon of hour 26.
+    # Stored state keeps TWO horizons behind hour 26 (h > 26-40 = -14),
+    # so a late hour admitted by a sub-horizon watermark still re-emits
+    # with exact decay terms; hour 5 is therefore retained.
     kept_hours, _ = st.get
-    assert sorted(kept_hours) == [10, 26]
+    assert sorted(kept_hours) == [5, 10, 26]
+    # And an hour beyond two horizons IS pruned: advance with hour 70.
+    [out2] = list(
+        decayed_counter_fn(("click",), iter([pd.DataFrame({"hour_epoch": [70]})]), st)
+    )
+    kept2, _ = st.get
+    assert sorted(kept2) == [70]  # 5/10/26 are ≤ 70-40 = 30
 
 
 # --- live-source checkpoint recovery (S1 + O6: the replay story the
