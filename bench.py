@@ -143,6 +143,29 @@ HEADLINE = [
 # (twice-timed) connected-components loop.
 
 
+# Instance calibration: a fixed pure-CPU query (whole-stage-codegen
+# arithmetic over spark.range, no shuffle, no I/O, no data dependence)
+# timed min-of-3 before the suite.  Its runtime depends only on machine
+# speed, so cross-round suite ratios divide by `instance_factor` =
+# calib_sec / CALIB_REFERENCE_SEC instead of eyeballing an untouched
+# query.  The reference constant is the min-of-3 measured on the round-5
+# bench host; a factor of 1.3 means "this VM ran the fixed query 1.3x
+# slower than that host did".
+CALIB_REFERENCE_SEC = 0.722
+
+
+def _calibrate(spark) -> float:
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(sin(id * 1e-7) + cos(id * 1e-7)) as s"
+        ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> None:
     from scats_transis_kinesis_spark.plans.registry import REGISTRY
     from scats_transis_kinesis_spark.session import get_session
@@ -155,6 +178,7 @@ def main() -> None:
     REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).write.mode("overwrite").format(
         "noop"
     ).save()
+    calib_sec = _calibrate(spark)
 
     # Each query is timed over PASSES runs and reports the MINIMUM —
     # this host shows bursty multi-tenant CPU steal (measured: the same
@@ -206,6 +230,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "sf": sf,
+                "calibration_sec": round(calib_sec, 3),
+                "instance_factor": round(calib_sec / CALIB_REFERENCE_SEC, 3),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
             }

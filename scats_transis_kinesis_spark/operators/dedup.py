@@ -716,18 +716,22 @@ def connected_components(
     # the output as its own singleton cluster (the pre-star min-label
     # implementation emitted it; dropping it would lose members from
     # the canonicalization).
-    raw = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # persist + count in ONE job: the count both materializes the reused
+    # pair frame AND sizes the graph for the small-graph fast path (the
+    # previous eager localCheckpoint + separate count() paid two jobs
+    # for the same information).  The cache stays pinned for the
+    # function's lifetime — `vertices` re-reads it after the loop — the
+    # same block lifetime the checkpoint had; per-round lineage cutting
+    # is handled by the loop's own localCheckpoints below.
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).distinct().persist()
+    n_pairs = raw.count()
     edges = raw.where(F.col("u") != F.col("v"))
     # The pair graph is tiny relative to the corpus (near-dup pairs are
     # rare by construction): below this edge count the whole loop runs
     # single-partition — every round's joins and aggregates become one
     # task with no exchanges, cutting per-round overhead ~10×.  A truly
     # large graph keeps the scan's parallelism.
-    if raw.count() < 1_000_000:
+    if n_pairs < 1_000_000:
         edges = edges.coalesce(1)
     vertices = raw.select("u").union(raw.select("v")).distinct()
     # Order-insensitive edge-set checksum: equal consecutive rounds ⇒

@@ -1,0 +1,193 @@
+"""Property-style tests for the DataSketches estimators the sketch
+queries rely on (``sketch_mergeability_audit`` / ``theta_overlap_audit``
+/ ``approx_distinct``).
+
+The driver's hash gate can only see estimator quality at ONE point
+(sf0.01 with the production lgK): a config regression — lgK silently
+dropped to a coarser default, an estimate read from the wrong sketch, a
+union that rescans instead of merging — can keep that single point green
+while destroying accuracy everywhere else.  These tests sweep the sketch
+parameters and corpus scales and pin three properties the single-point
+audit can't:
+
+1. **Published error bounds hold at every (param, scale) pair.**
+   DataSketches HLL has relative standard error 1.04/sqrt(2^lgK); theta
+   has 1/sqrt(2^lgNomEntries) once in estimation mode; KLL (k=200) has
+   single-sided normalized rank error ≈1.65%, shrinking with k.  Bounds
+   are asserted at 5×RSE — far above the ~1σ typical error (max observed
+   2.3σ across this sweep), so the tests are stable, while a
+   mis-routed-parameter bug (effective lgK≤6 → RSE≥13%) still fails.
+2. **The accuracy parameter actually reaches the sketch**: at a scale
+   deep in estimation mode, different lgK / k values must produce
+   different estimates (they are deterministic for a fixed input, and
+   identical estimates across a 16× size change mean the knob is dead).
+3. **Mergeability is lossless where the algorithm guarantees it**: an
+   HLL sketch is a max-per-bucket array and a theta sketch keeps the k
+   smallest hashes, so the union of per-partition sketches is
+   IDENTICAL (not merely close) to one sketch over the whole data —
+   the property that makes per-day pre-aggregation at 100 TB exact
+   w.r.t. a full rescan.  KLL merge is not identity, so it gets the
+   rank-error bound instead.
+
+All inputs are ``spark.range`` — deterministic, no fixture data needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+HLL_LGKS = (10, 12, 14)
+THETA_LGKS = (10, 12, 14)
+SCALES = (1_000, 50_000, 500_000)
+SIGMA_MULT = 5.0
+# DataSketches KLL published single-sided normalized rank error at the
+# default k=200 is ~1.65%; error shrinks ~k^-0.93, bounded loosely here.
+KLL_EPS = {200: 0.0165, 400: 0.0095, 800: 0.0055}
+
+
+def _hll_rse(lgk: int) -> float:
+    return 1.04 / math.sqrt(2**lgk)
+
+
+def _theta_rse(lgk: int) -> float:
+    return 1.0 / math.sqrt(2**lgk)
+
+
+@pytest.mark.parametrize("n", SCALES)
+def test_hll_and_theta_error_within_published_bounds(spark, n):
+    df = spark.range(n)
+    aggs = []
+    for lgk in HLL_LGKS:
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(lgk))).alias(
+                f"h{lgk}"
+            )
+        )
+    for lgk in THETA_LGKS:
+        aggs.append(
+            F.theta_sketch_estimate(
+                F.expr(f"theta_sketch_agg(id, {lgk})")
+            ).alias(f"t{lgk}")
+        )
+    row = df.agg(*aggs).first()
+    for lgk in HLL_LGKS:
+        bound = SIGMA_MULT * _hll_rse(lgk) * n
+        assert abs(row[f"h{lgk}"] - n) <= bound, (
+            f"HLL lgK={lgk} n={n}: est {row[f'h{lgk}']} off by more than "
+            f"{SIGMA_MULT}x the published RSE"
+        )
+    for lgk in THETA_LGKS:
+        bound = SIGMA_MULT * _theta_rse(lgk) * n
+        assert abs(row[f"t{lgk}"] - n) <= bound, (
+            f"theta lgK={lgk} n={n}: est {row[f't{lgk}']} off by more "
+            f"than {SIGMA_MULT}x the published RSE"
+        )
+
+
+def test_accuracy_parameter_reaches_the_sketch(spark):
+    # Deep in estimation mode (n >> 2^14) a 16x accuracy change MUST
+    # move the estimate; equality across lgK means the parameter is
+    # being dropped on the floor (e.g. always building at a default).
+    n = 500_000
+    row = (
+        spark.range(n)
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(10))).alias(
+                "h10"
+            ),
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(14))).alias(
+                "h14"
+            ),
+            F.theta_sketch_estimate(F.expr("theta_sketch_agg(id, 10)")).alias(
+                "t10"
+            ),
+            F.theta_sketch_estimate(F.expr("theta_sketch_agg(id, 14)")).alias(
+                "t14"
+            ),
+        )
+        .first()
+    )
+    assert row["h10"] != row["h14"]
+    assert row["t10"] != row["t14"]
+
+
+def test_kll_rank_error_within_published_bounds_across_k(spark):
+    n = 100_000
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+    aggs = []
+    for k in KLL_EPS:
+        for q in (0.5, 0.99):
+            aggs.append(
+                F.expr(
+                    f"kll_sketch_get_quantile_double("
+                    f"kll_sketch_agg_double(v, {k}), {q})"
+                ).alias(f"k{k}_q{int(q * 100)}")
+            )
+    row = df.agg(*aggs).first()
+    for k, eps in KLL_EPS.items():
+        for q in (0.5, 0.99):
+            est = row[f"k{k}_q{int(q * 100)}"]
+            # Values are 0..n-1 uniform, so the true rank of the
+            # returned value is est/n — the published contract bounds
+            # |true_rank - q|, NOT the value error.
+            assert abs(est / n - q) <= eps, (
+                f"KLL k={k} q={q}: returned value {est} has rank error "
+                f"{abs(est / n - q):.5f} > published eps {eps}"
+            )
+    # The k parameter must reach the sketch (16x size change moves the
+    # deterministic estimate).
+    assert row["k200_q50"] != row["k800_q50"]
+
+
+def test_union_of_partition_sketches_is_identical_to_whole(spark):
+    """HLL union-of-parts == whole (max-per-bucket is associative);
+    theta union-of-parts == whole (k smallest hashes of a union are the
+    k smallest of the per-part k-smallest sets).  This is EXACT identity
+    — the property that makes per-day sketch rollups at 100 TB
+    equivalent to a full rescan, and the one a broken union (rebuild
+    from estimates, wrong default lgK on the union accumulator) breaks
+    immediately.  KLL merge has no identity guarantee, so it only gets
+    the rank bound."""
+    n = 300_000
+    parts = spark.range(n).withColumn("g", F.col("id") % 7)
+    merged = (
+        parts.groupBy("g")
+        .agg(
+            F.hll_sketch_agg("id", F.lit(12)).alias("hll"),
+            F.expr("theta_sketch_agg(id, 12)").alias("theta"),
+            F.expr("kll_sketch_agg_double(CAST(id AS DOUBLE), 200)").alias(
+                "kll"
+            ),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(
+                "hll_merged"
+            ),
+            F.theta_sketch_estimate(F.expr("theta_union_agg(theta, 12)")).alias(
+                "theta_merged"
+            ),
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "kll_merge_agg_double(kll), 0.5)"
+            ).alias("kll_merged_p50"),
+        )
+        .first()
+    )
+    whole = (
+        spark.range(n)
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(12))).alias(
+                "hll_whole"
+            ),
+            F.theta_sketch_estimate(F.expr("theta_sketch_agg(id, 12)")).alias(
+                "theta_whole"
+            ),
+        )
+        .first()
+    )
+    assert merged["hll_merged"] == whole["hll_whole"]
+    assert merged["theta_merged"] == whole["theta_whole"]
+    assert abs(merged["kll_merged_p50"] / n - 0.5) <= KLL_EPS[200]
