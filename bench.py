@@ -106,6 +106,7 @@ HEADLINE = [
     "phrase_search_positional",
     "table_profile",
     "dedup_containment",
+    "dedup_containment_banded",
     "repeated_span_coverage",
     "source_cap_sample",
     "time_decay_user_scores",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -458,11 +458,13 @@ def containment_near_dups(
 
     Shares the signature → banding → candidate machinery with
     :func:`minhash_lsh_near_dups`; only the verification metric
-    differs.  Caveat (documented, inherent to Jaccard banding): a tiny
-    excerpt inside a huge document has low Jaccard and may not become
-    a candidate — a production excerpt detector additionally bands the
-    SMALLER set's shingles only.  Work is proportional to
-    |candidates|, never |docs|²."""
+    differs.  Recall scope (inherent to Jaccard banding): a tiny
+    excerpt inside a huge document has low symmetric Jaccard and may
+    not become a candidate here — :func:`containment_prefix_pairs` is
+    the LOSSLESS companion that probes the smaller side's rarest
+    shingles and catches every pair above the threshold regardless of
+    the size ratio.  Work is proportional to |candidates|, never
+    |docs|²."""
     caches: list[DataFrame] = []
     sets = shingle_sets(df, text_col, id_col).persist()
     sigs = minhash_signatures_from_sets(sets, id_col)
@@ -488,6 +490,85 @@ def containment_near_dups(
         )
     )
     return _checkpoint_release(verified, sets, *caches)
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """LOSSLESS asymmetric containment (excerpt-in-document) pairs via
+    rarest-prefix inverted probing — the scale path for the case
+    Jaccard banding structurally misses: a tiny excerpt inside a huge
+    document (C(A,B) = |A∩B|/|A| high while symmetric Jaccard ≈
+    |A|/|B| is tiny).
+
+    Prefix-filter guarantee (PPJoin family, Chaudhuri/Xiao-style
+    canonical order, applied to the CONTAINMENT threshold): order each
+    doc's shingles by global rarity (document frequency, then shingle —
+    a total order), and probe only the first ``floor((1-t)·|A|) + 1``.
+    If B contains NONE of those probes, B misses more than (1-t)·|A| of
+    A's shingles, so C(A,B) < t — therefore every pair with
+    small-side containment ≥ t has a probe hit, with no randomness and
+    no recall loss.  Every doc both probes (as the potential excerpt)
+    and indexes all its shingles (as the potential container), so both
+    directions are covered in one join.
+
+    Scale shape: the index side is the corpus posting list (Σ|doc|
+    shingle rows — the same linear footprint as the inverted-index /
+    tf-idf queries, never |docs|²); the probe side is ~(1-t) of it.
+    Probes are each doc's RAREST shingles, so probe→index fan-out is
+    naturally small; hot boilerplate shingles sit only on the index
+    side and are rarely probed.  Shuffles: one by shingle (doc
+    frequency), one by doc (prefix ranking), one by shingle (the
+    candidate join) — all equi-joins, no theta join.  Exact
+    verification then touches candidates only."""
+    sets = shingle_sets(df, text_col, id_col).persist()
+    posting = sets.select(
+        F.col(id_col).alias("pid"), F.explode("shingles").alias("sh")
+    )
+    dfreq = posting.groupBy("sh").agg(F.count("*").alias("dfreq"))
+    w_rank = Window.partitionBy("pid").orderBy("dfreq", "sh")
+    w_doc = Window.partitionBy("pid")
+    prefix = (
+        posting.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_doc))
+        .where(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n")) + F.lit(1)
+        )
+        .select("pid", "sh")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(posting.alias("q"), "sh")
+        .where(F.col("p.pid") != F.col("q.pid"))
+        .select(
+            F.least("p.pid", "q.pid").alias("id_a"),
+            F.greatest("p.pid", "q.pid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("toks_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("toks_a"), 6).alias("containment_a_in_b"),
+            F.round(inter / F.size("toks_b"), 6).alias("containment_b_in_a"),
+        )
+        .where(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= threshold
+        )
+    )
+    return _checkpoint_release(verified, sets)
 
 
 def ngram_jaccard_pairs(

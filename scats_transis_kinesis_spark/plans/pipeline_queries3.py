@@ -315,6 +315,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_near_dups(load_table(spark, "documents", sf_dir))
 
 
+def _containment_banded_oracle() -> str:
+    from ..operators.dedup import CONTAINMENT_THRESHOLD as T
+
+    inter = "len(list_intersect(a.toks, b.toks))::DOUBLE"
+    return f"""
+        WITH sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(w) - {SHINGLE_N - 1}),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS toks
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= {SHINGLE_N}
+        ), posting AS (
+            SELECT doc_id AS pid, unnest(toks) AS sh FROM sets
+        ), dfreq AS (
+            SELECT sh, count(*) AS dfreq FROM posting GROUP BY sh
+        ), ranked AS (
+            SELECT p.pid, p.sh,
+                   row_number() OVER (PARTITION BY p.pid
+                                      ORDER BY d.dfreq, p.sh) AS rn,
+                   count(*) OVER (PARTITION BY p.pid) AS n
+            FROM posting p JOIN dfreq d USING (sh)
+        ), pref AS (
+            SELECT pid, sh FROM ranked WHERE rn <= floor({1.0 - T!r} * n) + 1
+        ), cand AS (
+            SELECT DISTINCT least(p.pid, q.pid) AS id_a,
+                            greatest(p.pid, q.pid) AS id_b
+            FROM pref p JOIN posting q USING (sh) WHERE p.pid <> q.pid
+        )
+        SELECT id_a, id_b, containment_a_in_b, containment_b_in_a FROM (
+            SELECT c.id_a, c.id_b,
+                   round({inter} / len(a.toks), 6) AS containment_a_in_b,
+                   round({inter} / len(b.toks), 6) AS containment_b_in_a,
+                   greatest({inter} / len(a.toks),
+                            {inter} / len(b.toks)) AS cmax
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+        ) WHERE cmax >= {T}
+    """
+
+
+@register(
+    "dedup_containment_banded",
+    oracle=_containment_banded_oracle(),
+    doc="""LOSSLESS excerpt-direction containment
+    (operators/dedup.py:containment_prefix_pairs): every doc probes its
+    floor((1-t)*n)+1 globally-RAREST shingles against the full corpus
+    posting list — the prefix-filter guarantee means any pair whose
+    smaller side is >= t contained in the larger becomes a candidate
+    regardless of the size ratio, closing the tiny-excerpt-in-huge-doc
+    recall gap inherent to the Jaccard-banded dedup_containment.
+    Linear posting-list footprint, rare-shingle probes, equi-joins
+    only; exact verification touches candidates only.""",
+)
+def dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_prefix_pairs
+
+    return containment_prefix_pairs(load_table(spark, "documents", sf_dir))
+
+
 # The fixed phrase for positional phrase search (a frequent trigram in
 # the synthetic corpus at every SF).
 PHRASE = ("stream", "table", "hash")

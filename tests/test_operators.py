@@ -268,6 +268,108 @@ def test_containment_detects_excerpt(spark):
     assert not any(3 in k for k in rows)
 
 
+def test_containment_prefix_catches_tiny_excerpt_banding_misses(spark):
+    """The tiny-excerpt-in-huge-doc case: a 12-word excerpt of a
+    300-word parent has symmetric Jaccard ≈ 10/298 ≈ 0.03 — far below
+    any banding recall — but small-side containment 1.0.  The lossless
+    prefix-probe variant MUST find it; the Jaccard-banded variant's
+    miss here is the documented recall gap it exists to close."""
+    from scats_transis_kinesis_spark.operators.dedup import (
+        containment_near_dups,
+        containment_prefix_pairs,
+    )
+
+    parent = " ".join(f"w{i}" for i in range(300))
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, parent), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    found = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_prefix_pairs(df).collect()
+    }
+    assert (1, 2) in found
+    assert found[(1, 2)]["containment_b_in_a"] == 1.0
+    assert not any(3 in k for k in found)
+    # And the banded variant indeed misses it (if this ever starts
+    # passing, the caveat docs should be revisited, not the assert
+    # blindly flipped).
+    banded = {
+        (r["id_a"], r["id_b"]) for r in containment_near_dups(df).collect()
+    }
+    assert (1, 2) not in banded
+
+
+def test_containment_prefix_is_lossless_vs_bruteforce(spark):
+    """Prefix probing must return EXACTLY the brute-force all-pairs
+    answer (threshold on the max-direction containment) on a randomized
+    corpus — the lossless claim, not a recall estimate."""
+    import random as rnd
+
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_prefix_pairs,
+        shingle_sets,
+    )
+
+    r = rnd.Random(405)
+    docs = []
+    doc_id = 0
+    # 12 base documents; each spawns excerpts (contiguous slices) and
+    # light mutations, so true containment pairs exist at every size
+    # ratio; a few unrelated docs round out the negatives.
+    for fam in range(12):
+        base = [f"f{fam}w{i}" for i in range(r.randint(20, 80))]
+        docs.append((doc_id, " ".join(base)))
+        doc_id += 1
+        for _ in range(2):
+            lo = r.randrange(0, max(1, len(base) - 6))
+            hi = min(len(base), lo + r.randint(5, 30))
+            docs.append((doc_id, " ".join(base[lo:hi])))
+            doc_id += 1
+        mutated = [
+            (w if r.random() > 0.15 else f"m{doc_id}x{j}")
+            for j, w in enumerate(base)
+        ]
+        docs.append((doc_id, " ".join(mutated)))
+        doc_id += 1
+    for _ in range(8):
+        docs.append(
+            (doc_id, " ".join(f"u{doc_id}w{i}" for i in range(r.randint(5, 30))))
+        )
+        doc_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in containment_prefix_pairs(df).collect()
+    }
+    sets = shingle_sets(df)
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("ta")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    brute = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                F.greatest(
+                    inter / F.size("ta"), inter / F.size("tb")
+                )
+                >= CONTAINMENT_THRESHOLD
+            )
+        ).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
 def test_asof_join_randomized_parity_with_bruteforce(spark):
     """The union+window as-of against a plain brute-force reference on
     seeded random data, both directions — guards the frame/tie logic
