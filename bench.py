@@ -132,6 +132,13 @@ HEADLINE = [
     "sensor_outage_islands",
     "weekly_growth_rates",
     "key_skew_audit",
+    # round-5 additions: CV split, ER survivorship, split leakage,
+    # PSI drift, detector agreement, lossless excerpt containment
+    "stratified_kfold_split",
+    "survivorship_golden_record",
+    "split_leakage_audit",
+    "column_drift_audit",
+    "near_dup_agreement_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

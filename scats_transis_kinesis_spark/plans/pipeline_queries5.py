@@ -580,9 +580,11 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
 
 
-@register(
-    "entity_fuzzy_clusters",
-    oracle="""
+# Shared by entity_fuzzy_clusters and survivorship_golden_record
+# (pipeline_queries6): the recursive-closure ground truth for the
+# customer entity clusters, as reusable CTE text ending in a `clusters`
+# CTE of (member_id, cluster_id).
+ER_CLUSTERS_CTES = """
         WITH RECURSIVE pairs AS (
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
             FROM customer a JOIN customer b
@@ -597,29 +599,18 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT src, dst FROM bi
             UNION
             SELECT r.src, e2.dst FROM reach r JOIN bi e2 ON r.dst = e2.src
+        ), clusters AS (
+            SELECT src AS member_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
         )
-        SELECT src AS member_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src
-    """,
-    doc="""Entity resolution end-to-end: compound-blocked fuzzy matching
-    feeds connected components (the alternating large/small-star
-    operator), so transitively-linked record variants collapse into one
-    entity cluster keyed by its minimum member id — the dedup-a-CRM
-    pipeline as one declared query.  Blocking is COMPOUND, the standard
-    ER design (Fellegi-Sunter / dedupe.io practice): a candidate pair
-    must agree on a reliable exact attribute (nation) AND share a
-    SymSpell deletion-neighborhood key of the name — both equi-join
-    conditions, no theta join; only candidates get the exact
-    levenshtein verify.  The exact-attribute block also keeps the
-    match graph from degenerating into one giant component (the
-    synthetic names differ pairwise by single digits), which is
-    precisely the pathological shape real ER blocking exists to
-    prevent.  The oracle replays the all-pairs ground truth with a
-    recursive-CTE closure.""",
-)
-def entity_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+"""
 
+
+def customer_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compound-blocked fuzzy customer pair generator behind
+    entity_fuzzy_clusters AND survivorship_golden_record: exact-nation
+    block AND SymSpell deletion-neighborhood block, then levenshtein
+    <= 1 verification on candidates only (all equi-joins)."""
     c = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
@@ -654,14 +645,41 @@ def entity_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id_b"), F.col("name").alias("name_b"),
         "nation", "block",
     )
-    pairs = (
+    return (
         a.join(b, ["nation", "block"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()
         .where(F.levenshtein("name_a", "name_b") <= 1)
     )
-    return connected_components(pairs)
+
+
+@register(
+    "entity_fuzzy_clusters",
+    oracle=ER_CLUSTERS_CTES
+    + """
+        SELECT member_id, cluster_id FROM clusters
+    """,
+    doc="""Entity resolution end-to-end: compound-blocked fuzzy matching
+    feeds connected components (the alternating large/small-star
+    operator), so transitively-linked record variants collapse into one
+    entity cluster keyed by its minimum member id — the dedup-a-CRM
+    pipeline as one declared query.  Blocking is COMPOUND, the standard
+    ER design (Fellegi-Sunter / dedupe.io practice): a candidate pair
+    must agree on a reliable exact attribute (nation) AND share a
+    SymSpell deletion-neighborhood key of the name — both equi-join
+    conditions, no theta join; only candidates get the exact
+    levenshtein verify.  The exact-attribute block also keeps the
+    match graph from degenerating into one giant component (the
+    synthetic names differ pairwise by single digits), which is
+    precisely the pathological shape real ER blocking exists to
+    prevent.  The oracle replays the all-pairs ground truth with a
+    recursive-CTE closure.""",
+)
+def entity_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    return connected_components(customer_match_pairs(spark, sf_dir))
 
 
 ASSOC_TOPK = 20

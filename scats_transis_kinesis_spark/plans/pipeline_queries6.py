@@ -1,0 +1,341 @@
+"""Round-5 query additions: cross-validation splits, entity-resolution
+survivorship, train/test leakage auditing, distribution drift (PSI),
+and near-dup detector agreement.
+
+These round out the training-data-pipeline story: after dedup /
+clustering / splitting exist as operators, a production pipeline needs
+the AUDITS around them — does the split leak near-duplicates across the
+boundary, has the feature distribution drifted since the reference
+period, do the cheap and expensive near-dup detectors agree, and what
+single golden record should a resolved entity cluster publish.
+
+Every query follows the registry conventions: identical aliases on both
+sides, rounded floating aggregates, deterministic tiebreaks, bounded
+driver-side data (scalar/bounded broadcasts only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash32_sql, portable_hash32
+from ..sources.loaders import load_table
+from .extension_queries import _minhash_lsh_oracle, _simhash_pairs_oracle
+from .pipeline_queries5 import ER_CLUSTERS_CTES, customer_match_pairs
+from .registry import register
+
+KFOLDS = 5
+
+
+@register(
+    "stratified_kfold_split",
+    oracle=f"""
+        SELECT doc_id, lang,
+               ((row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY {duckdb_hash32_sql('doc_id::VARCHAR')}, doc_id)
+                 - 1) % {KFOLDS})::INT AS fold
+        FROM documents
+    """,
+    doc=f"""Stratified {KFOLDS}-fold cross-validation assignment: within
+    each language stratum, documents are ranked by portable hash (a
+    deterministic shuffle — reproducible across runs and engines) and
+    dealt round-robin into folds, so every (stratum, fold) cell is
+    balanced to within one document — the EXACT stratification a plain
+    hash-mod split only approximates.  Scale shape: one window per
+    stratum (partitioned by lang, never unpartitioned); a corpus whose
+    single stratum outgrows a partition would swap in the same
+    hierarchical rank used by rfm_customer_segments.  Membership
+    depends only on (lang, corpus content), not on physical layout.""",
+)
+def stratified_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - F.lit(1)) % KFOLDS)
+        .cast("int")
+        .alias("fold"),
+    )
+
+
+@register(
+    "survivorship_golden_record",
+    oracle=ER_CLUSTERS_CTES
+    + """
+        , m AS (
+            SELECT cl.cluster_id, c.c_custkey, c.c_name, c.c_acctbal,
+                   c.c_mktsegment
+            FROM clusters cl JOIN customer c ON c.c_custkey = cl.member_id
+        ), agg AS (
+            SELECT cluster_id, count(*)::BIGINT AS n_members,
+                   min(c_name) AS canonical_name,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM m GROUP BY cluster_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM m
+        )
+        SELECT a.cluster_id, a.n_members, a.canonical_name,
+               r.c_mktsegment AS rep_segment,
+               round(r.c_acctbal, 2) AS rep_acctbal,
+               a.total_acctbal
+        FROM agg a JOIN ranked r
+          ON r.cluster_id = a.cluster_id AND r.rn = 1
+    """,
+    doc="""Golden-record survivorship — the step AFTER entity resolution
+    that real MDM/CRM dedup pipelines need: each resolved entity
+    cluster (the entity_fuzzy_clusters connected components) publishes
+    ONE record via deterministic survivorship rules: canonical name =
+    lexicographic minimum, representative segment/balance = the
+    highest-balance member (custkey tiebreak), plus member count and
+    total balance.  Scale shape: clusters come from the alternating-
+    star CC operator; survivorship itself is one grouped aggregate plus
+    one per-cluster window (partitioned by cluster, never global) on
+    |matched members| rows — tiny relative to the corpus.  The oracle
+    replays the recursive-closure ground truth and the same rules.""",
+)
+def survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    cc = connected_components(customer_match_pairs(spark, sf_dir))
+    c = load_table(spark, "customer", sf_dir)
+    m = cc.join(c, cc.member_id == c.c_custkey).select(
+        "cluster_id", "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    agg = m.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("c_name").alias("canonical_name"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    rep = (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("c_mktsegment").alias("rep_segment"),
+            F.round("c_acctbal", 2).alias("rep_acctbal"),
+        )
+    )
+    return agg.join(rep, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "canonical_name",
+        "rep_segment",
+        "rep_acctbal",
+        "total_acctbal",
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+        SELECT id_a, id_b, jaccard, split_a, split_b FROM (
+            SELECT id_a, id_b, jaccard,
+                   CASE WHEN {duckdb_hash32_sql('id_a::VARCHAR')} % 100 < 90
+                        THEN 'train' ELSE 'test' END AS split_a,
+                   CASE WHEN {duckdb_hash32_sql('id_b::VARCHAR')} % 100 < 90
+                        THEN 'train' ELSE 'test' END AS split_b
+            FROM ({_minhash_lsh_oracle()}) nd
+        ) WHERE split_a <> split_b
+    """,
+    doc="""Train/test LEAKAGE audit — the check every eval pipeline
+    needs after splitting: verified MinHash-LSH near-duplicate pairs
+    (Jaccard >= 0.5) whose members land on OPPOSITE sides of the
+    deterministic 90/10 hash split (dataset_split_train_test's exact
+    bucket rule).  A non-empty result means test examples have
+    near-copies in train — benchmark contamination by duplication,
+    invisible to exact-match decontamination.  Scale shape: the
+    near-dup pair list is the already-banded LSH candidate machinery
+    (never |docs|^2); split labels are a pure column expression on the
+    pair rows.""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_near_dups
+
+    pairs = minhash_lsh_near_dups(load_table(spark, "documents", sf_dir))
+
+    def split(col: str) -> F.Column:
+        return F.when(
+            portable_hash32(F.col(col).cast("string")) % 100 < 90, "train"
+        ).otherwise("test")
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        split("id_a").alias("split_a"),
+        split("id_b").alias("split_b"),
+    ).where(F.col("split_a") != F.col("split_b"))
+
+
+# PSI drift-audit parameters: decile buckets of the REFERENCE period,
+# Jeffreys-style +0.5 count smoothing so an empty bucket contributes a
+# finite penalty instead of an infinite log-ratio.
+DRIFT_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+DRIFT_SMOOTH = 0.5
+DRIFT_CUTOVER = "1996-01-01"
+
+
+@register(
+    "column_drift_audit",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderdate < DATE '{DRIFT_CUTOVER}'
+                        THEN 'ref' ELSE 'cur' END AS period
+            FROM orders
+        ), cuts AS (
+            SELECT quantile_cont(v, {DRIFT_QS}) AS cs FROM o
+            WHERE period = 'ref'
+        ), b AS (
+            SELECT period,
+                   len(list_filter(cuts.cs, c -> o.v > c))::INT AS bucket
+            FROM o CROSS JOIN cuts
+        ), counts AS (
+            SELECT bucket,
+                   sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END)::BIGINT
+                       AS ref_c,
+                   sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END)::BIGINT
+                       AS cur_c
+            FROM b GROUP BY bucket
+        ), tot AS (
+            SELECT sum(ref_c) AS ref_n, sum(cur_c) AS cur_n FROM counts
+        )
+        SELECT 'o_totalprice' AS column_name, bucket,
+               ref_c, cur_c,
+               round((ref_c + {DRIFT_SMOOTH}) / (ref_n + {DRIFT_SMOOTH * 10}),
+                     6) AS ref_share,
+               round((cur_c + {DRIFT_SMOOTH}) / (cur_n + {DRIFT_SMOOTH * 10}),
+                     6) AS cur_share,
+               round(((cur_c + {DRIFT_SMOOTH}) / (cur_n + {DRIFT_SMOOTH * 10})
+                      - (ref_c + {DRIFT_SMOOTH}) / (ref_n + {DRIFT_SMOOTH * 10}))
+                     * ln(((cur_c + {DRIFT_SMOOTH}) / (cur_n + {DRIFT_SMOOTH * 10}))
+                          / ((ref_c + {DRIFT_SMOOTH}) / (ref_n + {DRIFT_SMOOTH * 10}))),
+                     6) AS psi_term
+        FROM counts CROSS JOIN tot
+    """,
+    doc=f"""Population-stability-index drift audit (the standard model-
+    monitoring metric): order prices are bucketed by the REFERENCE
+    period's exact deciles (orders before {DRIFT_CUTOVER}), and each
+    bucket reports reference vs current share plus its smoothed PSI
+    term ((cur-ref)·ln(cur/ref), +{DRIFT_SMOOTH} count smoothing so an
+    emptied bucket stays finite) — sum the terms for the headline PSI.
+    Scale shape: one exact-percentile aggregate over the reference
+    slice (9 scalars, broadcast), one pure-column bucket assignment,
+    one 10-group count — no window, no self-join; at 100 TB the decile
+    cutpoints would come from the already-shipped KLL sketch family
+    with identical plumbing.  The log-ratio follows domain_shift_kl's
+    round-6 contract.""",
+)
+def column_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit(DRIFT_CUTOVER).cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    qs = ", ".join(str(q) for q in DRIFT_QS)
+    cuts = o.where(F.col("period") == "ref").agg(
+        F.expr(f"percentile(v, array({qs}))").alias("cs")
+    )
+    b = o.join(F.broadcast(cuts)).select(
+        "period",
+        F.size(F.expr("filter(cs, c -> v > c)")).cast("int").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("ref_c"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("cur_c"),
+    )
+    tot = counts.agg(
+        F.sum("ref_c").alias("ref_n"), F.sum("cur_c").alias("cur_n")
+    )
+    s = F.lit(DRIFT_SMOOTH)
+    s10 = F.lit(DRIFT_SMOOTH * 10)
+    ref_share = (F.col("ref_c") + s) / (F.col("ref_n") + s10)
+    cur_share = (F.col("cur_c") + s) / (F.col("cur_n") + s10)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.lit("o_totalprice").alias("column_name"),
+        "bucket",
+        "ref_c",
+        "cur_c",
+        F.round(ref_share, 6).alias("ref_share"),
+        F.round(cur_share, 6).alias("cur_share"),
+        F.round(
+            (cur_share - ref_share) * F.log(cur_share / ref_share), 6
+        ).alias("psi_term"),
+    )
+
+
+@register(
+    "near_dup_agreement_audit",
+    oracle=f"""
+        WITH mh AS (
+            SELECT id_a, id_b FROM ({_minhash_lsh_oracle()}) m
+        ), sh AS (
+            SELECT id_a, id_b FROM ({_simhash_pairs_oracle()}) s
+        ), b AS (
+            SELECT count(*)::BIGINT AS n_both
+            FROM mh JOIN sh USING (id_a, id_b)
+        )
+        SELECT (SELECT count(*) FROM mh)::BIGINT AS n_minhash,
+               (SELECT count(*) FROM sh)::BIGINT AS n_simhash,
+               n_both,
+               round(1e6 * n_both / (SELECT count(*) FROM sh))::BIGINT
+                   AS precision_micros,
+               round(1e6 * n_both / (SELECT count(*) FROM mh))::BIGINT
+                   AS recall_micros
+        FROM b
+    """,
+    doc="""Near-dup DETECTOR AGREEMENT audit — treats the cheap
+    detector (24-bit SimHash, Hamming <= 3) as a predictor of the
+    expensive one (MinHash-LSH, exact Jaccard >= 0.5) and reports
+    pair-set sizes, overlap, precision and recall.  This is the
+    estimator-quality check the per-detector hash gates cannot see:
+    each detector's own oracle replays its own math, so only a
+    CROSS-detector comparison reveals whether the fast screen is
+    actually predictive on this corpus.  Scale shape: both pair lists
+    are banded candidate machinery; the overlap is one equi-join on
+    (id_a, id_b) plus scalar counts — bounded single-row output.""",
+)
+def near_dup_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_near_dups, simhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    mh = minhash_lsh_near_dups(docs).select("id_a", "id_b")
+    sh = simhash_near_dup_pairs(docs).select("id_a", "id_b")
+    n_mh = mh.agg(F.count("*").cast("long").alias("n_minhash"))
+    n_sh = sh.agg(F.count("*").cast("long").alias("n_simhash"))
+    n_both = mh.join(sh, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("n_both")
+    )
+    return (
+        n_both.crossJoin(F.broadcast(n_mh))
+        .crossJoin(F.broadcast(n_sh))
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.round(F.lit(1e6) * F.col("n_both") / F.col("n_simhash"))
+            .cast("long")
+            .alias("precision_micros"),
+            F.round(F.lit(1e6) * F.col("n_both") / F.col("n_minhash"))
+            .cast("long")
+            .alias("recall_micros"),
+        )
+    )

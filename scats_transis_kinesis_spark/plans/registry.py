@@ -92,13 +92,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters_embedding",
     "dedup_cluster_canonical",
     "dedup_minhash_lsh",
-    # --- round-5 additions (registered later in the round; unknown
-    # names are ignored until they land) ---
-    "interval_range_join",
-    "sessionize_events",
+    # --- round-5 additions: every new query enters the window ---
     "stratified_kfold_split",
-    "window_dedup_recent",
-    "cdc_scd2_snapshot",
+    "survivorship_golden_record",
+    "split_leakage_audit",
+    "column_drift_audit",
+    "near_dup_agreement_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -162,3 +161,4 @@ from . import pipeline_queries2  # noqa: E402,F401
 from . import pipeline_queries3  # noqa: E402,F401
 from . import pipeline_queries4  # noqa: E402,F401
 from . import pipeline_queries5  # noqa: E402,F401
+from . import pipeline_queries6  # noqa: E402,F401

@@ -300,6 +300,8 @@ BNL_ALLOWED = {
     "kneser_ney_bigram_lm",           # 1-row bigram-type total
     "triangle_count_copurchase",      # 1-row vertex/edge-count summaries
     "association_rules_pairs",        # 1-row basket-count total
+    "column_drift_audit",             # 1-row decile cutpoints + 1-row totals
+    "near_dup_agreement_audit",       # three 1-row count aggregates
     "sketch_mergeability_audit",      # 1-row exact-stats aggregate
     "theta_overlap_audit",            # 1-row exact-overlap aggregates
 }
