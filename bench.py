@@ -132,10 +132,10 @@ HEADLINE = [
     "sensor_outage_islands",
     "weekly_growth_rates",
     "key_skew_audit",
-    # round-5 additions: CV split, ER survivorship, split leakage,
-    # PSI drift, detector agreement, lossless excerpt containment
+    # round-5 additions: CV split, split leakage, PSI drift, detector
+    # agreement, lossless excerpt containment (dedup_containment_banded
+    # above)
     "stratified_kfold_split",
-    "survivorship_golden_record",
     "split_leakage_audit",
     "column_drift_audit",
     "near_dup_agreement_audit",
@@ -149,6 +149,9 @@ HEADLINE = [
 # entity_fuzzy_clusters is correctness-gated but not timed for the same
 # reason: the timed fuzzy_match_blocked pair generator feeding the same
 # (twice-timed) connected-components loop.
+# survivorship_golden_record is correctness-gated but not timed likewise:
+# its cost IS entity_fuzzy_clusters (pair generator + CC loop) plus one
+# grouped aggregate and one per-cluster window over |members| rows.
 
 
 # Instance calibration: a fixed pure-CPU query (whole-stage-codegen
