@@ -139,6 +139,8 @@ HEADLINE = [
     "split_leakage_audit",
     "column_drift_audit",
     "near_dup_agreement_audit",
+    "lateral_topn_per_nation",
+    "approx_top_k_users",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

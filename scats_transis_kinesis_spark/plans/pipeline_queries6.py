@@ -282,6 +282,69 @@ def column_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same ANSI text runs in both engines (Spark 4 lateral join; DuckDB
+# LATERAL) — the correlated-subquery-with-LIMIT form of top-n per group.
+_LATERAL_TOPN_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c.c_custkey, c.c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t
+"""
+
+
+@register(
+    "lateral_topn_per_nation",
+    oracle=_LATERAL_TOPN_SQL,
+    doc="""LATERAL correlated subquery (Spark 4 SQL surface): top-2
+    customers by account balance per nation, written as the ANSI
+    lateral-derived-table form — the same query text runs unchanged in
+    DuckDB.  Catalyst decorrelates the per-row ORDER BY/LIMIT into a
+    rank window partitioned by the correlation key plus one broadcast
+    hash join (verified: no nested-loop, no cartesian in the physical
+    plan) — so the declarative lateral form costs the same as the
+    hand-written window top-n (topk_orders_per_customer).""",
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+APPROX_TOPK_K = 6
+
+
+@register(
+    "approx_top_k_users",
+    oracle=f"""
+        SELECT user_id, count(*)::BIGINT AS est_count
+        FROM events GROUP BY user_id
+        ORDER BY est_count DESC, user_id LIMIT {APPROX_TOPK_K}
+    """,
+    doc=f"""Sketch-based frequent items (Spark 4 ``approx_top_k``, the
+    DataSketches frequent-items family): top-{APPROX_TOPK_K} users by
+    event count from ONE streaming-mergeable sketch pass.  Contract
+    (the approx_distinct pattern): with the default 10k tracked items
+    far above this corpus's distinct-user count the sketch is in
+    EXACT mode, so estimates equal exact counts and the top-k set is
+    the exact heavy-hitter set (the sf0.01 boundary has a strict count
+    gap, so set equality is well-defined).  At 100 TB with unbounded
+    keys the same call returns epsilon-bounded heavy hitters in
+    bounded memory — the one-pass mergeable complement to the exact
+    two-pass heavy_hitters_twopass.""",
+)
+def approx_top_k_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.agg(F.expr(f"approx_top_k(user_id, {APPROX_TOPK_K})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+    )
+
+
 @register(
     "near_dup_agreement_audit",
     oracle=f"""

@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "split_leakage_audit",
     "column_drift_audit",
     "near_dup_agreement_audit",
+    "lateral_topn_per_nation",
+    "approx_top_k_users",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
