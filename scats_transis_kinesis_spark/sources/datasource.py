@@ -39,6 +39,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -630,6 +631,84 @@ class TransisXMLBatchWriter(DataSourceWriter):
             pass
 
 
+class _StreamWriteCommit(WriterCommitMessage):
+    def __init__(self, staged: str, pid: int) -> None:
+        self.staged = staged
+        self.pid = pid
+
+
+class TransisXMLStreamWriter(DataSourceStreamWriter):
+    """Streaming write path (``writeStream.format("transis_xml")``):
+    each micro-batch lands as one NUL-delimited capture file per
+    non-empty partition, final-named by (batchId, partitionId) — so a
+    micro-batch REPLAYED after restart (the sink-committed-but-offset-
+    uncommitted crash window) overwrites its own files byte-for-byte
+    instead of duplicating records: idempotent-by-batchId, the same
+    exactly-once story as the Kinesis sink's foreachBatch writer, and
+    the reason the final name cannot carry a random token like the
+    batch writer's.
+
+    Executors stage under the hidden ``_staging`` subdirectory (the
+    readers list regular files of the target dir only, so staged or
+    leaked files are invisible to batch scans and to the streaming
+    offset log) with attempt-unique names; the driver renames the
+    batch's staged set into place only in ``commit``, when every task
+    of the micro-batch has succeeded.  A task that dies mid-write can
+    leak its attempt file in ``_staging`` — harmless to readers and
+    overwritten-adjacent, the usual file-sink trade without a
+    manifest."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("transis_xml stream write needs a 'path' option")
+        self.path = path
+
+    def write(self, iterator) -> "_StreamWriteCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        staging_dir = os.path.join(self.path, "_staging")
+        os.makedirs(staging_dir, exist_ok=True)
+        if ctx is not None:
+            attempt = f"a{ctx.taskAttemptId()}"
+        else:
+            import uuid
+
+            attempt = f"u{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(staging_dir, f"stream-{pid:05d}.{attempt}.tmp")
+        n = 0
+        with open(staged, "wb") as f:
+            for row in iterator:
+                doc = row[0]
+                if doc is None:
+                    continue
+                f.write(doc.encode("utf-8"))
+                f.write(RECORD_DELIMITER)
+                n += 1
+        if n == 0:
+            os.remove(staged)
+            return _StreamWriteCommit("", -1)
+        return _StreamWriteCommit(staged, pid)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.staged:
+                final = os.path.join(
+                    self.path, f"part-b{batchId:010d}-{m.pid:05d}.xml0"
+                )
+                os.replace(m.staged, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and getattr(m, "staged", ""):
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 class TransisXMLDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -650,6 +729,11 @@ class TransisXMLDataSource(DataSource):
         if self.options.get("transport"):
             return TransisXMLLiveStreamReader(self.options)
         return TransisXMLStreamReader(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> TransisXMLStreamWriter:
+        return TransisXMLStreamWriter(self.options)
 
 
 def register_transis_datasource(spark) -> None:

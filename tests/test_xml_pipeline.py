@@ -670,3 +670,83 @@ def test_transis_xml_write_roundtrip(spark, tmp_path):
     back2 = {r["value"] for r in spark.read.format("transis_xml").load(out).collect()}
     assert back2 == {"<doc id='fresh'/>"}
     assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
+def test_transis_xml_stream_writer_roundtrip(spark, tmp_path):
+    """The STREAMING write path: readStream(transis_xml) →
+    writeStream(transis_xml) moves capture files end-to-end, one
+    batchId-named capture set per micro-batch, and newly landed input
+    flows through on the next trigger."""
+    import os
+    import time
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        register_transis_datasource,
+    )
+
+    register_transis_datasource(spark)
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "cap-000.xml0").write_bytes(b"<a/>\x00<b/>\x00")
+    os.utime(src / "cap-000.xml0", (time.time() - 10, time.time() - 10))
+
+    q = (
+        spark.readStream.format("transis_xml")
+        .load(str(src))
+        .writeStream.format("transis_xml")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        back = {
+            r["value"]
+            for r in spark.read.format("transis_xml").load(str(out)).collect()
+        }
+        assert back == {"<a/>", "<b/>"}
+        # Final names carry the batch id; staging is invisible to reads.
+        names = sorted(os.listdir(out))
+        assert all(n.startswith("part-b") and n.endswith(".xml0")
+                   for n in names if n != "_staging")
+
+        (src / "cap-001.xml0").write_bytes(b"<c/>\x00")
+        q.processAllAvailable()
+        back2 = {
+            r["value"]
+            for r in spark.read.format("transis_xml").load(str(out)).collect()
+        }
+        assert back2 == {"<a/>", "<b/>", "<c/>"}
+    finally:
+        q.stop()
+
+
+def test_transis_xml_stream_writer_batch_replay_is_idempotent(tmp_path):
+    """A micro-batch replayed after restart (sink committed, offset
+    not) must overwrite its own capture files, not duplicate records —
+    the final name is a pure function of (batchId, partitionId)."""
+    import os
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLStreamWriter,
+    )
+
+    out = str(tmp_path / "caps")
+    os.makedirs(out)
+    w = TransisXMLStreamWriter({"path": out})
+    m = w.write(iter([("<doc-1/>",), ("<doc-2/>",)]))
+    w.commit([m], 7)
+    # replay of batch 7 (e.g. after a crash before the offset commit)
+    m2 = w.write(iter([("<doc-1/>",), ("<doc-2/>",)]))
+    w.commit([m2], 7)
+    finals = [n for n in os.listdir(out) if n.endswith(".xml0")]
+    assert finals == ["part-b0000000007-00000.xml0"]
+    data = open(os.path.join(out, finals[0]), "rb").read()
+    assert data == b"<doc-1/>\x00<doc-2/>\x00"
+    # an aborted batch leaves nothing staged
+    m3 = w.write(iter([("<doc-3/>",)]))
+    w.abort([m3], 8)
+    assert [n for n in os.listdir(out) if n.endswith(".xml0")] == finals
+    assert os.listdir(os.path.join(out, "_staging")) == []
