@@ -604,3 +604,61 @@ def test_minhash_signature_estimate_tracks_exact_jaccard(spark):
         assert abs(est - exact) <= 0.36, (a_id, b_id, est, exact)
         errs.append(abs(est - exact))
     assert sum(errs) / len(errs) <= 0.15, errs
+
+
+def test_stratified_kfold_balance_within_one(spark):
+    """The exact-stratification claim: every (stratum, fold) cell count
+    is within ONE of any other cell of the same stratum — including
+    strata whose size is not divisible by the fold count."""
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.plans.pipeline_queries6 import KFOLDS
+
+    rows = [(i, ["aa", "bb", "cc"][i % 3]) for i in range(97)]  # 33/32/32
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    df.createOrReplaceTempView("_kf_docs")
+    # reuse the registered query's fold rule on this synthetic frame
+    from scats_transis_kinesis_spark.functions.hashing import portable_hash32
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    folded = df.select(
+        "lang", ((F.row_number().over(w) - F.lit(1)) % KFOLDS).alias("fold")
+    )
+    counts = {
+        (r["lang"], r["fold"]): r["n"]
+        for r in folded.groupBy("lang", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    for lang in ("aa", "bb", "cc"):
+        per_fold = [counts.get((lang, f), 0) for f in range(KFOLDS)]
+        assert max(per_fold) - min(per_fold) <= 1, (lang, per_fold)
+        assert sum(per_fold) in (32, 33)
+
+
+def test_batch_writer_stages_attempt_unique_names(tmp_path):
+    """Two attempts of the same partition (task retry / speculation on
+    a reused worker process) must stage to DIFFERENT files — a
+    pid-keyed name let concurrent attempts interleave into one staged
+    file and commit a corrupt capture."""
+    import os
+
+    from scats_transis_kinesis_spark.sources.datasource import (
+        TransisXMLBatchWriter,
+    )
+
+    out = str(tmp_path / "caps")
+    os.makedirs(out)
+    w = TransisXMLBatchWriter({"path": out}, overwrite=False)
+    # Outside a task context the writer falls back to a per-attempt
+    # uuid; two write() calls in the SAME process (same pid — the exact
+    # collision of the old scheme) must not share a staged path.
+    m1 = w.write(iter([("<doc-a/>",)]))
+    m2 = w.write(iter([("<doc-a/>",)]))
+    assert m1.staged and m2.staged and m1.staged != m2.staged
+    w.commit([m1])  # first attempt wins; second stays staged, GC'd next
+    files = [n for n in os.listdir(out) if n.endswith(".xml0")]
+    assert len(files) == 1
+    data = open(os.path.join(out, files[0]), "rb").read()
+    assert data == b"<doc-a/>\x00"
