@@ -48,3 +48,34 @@ def test_failfast_raises_on_corrupt(spark, corpus_path):
     df = read_documents_jsonl(spark, corpus_path, mode="FAILFAST")
     with pytest.raises((PySparkException, Py4JJavaError)):
         df.collect()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC as an interchange format (built into Spark): a table written
+    to ORC reads back value-identical to the parquet path, and filters
+    still push into the ORC scan (the format swap keeps the scan-level
+    optimizations parquet gets)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from scats_transis_kinesis_spark.sources.loaders import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    dst = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(dst)
+
+    back = spark.read.orc(dst)
+    pred = F.col("o_totalprice") > 200000.0
+    proj = ["o_orderkey", "o_totalprice"]
+    expect = {tuple(r) for r in orders.where(pred).select(*proj).collect()}
+    got_df = back.where(pred).select(*proj)
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expect and len(got) > 0
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert re.search(r"PushedFilters:.*GreaterThan\(o_totalprice", plan), plan[:800]
+    # column pruning reaches the scan too
+    assert re.search(r"ReadSchema:[^\n]*o_orderkey", plan)
+    assert not re.search(r"ReadSchema:[^\n]*o_orderdate", plan)
