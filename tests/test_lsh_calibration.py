@@ -86,3 +86,38 @@ def test_sign_lsh_candidate_recall_matches_theory(spark):
     # ~1-(1-0.5^8)^4 ≈ 1.55% per random pair; measure on shifted pairs.
     wrong = sum((2 * i, 2 * i + 2) in cand for i in range(n_pairs - 1))
     assert wrong / (n_pairs - 1) <= 0.06
+
+
+def test_ivf_full_probe_equals_bruteforce_and_partial_recall_floor(spark):
+    """Structural IVF guarantees the declared-semantics oracle cannot
+    check: probing ALL centroids must reproduce the brute-force top-k
+    EXACTLY (any deviation means the partitioner drops or duplicates
+    vectors), and the production nprobe keeps a sane recall floor on
+    the real corpus."""
+    from scats_transis_kinesis_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bucketed,
+    )
+    from scats_transis_kinesis_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, qids, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bucketed(
+            emb, qids, k=5, num_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert full == brute
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bucketed(
+            emb, qids, k=5, num_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(partial & brute) / len(brute)
+    assert recall >= 0.5, f"IVF nprobe=4 recall {recall:.2f} collapsed"
