@@ -57,3 +57,17 @@ def test_queries_md_matches_live_registry_exactly():
         f"QUERIES.md oracle flags out of date for: {wrong_flag} "
         "(run tools/gen_queries_md.py)"
     )
+
+
+def test_bench_headline_names_resolve_and_are_unique():
+    """A typo or stale name in bench.py's HEADLINE list crashes the
+    driver's per-round bench run (KeyError mid-suite) — make that a
+    test failure instead."""
+    import bench
+
+    reg = _registry()
+    unknown = [n for n in bench.HEADLINE if n not in reg]
+    assert not unknown, f"bench.HEADLINE names not in registry: {unknown}"
+    dupes = [n for n in set(bench.HEADLINE) if bench.HEADLINE.count(n) > 1]
+    assert not dupes, f"bench.HEADLINE duplicates: {dupes}"
+    assert bench.CALIB_REFERENCE_SEC > 0
