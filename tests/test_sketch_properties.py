@@ -191,3 +191,37 @@ def test_union_of_partition_sketches_is_identical_to_whole(spark):
     assert merged["hll_merged"] == whole["hll_whole"]
     assert merged["theta_merged"] == whole["theta_whole"]
     assert abs(merged["kll_merged_p50"] / n - 0.5) <= KLL_EPS[200]
+
+
+def test_theta_set_algebra_error_across_overlap_sizes(spark):
+    """Theta intersection/difference accuracy across overlap regimes —
+    the capability the overlap-audit query checks at ONE corpus point.
+    Planted sets A = [0, 200k), B = [200k-ov, 400k-ov): exact
+    intersection is ov, exact difference 200k-ov.  At lgK=12 the base
+    RSE is 1.56%; intersections degrade roughly with the union/overlap
+    ratio (measured max 3.0% across this sweep), so 8% is far outside
+    noise yet tight enough to catch a set-algebra regression."""
+    n = 200_000
+    for ov in (2_000, 20_000, 100_000):
+        df = spark.range(0, 2 * n - ov).select(
+            F.col("id"),
+            (F.col("id") < n).alias("in_a"),
+            (F.col("id") >= n - ov).alias("in_b"),
+        )
+        row = (
+            df.agg(
+                F.expr("theta_sketch_agg(CASE WHEN in_a THEN id END, 12)").alias("sa"),
+                F.expr("theta_sketch_agg(CASE WHEN in_b THEN id END, 12)").alias("sb"),
+            )
+            .select(
+                F.expr(
+                    "theta_sketch_estimate(theta_intersection(sa, sb))"
+                ).alias("inter"),
+                F.expr(
+                    "theta_sketch_estimate(theta_difference(sa, sb))"
+                ).alias("diff"),
+            )
+            .first()
+        )
+        assert abs(row["inter"] - ov) <= 0.08 * ov, (ov, row["inter"])
+        assert abs(row["diff"] - (n - ov)) <= 0.08 * (n - ov), (ov, row["diff"])
