@@ -141,6 +141,8 @@ HEADLINE = [
     "near_dup_agreement_audit",
     "lateral_topn_per_nation",
     "approx_top_k_users",
+    "benford_digit_audit",
+    "revenue_concentration_gini",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

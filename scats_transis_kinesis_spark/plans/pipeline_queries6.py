@@ -282,6 +282,116 @@ def column_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benford_digit_audit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(floor(o_totalprice
+                        / pow(10, floor(log10(o_totalprice)))) AS INT)
+                   AS digit
+            FROM orders WHERE o_totalprice > 0
+        ), c AS (
+            SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit
+        ), t AS (SELECT sum(n_obs) AS n FROM c)
+        SELECT digit, n_obs,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_share,
+               round(n_obs / t.n, 6) AS observed_share,
+               round(pow(n_obs - (ln(1.0 + 1.0 / digit) / ln(10.0)) * t.n, 2)
+                     / ((ln(1.0 + 1.0 / digit) / ln(10.0)) * t.n), 6)
+                   AS chi2_term
+        FROM c CROSS JOIN t
+    """,
+    doc="""Benford first-digit audit (the classic fabricated-data /
+    pipeline-corruption screen used by auditors and DQ monitors): the
+    leading digit of every order total vs the Benford expectation
+    log10(1 + 1/d), with per-digit chi-square contributions — sum the
+    terms and compare to the chi-square(8) critical value for the
+    headline verdict.  Scale shape: the digit is one pure-column
+    expression (no string formatting — floor/log10 arithmetic), then a
+    9-group count and a scalar-broadcast total; the same 100 TB cost
+    as any grouped count.  Log/pow follow domain_shift_kl's round-6
+    contract.""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("n"))
+    exp_share = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(exp_share, 6).alias("expected_share"),
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("observed_share"),
+        F.round(
+            F.pow(F.col("n_obs") - exp_share * F.col("n"), 2)
+            / (exp_share * F.col("n")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "revenue_concentration_gini",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, sum(o_totalprice) AS rev
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+            FROM r
+        ), s AS (
+            SELECT count(*)::BIGINT AS n, sum(rev) AS total,
+                   sum(i * rev) AS weighted
+            FROM ranked
+        )
+        SELECT n AS n_customers,
+               round(total, 2) AS total_revenue,
+               round((2.0 * weighted) / (n * total) - (n + 1.0) / n, 6)
+                   AS gini
+        FROM s
+    """,
+    doc="""Revenue-concentration Gini coefficient (the how-dependent-
+    are-we-on-few-customers audit; same statistic as dataset token-
+    share concentration across sources): G = 2·Σ(i·x_i)/(n·Σx) −
+    (n+1)/n over revenues sorted ascending.  The global rank i comes
+    from hierarchical_row_number — range-bucketed per-bucket windows
+    plus a bounded scalar offset collect — so NO unpartitioned window
+    exists anywhere in the plan while the rank is exactly the global
+    sort's (the rfm_customer_segments machinery, reused).  One grouped
+    aggregate + the rank + one scalar reduction.""",
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import hierarchical_row_number
+
+    r = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ranked = hierarchical_row_number(
+        r, F.col("rev"), tiebreak="o_custkey", out="i"
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i") * F.col("rev")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round("total", 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("weighted")) / (F.col("n") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # Same ANSI text runs in both engines (Spark 4 lateral join; DuckDB
 # LATERAL) — the correlated-subquery-with-LIMIT form of top-n per group.
 _LATERAL_TOPN_SQL = """

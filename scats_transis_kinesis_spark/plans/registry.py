@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "near_dup_agreement_audit",
     "lateral_topn_per_nation",
     "approx_top_k_users",
+    "benford_digit_audit",
+    "revenue_concentration_gini",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -302,6 +302,8 @@ BNL_ALLOWED = {
     "association_rules_pairs",        # 1-row basket-count total
     "column_drift_audit",             # 1-row decile cutpoints + 1-row totals
     "near_dup_agreement_audit",       # three 1-row count aggregates
+    "benford_digit_audit",            # 1-row grand-total broadcast
+    "revenue_concentration_gini",     # num_buckets scalar rank offsets
     "sketch_mergeability_audit",      # 1-row exact-stats aggregate
     "theta_overlap_audit",            # 1-row exact-overlap aggregates
 }
