@@ -143,6 +143,10 @@ HEADLINE = [
     "approx_top_k_users",
     "benford_digit_audit",
     "revenue_concentration_gini",
+    "dsir_importance_weights",
+    "packing_efficiency_audit",
+    "embedding_anisotropy_audit",
+    "token_fertility_by_lang",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

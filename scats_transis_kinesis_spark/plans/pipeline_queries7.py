@@ -1,0 +1,353 @@
+"""Round-5 late additions: distribution-matched data selection (DSIR),
+context-window packing efficiency, embedding-space anisotropy, and
+tokenizer fertility — the remaining curation/efficiency audits a
+100 TB pretraining pipeline runs between dedup and training.
+
+- ``dsir_importance_weights`` is the selection step itself (score every
+  raw document against a target distribution, keep the top);
+- ``packing_efficiency_audit`` prices the context-length choice before
+  anyone packs a single batch;
+- ``embedding_anisotropy_audit`` is the embedding-health screen run
+  before trusting any cosine-based dedup/retrieval downstream;
+- ``token_fertility_by_lang`` is the per-language tokenizer-cost audit
+  that decides sampling budgets measured in tokens, not documents.
+
+Conventions as everywhere in the registry: identical aliases both
+sides, integer-micros quantization wherever a float sum's accumulation
+order could flip a rounded digit, broadcast-only small sides, no
+driver-side data collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash32_sql, portable_hash32
+from ..operators.similarity import _norm, cosine
+from ..operators.text import tokens
+from ..sources.loaders import load_table
+from .extension_queries2 import BPE_PATTERN
+from .registry import register
+
+# Hashed-feature space for DSIR (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS'23 — public
+# method): unigrams hash into B buckets, and both the target and raw
+# distributions are estimated over the SAME bucketed vocabulary, so the
+# per-bucket log-ratio table is a bounded B-row broadcast no matter how
+# large the corpus vocabulary grows.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+# Candidate context lengths priced by packing_efficiency_audit.
+PACK_CONTEXT_LENGTHS = (64, 128, 256, 512)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT d.doc_id, d.lang,
+                   {duckdb_hash32_sql('t')} % {DSIR_BUCKETS} AS bucket
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents) d
+        ), raw_c AS (
+            SELECT bucket, count(*) AS cr FROM tok GROUP BY bucket
+        ), tgt_c AS (
+            SELECT bucket, count(*) AS ct FROM tok
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+        ), tot AS (
+            SELECT (SELECT sum(cr) FROM raw_c) AS nr,
+                   (SELECT coalesce(sum(ct), 0) FROM tgt_c) AS nt
+        ), ratio AS (
+            SELECT r.bucket,
+                   round((ln((coalesce(t.ct, 0) + 1.0)
+                             / (tot.nt + {DSIR_BUCKETS}))
+                          - ln((r.cr + 1.0)
+                               / (tot.nr + {DSIR_BUCKETS}))) * 1000000)::BIGINT
+                       AS ratio_micros
+            FROM raw_c r LEFT JOIN tgt_c t USING (bucket) CROSS JOIN tot
+        )
+        SELECT tok.doc_id,
+               count(*)::BIGINT AS n_tokens,
+               round(sum(ratio.ratio_micros)::DOUBLE / 1000000.0, 6)
+                   AS log_weight
+        FROM tok JOIN ratio USING (bucket)
+        GROUP BY tok.doc_id
+    """,
+    doc=f"""DSIR importance weights (Xie et al., NeurIPS'23 — hashed
+    n-gram importance resampling): estimate add-one-smoothed unigram
+    models of the TARGET distribution (here lang =
+    '{DSIR_TARGET_LANG}') and the RAW corpus over {DSIR_BUCKETS} hashed
+    buckets, then score every raw document by its summed per-token
+    log-likelihood ratio — the importance weight that, sampled
+    proportionally, reshapes the raw corpus toward the target.  The
+    per-bucket log-ratio is quantized to integer MICROS before the
+    per-document sum (the unigram_perplexity_score trick), so partial
+    aggregation order can never flip a rounded digit.  Scale shape:
+    bucket counting is one {DSIR_BUCKETS}-key groupBy (map-side
+    combine collapses it before the shuffle), the ratio table is a
+    bounded {DSIR_BUCKETS}-row broadcast, and scoring is the token
+    stream joined to that broadcast plus one doc-keyed aggregate — the
+    same linear footprint at 100 TB, with no vocabulary-sized state
+    anywhere.""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        (portable_hash32(F.col("t")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    raw_c = tok.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        tok.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = raw_c.agg(F.sum("cr").alias("nr")).crossJoin(
+        F.broadcast(tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    )
+    ratio = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.lit(DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("nr") + F.lit(DSIR_BUCKETS))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ratio_micros"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("ratio_micros").cast("double") / 1_000_000.0, 6
+            ).alias("log_weight"),
+        )
+    )
+
+
+@register(
+    "packing_efficiency_audit",
+    oracle=f"""
+        WITH doc_len AS (
+            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+            FROM documents
+        ), lens AS (
+            SELECT unnest([{", ".join(map(str, PACK_CONTEXT_LENGTHS))}])
+                AS context_len
+        )
+        SELECT l.context_len::BIGINT AS context_len,
+               count(*)::BIGINT AS n_docs,
+               sum(d.n)::BIGINT AS total_tokens,
+               sum(((d.n + l.context_len - 1) // l.context_len)
+                   * l.context_len)::BIGINT AS total_padded,
+               round(sum(d.n)::DOUBLE
+                     / sum(((d.n + l.context_len - 1) // l.context_len)
+                           * l.context_len), 6) AS pad_efficiency,
+               sum(CASE WHEN d.n > l.context_len THEN 1 ELSE 0 END)::BIGINT
+                   AS oversize_docs,
+               round(sum(CASE WHEN d.n > l.context_len
+                              THEN d.n - l.context_len ELSE 0 END)::DOUBLE
+                     / sum(d.n), 6) AS trunc_loss_frac
+        FROM doc_len d CROSS JOIN lens l
+        GROUP BY l.context_len
+    """,
+    doc=f"""Context-length pricing audit: for each candidate context
+    length {PACK_CONTEXT_LENGTHS}, the corpus-wide padding efficiency
+    under document-per-window packing (each doc occupies
+    ceil(n/L) windows padded to L) and the truncation loss under
+    single-window training (tokens beyond L dropped) — the two numbers
+    that decide a pretraining context budget BEFORE anyone packs a
+    batch (pack_context_windows then executes the chosen L).  All
+    aggregates are integer sums, so the round-6 ratios are exact
+    regardless of accumulation order.  Scale shape: one scan computes
+    per-doc token counts, a {len(PACK_CONTEXT_LENGTHS)}-row literal
+    array explodes each doc into its per-L row map-side (no join, no
+    extra scan), and the final groupBy carries
+    {len(PACK_CONTEXT_LENGTHS)} keys — map-side combine reduces it to
+    per-partition scalars before the only shuffle.""",
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    doc_len = docs.select(
+        F.size(tokens("text")).cast("long").alias("n"),
+        F.explode(
+            F.array(*[F.lit(length) for length in PACK_CONTEXT_LENGTHS])
+        ).alias("context_len"),
+    )
+    padded = (
+        F.floor(
+            (F.col("n") + F.col("context_len") - 1) / F.col("context_len")
+        )
+        * F.col("context_len")
+    )
+    over = F.col("n") > F.col("context_len")
+    return (
+        doc_len.groupBy(F.col("context_len").cast("long").alias("context_len"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(padded).cast("long").alias("total_padded"),
+            F.round(
+                F.sum("n").cast("double") / F.sum(padded), 6
+            ).alias("pad_efficiency"),
+            F.sum(over.cast("int")).cast("long").alias("oversize_docs"),
+            F.round(
+                F.sum(
+                    F.when(over, F.col("n") - F.col("context_len")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("trunc_loss_frac"),
+        )
+    )
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), flat AS (
+            SELECT label, unnest(generate_series(1, len(v))) AS idx, v
+            FROM e
+        ), cent AS (
+            SELECT list(cv ORDER BY idx) AS cvec
+            FROM (
+                SELECT idx, round(avg(v[idx]), 6) AS cv
+                FROM flat GROUP BY idx
+            )
+        ), scored AS (
+            SELECT e.vec_id, e.label,
+                   round(sqrt(list_dot_product(e.v, e.v)), 6) AS norm6,
+                   round(list_dot_product(e.v, c.cvec)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                       AS cos6
+            FROM e CROSS JOIN cent c
+        )
+        SELECT label,
+               count(*)::BIGINT AS n_vectors,
+               round(avg(norm6), 6) AS avg_norm,
+               round(avg(cos6), 6) AS avg_cos_centroid,
+               min(cos6) AS min_cos_centroid,
+               max(cos6) AS max_cos_centroid,
+               round(avg(CASE WHEN cos6 < 0 THEN 1.0 ELSE 0.0 END), 6)
+                   AS frac_negative_cos
+        FROM scored GROUP BY label
+    """,
+    doc="""Embedding-space anisotropy audit (Ethayarajh EMNLP'19's
+    contextual-anisotropy statistic, per label): every vector's cosine
+    to the GLOBAL corpus centroid — a healthy isotropic space averages
+    near zero, while a collapsed/anisotropic one (the classic failure
+    that silently breaks cosine dedup and retrieval) pushes the average
+    toward 1 — plus the norm distribution that exposes near-zero or
+    exploding vectors before they poison IVF centroids.  The centroid's
+    per-dimension averages round to 6 digits BEFORE the dot product and
+    the per-label averages run over already-rounded per-vector values
+    (the embedding_label_margin rounded-intermediate contract).  Scale
+    shape: the centroid is one exploded (dim)-keyed aggregate —
+    |vectors|·dims skinny rows collapsing map-side to dims partials —
+    assembled into a single broadcast row; per-vector scoring is one
+    corpus scan against that broadcast; the output is |labels| rows.""",
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select(F.posexplode("v").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "label",
+        F.round(_norm(F.col("v")), 6).alias("norm6"),
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos6"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("norm6"), 6).alias("avg_norm"),
+        F.round(F.avg("cos6"), 6).alias("avg_cos_centroid"),
+        F.min("cos6").alias("min_cos_centroid"),
+        F.max("cos6").alias("max_cos_centroid"),
+        F.round(
+            F.avg(F.when(F.col("cos6") < 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_negative_cos"),
+    )
+
+
+@register(
+    "token_fertility_by_lang",
+    oracle=f"""
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+               sum(len(regexp_extract_all(lower(text),
+                                          '{BPE_PATTERN}')))::BIGINT
+                   AS total_bpe_tokens,
+               round(sum(len(regexp_extract_all(lower(text),
+                                                '{BPE_PATTERN}')))::DOUBLE
+                     / sum(len(string_split(text, ' '))), 6) AS fertility,
+               round(sum(length(text))::DOUBLE
+                     / sum(len(regexp_extract_all(lower(text),
+                                                  '{BPE_PATTERN}'))), 6)
+                   AS chars_per_token
+        FROM documents GROUP BY lang
+    """,
+    doc="""Tokenizer fertility by language: BPE-ish tokens per
+    whitespace word and characters per token, aggregated per language —
+    the audit that converts a document-count sampling budget into the
+    token-count budget training actually consumes (languages with high
+    fertility cost proportionally more context per word; the standard
+    multilingual-mixture correction).  Reuses text_bpe_tokens' regex
+    class count, so the two queries stay mutually consistent.  All
+    aggregates are integer sums (exact under any accumulation order);
+    the round-6 ratios derive from them.  Scale shape: pure codegen'd
+    column expressions into a |langs|-key groupBy — map-side combine
+    collapses the corpus to per-partition scalars before the only
+    shuffle.""",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.size(F.split("text", " "))
+    bpe = F.regexp_count(F.lower("text"), F.lit(BPE_PATTERN))
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(words).cast("long").alias("total_words"),
+        F.sum(bpe).cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(words), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
+        ).alias("chars_per_token"),
+    )

@@ -166,3 +166,4 @@ from . import pipeline_queries3  # noqa: E402,F401
 from . import pipeline_queries4  # noqa: E402,F401
 from . import pipeline_queries5  # noqa: E402,F401
 from . import pipeline_queries6  # noqa: E402,F401
+from . import pipeline_queries7  # noqa: E402,F401
