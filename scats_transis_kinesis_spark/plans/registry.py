@@ -102,6 +102,10 @@ _PRIORITY: tuple[str, ...] = (
     "approx_top_k_users",
     "benford_digit_audit",
     "revenue_concentration_gini",
+    "dsir_importance_weights",
+    "packing_efficiency_audit",
+    "embedding_anisotropy_audit",
+    "token_fertility_by_lang",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
