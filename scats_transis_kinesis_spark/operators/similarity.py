@@ -275,3 +275,53 @@ def cosine_topk_vectorized(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def anisotropy_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-space anisotropy audit (Ethayarajh EMNLP'19):
+    every vector's cosine to the GLOBAL corpus centroid plus norm
+    statistics.  An isotropic space averages near zero cosine; a
+    collapsed one (the failure that silently breaks cosine dedup and
+    retrieval) pushes the average toward 1.
+
+    The centroid's per-dimension averages round to 6 digits BEFORE the
+    dot product, and per-label averages run over already-rounded
+    per-vector values, so partial-aggregation order can never flip a
+    reported digit (the rounded-intermediate contract shared with
+    embedding_label_margin).  Scale shape: one exploded (dim)-keyed
+    aggregate collapsing map-side into a single broadcast centroid row;
+    per-vector scoring is one corpus scan; output is |labels| rows.
+    """
+    e = embeddings.select(
+        label_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select(F.posexplode("v").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        label_col,
+        F.round(_norm(F.col("v")), 6).alias("norm6"),
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos6"),
+    )
+    return scored.groupBy(label_col).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("norm6"), 6).alias("avg_norm"),
+        F.round(F.avg("cos6"), 6).alias("avg_cos_centroid"),
+        F.min("cos6").alias("min_cos_centroid"),
+        F.max("cos6").alias("max_cos_centroid"),
+        F.round(
+            F.avg(F.when(F.col("cos6") < 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_negative_cos"),
+    )

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32_sql, portable_hash32
-from ..operators.similarity import _norm, cosine
 from ..operators.text import tokens
 from ..sources.loaders import load_table
 from .extension_queries2 import BPE_PATTERN
@@ -273,36 +272,9 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan against that broadcast; the output is |labels| rows.""",
 )
 def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    e = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cent = (
-        e.select(F.posexplode("v").alias("idx", "val"))
-        .groupBy("idx")
-        .agg(F.round(F.avg("val"), 6).alias("cv"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
-                lambda s: s["cv"],
-            ).alias("cvec")
-        )
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "label",
-        F.round(_norm(F.col("v")), 6).alias("norm6"),
-        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cos6"),
-    )
-    return scored.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vectors"),
-        F.round(F.avg("norm6"), 6).alias("avg_norm"),
-        F.round(F.avg("cos6"), 6).alias("avg_cos_centroid"),
-        F.min("cos6").alias("min_cos_centroid"),
-        F.max("cos6").alias("max_cos_centroid"),
-        F.round(
-            F.avg(F.when(F.col("cos6") < 0, 1.0).otherwise(0.0)), 6
-        ).alias("frac_negative_cos"),
-    )
+    from ..operators.similarity import anisotropy_stats
+
+    return anisotropy_stats(load_table(spark, "embeddings", sf_dir))
 
 
 @register(
