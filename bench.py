@@ -147,6 +147,9 @@ HEADLINE = [
     "packing_efficiency_audit",
     "embedding_anisotropy_audit",
     "token_fertility_by_lang",
+    "cross_source_duplication_matrix",
+    "vocab_coverage_curve",
+    "embedding_contamination_check",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -323,3 +323,230 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication, vocabulary coverage, embedding contamination.
+# ---------------------------------------------------------------------------
+
+from .extension_queries import _minhash_lsh_oracle  # noqa: E402
+from .extension_queries2 import EMBED_DUP_THRESHOLD  # noqa: E402
+
+# Vocabulary sizes priced by vocab_coverage_curve.
+VOCAB_TOP_NS = (10, 100, 1000)
+
+# The held-out "evaluation" slice for the embedding contamination
+# check: one label plays the benchmark set, the rest are training data.
+CONTAM_EVAL_LABEL = 9
+
+
+@register(
+    "cross_source_duplication_matrix",
+    oracle=f"""
+        WITH pairs AS ({_minhash_lsh_oracle()})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*)::BIGINT AS n_pairs,
+               round(avg(p.jaccard), 6) AS avg_jaccard
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2
+    """,
+    doc="""Which sources duplicate each other: MinHash-LSH verified
+    near-dup pairs rolled up into a (source, source) matrix — the audit
+    that exposes two crawls scraping the same sites (off-diagonal mass)
+    versus a source republishing itself (diagonal mass), which decides
+    whether dedup must run across source boundaries or can shard by
+    source.  Reuses the dedup_minhash_lsh pair machinery verbatim (one
+    banding shuffle, candidates-only verification) plus two id-keyed
+    joins to attach sources and a |sources|²-bounded aggregate.""",
+)
+def cross_source_duplication_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.minhash_lsh_near_dups(docs)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ), c AS (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), r AS (
+            SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM c
+        ), tot AS (
+            SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS n_types
+            FROM c
+        ), lens AS (
+            SELECT unnest([{", ".join(map(str, VOCAB_TOP_NS))}]) AS top_n
+        )
+        SELECT l.top_n::BIGINT AS top_n,
+               tot.n_types AS n_types,
+               sum(CASE WHEN r.rn <= l.top_n THEN r.c ELSE 0 END)::BIGINT
+                   AS covered_tokens,
+               tot.total AS total_tokens,
+               round(sum(CASE WHEN r.rn <= l.top_n THEN r.c ELSE 0 END)::DOUBLE
+                     / tot.total, 6) AS coverage
+        FROM r CROSS JOIN lens l CROSS JOIN tot
+        GROUP BY l.top_n, tot.n_types, tot.total
+    """,
+    doc=f"""Vocabulary coverage curve: what fraction of the token
+    stream the top-N most frequent types cover, for N in
+    {VOCAB_TOP_NS} — the statistic that prices a tokenizer vocabulary
+    size (the marginal coverage of the next thousand types) and
+    complements vocab_oov_rate's fixed-vocab view.  The global
+    frequency rank uses the hierarchical row_number (range-bucketed
+    per-bucket windows + a num_buckets-scalar offset collect — never an
+    unpartitioned window), ties broken (count DESC, token ASC).  Scale
+    shape: one token-keyed groupBy builds the frequency table; the
+    curve itself is a {len(VOCAB_TOP_NS)}-key conditional aggregate
+    over |vocab| skinny rows.""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import hierarchical_row_number
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = hierarchical_row_number(
+        counts, (-F.col("c")).cast("double"), "t", out="rn"
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return (
+        ranked.select(
+            "c",
+            "rn",
+            F.explode(
+                F.array(*[F.lit(n) for n in VOCAB_TOP_NS])
+            ).alias("top_n"),
+        )
+        .groupBy(F.col("top_n").cast("long").alias("top_n"))
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("top_n"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_n",
+            "n_types",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "embedding_contamination_check",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE label = {CONTAM_EVAL_LABEL}
+        ), tr AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE label <> {CONTAM_EVAL_LABEL}
+        ), scored AS (
+            SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+                   round(list_dot_product(ev.v, tr.v)
+                         / (sqrt(list_dot_product(ev.v, ev.v))
+                            * sqrt(list_dot_product(tr.v, tr.v))), 6)
+                       AS cosine_sim
+            FROM ev CROSS JOIN tr
+        )
+        SELECT eval_id, train_id AS best_train_id,
+               cosine_sim AS best_sim,
+               cosine_sim >= {EMBED_DUP_THRESHOLD} AS contaminated
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY eval_id
+                ORDER BY cosine_sim DESC, train_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    doc=f"""Semantic train/eval contamination check: for every vector
+    in the held-out slice (label {CONTAM_EVAL_LABEL} plays the
+    benchmark set), its nearest training vector by cosine and whether
+    that similarity crosses the near-dup threshold
+    ({EMBED_DUP_THRESHOLD}) — the embedding-space complement to
+    ngram_contamination_check (exact n-gram overlap misses paraphrased
+    leakage; embedding similarity catches it).  The eval set broadcasts
+    against one training scan (bounded BNL, allowlisted — benchmark
+    sets are small by construction); at 100 TB the same scoring runs
+    IVF-bucketed (cosine_topk_bucketed) so only same-cluster pairs are
+    scored.  Best-match ties break on train_id.""",
+)
+def embedding_contamination_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = emb.where(F.col("label") == CONTAM_EVAL_LABEL).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+    )
+    tr = emb.where(F.col("label") != CONTAM_EVAL_LABEL).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tv")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        "train_id",
+        F.round(cosine(F.col("ev"), F.col("tv")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("eval_id").orderBy(
+        F.desc("cosine_sim"), F.asc("train_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            F.col("train_id").alias("best_train_id"),
+            F.col("cosine_sim").alias("best_sim"),
+            (F.col("cosine_sim") >= EMBED_DUP_THRESHOLD).alias("contaminated"),
+        )
+    )

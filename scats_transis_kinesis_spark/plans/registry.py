@@ -106,6 +106,9 @@ _PRIORITY: tuple[str, ...] = (
     "packing_efficiency_audit",
     "embedding_anisotropy_audit",
     "token_fertility_by_lang",
+    "cross_source_duplication_matrix",
+    "vocab_coverage_curve",
+    "embedding_contamination_check",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -306,6 +306,10 @@ BNL_ALLOWED = {
     "revenue_concentration_gini",     # num_buckets scalar rank offsets
     "sketch_mergeability_audit",      # 1-row exact-stats aggregate
     "theta_overlap_audit",            # 1-row exact-overlap aggregates
+    "dsir_importance_weights",        # 1-row corpus/target token totals
+    "embedding_anisotropy_audit",     # 1-row global-centroid broadcast
+    "vocab_coverage_curve",           # 1-row (total, n_types) aggregate
+    "embedding_contamination_check",  # bounded eval-slice broadcast rows
 }
 
 
