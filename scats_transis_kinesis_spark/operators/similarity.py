@@ -325,3 +325,73 @@ def anisotropy_stats(
             F.avg(F.when(F.col("cos6") < 0, 1.0).otherwise(0.0)), 6
         ).alias("frac_negative_cos"),
     )
+
+
+def nearest_cross_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "train_id",
+    query_id: str = "eval_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """For every query vector, its single nearest corpus vector by
+    cosine — the two-table form of :func:`cosine_topk_vectorized`
+    (Arrow-batched BLAS matmul; the contamination-check hot path).
+
+    The (small by construction) query matrix ships inside the UDF
+    closure — |queries| rows is the only driver-side collect, the
+    corpus never leaves the executors.  Each Arrow batch scores against
+    ALL queries in one ``C @ Q.T``, rounds to 6 digits, and emits only
+    its per-batch best per query under the (cosine DESC, corpus id ASC)
+    order, so the shuffle carries |batches|·|queries| rows and a window
+    picks the global winner under the SAME order — round-then-rank,
+    matching the SQL oracle's tie semantics exactly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = f"{query_id} long, {corpus_id} long, cosine_sim double"
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            scores = np.round(c @ q_mat.T, 6)  # (n_batch, n_queries)
+            # Per-query batch winner under (score DESC, corpus id ASC):
+            # lexsort is stable and sorts by the LAST key first.
+            order = np.lexsort(
+                (
+                    np.broadcast_to(ids, (len(q_ids), len(ids))),
+                    -scores.T,
+                )
+            )  # (n_queries, n_batch): row-wise sort indices
+            best = order[:, 0]
+            yield pd.DataFrame(
+                {
+                    query_id: q_ids,
+                    corpus_id: ids[best],
+                    "cosine_sim": scores[best, np.arange(len(q_ids))],
+                }
+            )
+
+    from pyspark.sql import Window as W
+
+    candidates = corpus.select(corpus_id, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc(corpus_id)
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(query_id, corpus_id, "cosine_sim")
+    )

@@ -510,43 +510,35 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     that similarity crosses the near-dup threshold
     ({EMBED_DUP_THRESHOLD}) — the embedding-space complement to
     ngram_contamination_check (exact n-gram overlap misses paraphrased
-    leakage; embedding similarity catches it).  The eval set broadcasts
-    against one training scan (bounded BNL, allowlisted — benchmark
-    sets are small by construction); at 100 TB the same scoring runs
+    leakage; embedding similarity catches it).  Scored via the
+    Arrow-batched BLAS scorer (operators/similarity.py:
+    nearest_cross_vectorized — the sim_topk_vectorized machinery): the
+    eval matrix ships in the UDF closure (|eval| rows is the only
+    driver collect; benchmark sets are small by construction), each
+    corpus batch emits its per-batch best per query, and a window picks
+    the global winner — round-then-rank with train_id tie-break,
+    matching the oracle exactly.  At 100 TB the same scoring runs
     IVF-bucketed (cosine_topk_bucketed) so only same-cluster pairs are
-    scored.  Best-match ties break on train_id.""",
+    scored.""",
 )
 def embedding_contamination_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..operators.similarity import cosine
+    from ..operators.similarity import nearest_cross_vectorized
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     ev = emb.where(F.col("label") == CONTAM_EVAL_LABEL).select(
-        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+        F.col("vec_id").alias("eval_id"), "v"
     )
     tr = emb.where(F.col("label") != CONTAM_EVAL_LABEL).select(
-        F.col("vec_id").alias("train_id"), F.col("v").alias("tv")
+        F.col("vec_id").alias("train_id"), "v"
     )
-    scored = tr.crossJoin(F.broadcast(ev)).select(
+    best = nearest_cross_vectorized(tr, ev)
+    return best.select(
         "eval_id",
-        "train_id",
-        F.round(cosine(F.col("ev"), F.col("tv")), 6).alias("cosine_sim"),
-    )
-    w = W.partitionBy("eval_id").orderBy(
-        F.desc("cosine_sim"), F.asc("train_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "eval_id",
-            F.col("train_id").alias("best_train_id"),
-            F.col("cosine_sim").alias("best_sim"),
-            (F.col("cosine_sim") >= EMBED_DUP_THRESHOLD).alias("contaminated"),
-        )
+        F.col("train_id").alias("best_train_id"),
+        F.col("cosine_sim").alias("best_sim"),
+        (F.col("cosine_sim") >= EMBED_DUP_THRESHOLD).alias("contaminated"),
     )

@@ -159,7 +159,11 @@ def test_no_rowwise_python_udf_anywhere(spark):
         if "MapInPandas" in plan or "ArrowEvalPython" in plan:
             pandas_users.append(name)
     assert not offenders, f"row-wise Python UDF in: {offenders}"
-    assert set(pandas_users) <= {"multimodal_features", "sim_topk_vectorized"}, pandas_users
+    assert set(pandas_users) <= {
+        "multimodal_features",
+        "sim_topk_vectorized",
+        "embedding_contamination_check",
+    }, pandas_users
 
 
 def test_no_unpartitioned_window_anywhere(spark):
@@ -309,7 +313,6 @@ BNL_ALLOWED = {
     "dsir_importance_weights",        # 1-row corpus/target token totals
     "embedding_anisotropy_audit",     # 1-row global-centroid broadcast
     "vocab_coverage_curve",           # 1-row (total, n_types) aggregate
-    "embedding_contamination_check",  # bounded eval-slice broadcast rows
 }
 
 
