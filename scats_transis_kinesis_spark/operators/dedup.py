@@ -850,3 +850,181 @@ def connected_components(
         children.select(F.col("member_id").alias("u")), "u", "left_anti"
     ).select(F.col("u").alias("member_id"), F.col("u").alias("cluster_id"))
     return children.union(roots)
+
+
+# Sign-LSH banding scheme for persisted embedding-dedup state
+# (incremental_embedding_dedup): bands × bits-per-band over basis-
+# hyperplane sign bits, mirroring the batch dedup_embedding_lsh query.
+# The version stamp covers the banding scheme AND the vector space —
+# bump on any change (band layout, and ESPECIALLY the embedding model:
+# vectors from different encoders are not comparable, so mixing them
+# in one state table silently stops catching near-dups).
+EMB_LSH_BANDS = 4
+EMB_LSH_BITS = 8
+EMB_STATE_VERSION = 1
+
+
+def _emb_banded(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, band, bucket) rows: bucket = packed sign bits of dims
+    [band·BITS, (band+1)·BITS) — sign random projection with basis
+    hyperplanes (Charikar '02), identical to dedup_embedding_lsh."""
+    def bucket_for(band: int):
+        b = F.lit(0)
+        for d in range(EMB_LSH_BITS):
+            b = b + F.when(
+                F.element_at("v", band * EMB_LSH_BITS + d + 1) > 0,
+                F.lit(1 << d),
+            ).otherwise(0)
+        return b
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bucket_for(b).alias("bucket"))
+            for b in range(EMB_LSH_BANDS)
+        ]
+    )
+    return vecs.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    state_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup dedup ACROSS ingestion runs — completing the
+    incremental family (:func:`incremental_exact_dedup` for exact,
+    :func:`incremental_minhash_dedup` for text near-dup): a persisted
+    vector table accumulates every embedding ever kept; each new batch
+    drops (a) vectors whose exact cosine against ANY historical vector
+    reaches ``threshold`` (sign-LSH banded candidate join, never
+    all-pairs) and (b) within-batch near-dups (the smaller id of each
+    verified pair wins), then appends the survivors for the next run.
+
+    Unlike the minhash variant — whose state keeps only signatures and
+    therefore verifies by signature estimate — embedding state IS the
+    full vector (dims floats per kept doc), so verification is the
+    EXACT rounded cosine on both the history and the batch side.
+
+    Scale shape: candidate generation is the same (band, bucket)
+    equi-join as the batch sign-LSH query with history on one side and
+    the batch on the other (at lakehouse scale the state table is
+    bucketed by (band, bucket) so the join co-locates); state grows by
+    dims floats per kept document.  Approximate by construction in the
+    same way as dedup_embedding_lsh: a cross-run near-dup whose pair
+    shares no band bucket is missed (recall < 1, the documented LSH
+    trade; 8×4 banding raises recall at production thresholds —
+    BACKLOG.md).
+
+    The state table carries ``emb_version`` (banding scheme + embedding
+    model): vectors from a different encoder never score meaningfully,
+    so a mismatched state dir fails loudly instead of silently letting
+    every near-dup through.
+
+    Returns the surviving ``(id, v)`` rows (v = double vector)."""
+    from .similarity import cosine
+
+    spark = new_vecs.sparkSession
+    vecs = (
+        new_vecs.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    seen = _read_state_or_none(spark, state_dir)
+    survivors = vecs
+    if seen is not None:
+        if "emb_version" not in seen.columns:
+            raise ValueError(
+                f"incremental_embedding_dedup state at {state_dir} has no "
+                "emb_version column — rebuild it (vectors from an unknown "
+                "encoder/banding cannot be compared; continuing would "
+                "silently re-admit historical near-dups)"
+            )
+        stale = (
+            seen.where(
+                ~F.col("emb_version").eqNullSafe(F.lit(EMB_STATE_VERSION))
+            )
+            .limit(1)
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                f"incremental_embedding_dedup state at {state_dir} was "
+                f"written under a different version than "
+                f"{EMB_STATE_VERSION} — rebuild it"
+            )
+        cand = (
+            _emb_banded(survivors, id_col)
+            .alias("n")
+            .join(
+                _emb_banded(seen, id_col).alias("h"),
+                ["band", "bucket"],
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"h.{id_col}").alias("hist_id"),
+            )
+            .distinct()
+        )
+        dup_vs_history = (
+            cand.join(
+                survivors.select(
+                    F.col(id_col).alias("new_id"), F.col("v").alias("nv")
+                ),
+                "new_id",
+            )
+            .join(
+                seen.select(
+                    F.col(id_col).alias("hist_id"), F.col("v").alias("hv")
+                ),
+                "hist_id",
+            )
+            .where(F.round(cosine(F.col("nv"), F.col("hv")), 6) >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(
+            dup_vs_history, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+    # Within-batch near-dups among the remaining vectors.
+    banded = _emb_banded(survivors, id_col)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            ["band", "bucket"],
+        )
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    batch_dups = (
+        pairs.join(
+            survivors.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            survivors.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    # Checkpoint BEFORE the state append (recacheByPath: with history,
+    # the survivors' lineage reads state_dir — same hazard as the other
+    # incremental operators).
+    survivors = survivors.join(batch_dups, id_col, "left_anti").select(
+        id_col, "v"
+    ).localCheckpoint(eager=True)
+    survivors.withColumn(
+        "emb_version", F.lit(EMB_STATE_VERSION)
+    ).write.mode("append").parquet(state_dir)
+    return survivors

@@ -1083,3 +1083,63 @@ def test_live_stream_checkpoint_restart_replays_then_resumes(spark, tmp_path):
     flat2 = [v for _, vs in run2 for v in vs]
     assert flat2[: len(replayed)] == replayed, flat2
     assert flat2[len(replayed):] == docs2, flat2
+
+
+def test_incremental_embedding_dedup_across_runs(spark):
+    """Cross-run embedding near-dup dedup against the persisted vector
+    table: run 2 drops a vector whose exact cosine against a run-1
+    vector crosses the threshold (sign-LSH banded candidate join),
+    drops the larger id of a within-batch near-dup pair, keeps novel
+    vectors, and appends only the survivors."""
+    import tempfile as _tf
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+
+    dims = 32
+    v1 = [1.0] * dims                      # buckets: all-ones per band
+    v1_near = [1.0] * (dims - 1) + [0.9]   # same sign pattern, cos ~ 1
+    v2 = [1.0 if i % 2 == 0 else -1.0 for i in range(dims)]  # cos(v1,v2)=0
+    v3 = [-1.0] * dims                     # cos(v1,v3) = -1
+    v3_near = [-1.0] * (dims - 1) + [-0.9]
+
+    with _tf.TemporaryDirectory() as d:
+        state = os.path.join(d, "vecs")
+        run1 = spark.createDataFrame(
+            [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+        )
+        kept1 = sorted(
+            r["vec_id"]
+            for r in incremental_embedding_dedup(run1, state).collect()
+        )
+        assert kept1 == [1, 2]
+
+        run2 = spark.createDataFrame(
+            [(10, v1_near), (11, v3), (12, v3_near)],
+            "vec_id long, embedding array<double>",
+        )
+        # 10 ~ run-1 vector 1 (cross-run near-dup, same sign buckets,
+        # cos ~ 1) — dropped against history; 11 is novel (negative /
+        # zero cosine to all history); 12 ~ 11 within-batch → larger id
+        # dropped.
+        kept2 = sorted(
+            r["vec_id"]
+            for r in incremental_embedding_dedup(run2, state).collect()
+        )
+        assert kept2 == [11]
+
+        # State holds one vector row per KEPT id: 1, 2, 11.
+        assert spark.read.parquet(state).count() == 3
+
+        # A state row under a different version must fail loudly —
+        # vectors from another encoder/banding are not comparable.
+        stale = spark.read.parquet(state).limit(1).withColumn(
+            "emb_version", F.lit(99)
+        )
+        stale.write.mode("append").parquet(state)
+        run3 = spark.createDataFrame(
+            [(30, v2)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="different version"):
+            incremental_embedding_dedup(run3, state)
