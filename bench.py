@@ -150,6 +150,7 @@ HEADLINE = [
     "cross_source_duplication_matrix",
     "vocab_coverage_curve",
     "embedding_contamination_check",
+    "trend_seasonal_decompose",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

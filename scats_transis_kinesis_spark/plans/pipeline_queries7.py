@@ -542,3 +542,96 @@ def embedding_contamination_check(
         F.col("cosine_sim").alias("best_sim"),
         (F.col("cosine_sim") >= EMBED_DUP_THRESHOLD).alias("contaminated"),
     )
+
+
+# Centered moving-average half-window for the trend component (hours):
+# 12 preceding + current + 12 following = a 25-hour window, wide enough
+# to absorb the daily cycle into the seasonal term.
+DECOMP_HALF_WINDOW = 12
+
+
+@register(
+    "trend_seasonal_decompose",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS observed
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, hour, observed,
+                   round(avg(observed) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {DECOMP_HALF_WINDOW} PRECEDING
+                                AND {DECOMP_HALF_WINDOW} FOLLOWING), 6)
+                       AS trend
+            FROM hourly
+        ), s AS (
+            SELECT event_type, extract(hour FROM hour) AS hod,
+                   round(sum(round((observed - trend) * 1000000))::DOUBLE
+                         / count(*) / 1000000.0, 6) AS seasonal
+            FROM t GROUP BY 1, 2
+        )
+        SELECT t.event_type, t.hour, t.observed, t.trend, s.seasonal,
+               round(t.observed - t.trend - s.seasonal, 6) AS residual
+        FROM t JOIN s ON s.event_type = t.event_type
+                     AND s.hod = extract(hour FROM t.hour)
+    """,
+    doc=f"""Additive trend/seasonal/residual decomposition of the
+    hourly event stream (the moving-average core of STL, per event
+    type): trend = centered {2 * DECOMP_HALF_WINDOW + 1}-hour moving
+    average (a rows-frame window PARTITIONED by type — never
+    unpartitioned), seasonal = mean detrended value per (type,
+    hour-of-day), residual = the rest — the decomposition behind
+    capacity planning and anomaly baselines (anomaly_zscore_hours
+    flags offsets from a STATIONARY mean; this separates the cyclic
+    part first).  Cross-engine determinism is structural: observed is
+    an integer count, so the frame average is an exact small-denominator
+    rational in double (no accumulation-order hazard), and the seasonal
+    mean runs over integer-micros quantized diffs.  Scale shape: one
+    (type, hour)-keyed aggregate collapses the raw stream; everything
+    after runs on |types|·|hours| skinny rows — one partitioned window,
+    one {24}-key-per-type aggregate, one broadcast-sized join back.""",
+)
+def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-DECOMP_HALF_WINDOW, DECOMP_HALF_WINDOW)
+    )
+    t = hourly.withColumn("trend", F.round(F.avg("observed").over(w), 6))
+    s = (
+        t.groupBy("event_type", F.hour("hour").alias("hod"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round((F.col("observed") - F.col("trend")) * 1_000_000)
+                ).cast("double")
+                / F.count("*")
+                / 1_000_000.0,
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        t.withColumn("hod", F.hour("hour"))
+        .join(F.broadcast(s), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "observed",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("observed") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )

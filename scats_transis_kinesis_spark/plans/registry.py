@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "cross_source_duplication_matrix",
     "vocab_coverage_curve",
     "embedding_contamination_check",
+    "trend_seasonal_decompose",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
