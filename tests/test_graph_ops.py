@@ -138,3 +138,58 @@ def test_skyline_randomized_parity_with_bruteforce(spark):
             ).collect()
         )
         assert got == expected, (trial, width, rows)
+
+
+def test_connected_components_randomized_parity_with_union_find(spark):
+    """Random G(n, p) graphs (plus isolated self-pair singletons) vs a
+    plain union-find — the chain/island unit cases pin chosen shapes,
+    this pins arbitrary ones, including the min-label contract
+    (cluster_id == min member id of the component)."""
+    import itertools
+    import random
+
+    from scats_transis_kinesis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(8, 20)
+        p = rng.choice([0.05, 0.15, 0.3])
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        # A couple of vertices that appear only as reflexive pairs —
+        # singletons must survive the star rewrite's self-loop filter.
+        singles = [(n + 1, n + 1), (n + 2, n + 2)]
+        rows = edges + singles
+        if not rows:
+            continue
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for u, v in rows:
+            union(u, v)
+        expected = {(x, find(x)) for x in parent}
+
+        got = {
+            (r["member_id"], r["cluster_id"])
+            for r in connected_components(
+                spark.createDataFrame(rows, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expected, (trial, sorted(rows))
