@@ -151,6 +151,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "embedding_contamination_check",
     "trend_seasonal_decompose",
+    "multitouch_attribution",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -635,3 +635,106 @@ def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# Attribution lookback window (minutes) for multitouch_attribution.
+ATTRIB_LOOKBACK_MIN = 60
+
+
+@register(
+    "multitouch_attribution",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), touches AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ), joined AS (
+            SELECT p.event_id, p.value, t.event_type AS touch_type,
+                   count(*) OVER (PARTITION BY p.event_id) AS n_touch
+            FROM purchases p
+            JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts < p.ts
+             AND t.ts >= p.ts - INTERVAL {ATTRIB_LOOKBACK_MIN} MINUTE
+        ), shares AS (
+            SELECT touch_type,
+                   round(p_value_micros / n_touch) AS share_micros
+            FROM (SELECT touch_type, n_touch,
+                         value * 1000000 AS p_value_micros
+                  FROM joined)
+        ), attributed AS (
+            SELECT touch_type,
+                   count(*)::BIGINT AS n_touches,
+                   round(sum(share_micros)::DOUBLE / 1000000.0, 4)
+                       AS attributed_revenue
+            FROM shares GROUP BY touch_type
+        ), direct AS (
+            SELECT 'direct' AS touch_type,
+                   count(*)::BIGINT AS n_touches,
+                   round(sum(value), 4) AS attributed_revenue
+            FROM purchases p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM touches t
+                WHERE t.user_id = p.user_id AND t.ts < p.ts
+                  AND t.ts >= p.ts - INTERVAL {ATTRIB_LOOKBACK_MIN} MINUTE)
+        )
+        SELECT * FROM attributed UNION ALL SELECT * FROM direct
+    """,
+    doc=f"""Linear multi-touch revenue attribution: each purchase's
+    value splits equally across the user's click/view touches in the
+    preceding {ATTRIB_LOOKBACK_MIN} minutes, summed per touch type —
+    with purchases that had no touches reported as 'direct' (the
+    completeness row single-touch attribution silently drops).  The
+    as-of family answers LAST-touch; this is the fractional-credit
+    complement.  Per-touch shares quantize to integer micros BEFORE
+    the per-type sum (HALF_UP both engines), so accumulation order
+    never flips a digit.  Scale shape: the touch join is the
+    range_join_ship_lag pattern — an equi-join on user_id with the
+    time-band predicate evaluated post-join (never a cartesian; at
+    100 TB both sides bucket by user) — the per-purchase touch count
+    is a purchase-keyed window on the join output, and 'direct' is an
+    anti-join of the same shape.""",
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    touches = events.where(
+        F.col("event_type").isin("click", "view")
+    ).select("user_id", F.col("ts").alias("tts"), F.col("event_type").alias("touch_type"))
+    band = (F.col("tts") < F.col("pts")) & (
+        F.col("tts") >= F.col("pts") - F.expr(f"INTERVAL {ATTRIB_LOOKBACK_MIN} MINUTE")
+    )
+    joined = purchases.join(touches, ["user_id"]).where(band)
+    w = W.partitionBy("event_id")
+    shares = joined.select(
+        "touch_type",
+        F.round(
+            (F.col("value") * 1_000_000) / F.count("*").over(w)
+        ).alias("share_micros"),
+    )
+    attributed = shares.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum("share_micros") / 1_000_000.0, 4).alias(
+            "attributed_revenue"
+        ),
+    )
+    touched_ids = joined.select("event_id").distinct()
+    direct = (
+        purchases.join(touched_ids, "event_id", "left_anti")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(F.sum("value"), 4).alias("attributed_revenue"),
+        )
+        .select(
+            F.lit("direct").alias("touch_type"),
+            "n_touches",
+            "attributed_revenue",
+        )
+    )
+    return attributed.unionByName(direct)

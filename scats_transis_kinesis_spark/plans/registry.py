@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage_curve",
     "embedding_contamination_check",
     "trend_seasonal_decompose",
+    "multitouch_attribution",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
