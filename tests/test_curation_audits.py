@@ -191,3 +191,33 @@ def test_fertility_at_least_one_token_per_word(spark):
     for r in token_fertility_by_lang(spark, SF_DIR).collect():
         assert r["fertility"] >= 1.0, r
         assert r["chars_per_token"] > 0, r
+
+
+# ------------------------------------------------- vectorized scorer
+
+
+def test_nearest_cross_vectorized_breaks_ties_on_smaller_id(spark):
+    """Two corpus vectors with IDENTICAL cosine to a query must resolve
+    to the smaller id — the round-then-rank contract the SQL oracle
+    uses.  The gate corpus never produces exact ties, so this pins the
+    in-batch lexsort and the cross-batch window tie-break directly."""
+    from scats_transis_kinesis_spark.operators.similarity import (
+        nearest_cross_vectorized,
+    )
+
+    v = [1.0, 2.0, 3.0]
+    corpus = spark.createDataFrame(
+        # ids deliberately out of order; 9 and 3 are identical vectors
+        # (cosine 1 to the query), 7 is orthogonal-ish.
+        [(9, v), (3, v), (7, [-3.0, 0.0, 1.0])],
+        "train_id long, v array<double>",
+    ).repartition(3)  # spread across batches to exercise the window
+    queries = spark.createDataFrame(
+        [(100, [2.0, 4.0, 6.0])], "eval_id long, v array<double>"
+    )
+    rows = nearest_cross_vectorized(corpus, queries).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["eval_id"] == 100
+    assert r["train_id"] == 3, "tie must resolve to the smaller corpus id"
+    assert r["cosine_sim"] == 1.0
