@@ -152,6 +152,8 @@ HEADLINE = [
     "embedding_contamination_check",
     "trend_seasonal_decompose",
     "multitouch_attribution",
+    "referential_integrity_audit",
+    "lang_id_confusion",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

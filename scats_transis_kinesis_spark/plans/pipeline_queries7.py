@@ -329,7 +329,7 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-source duplication, vocabulary coverage, embedding contamination.
 # ---------------------------------------------------------------------------
 
-from .extension_queries import _minhash_lsh_oracle  # noqa: E402
+from .extension_queries import _STOPLIST_SQL, _minhash_lsh_oracle  # noqa: E402
 from .extension_queries2 import EMBED_DUP_THRESHOLD  # noqa: E402
 
 # Vocabulary sizes priced by vocab_coverage_curve.
@@ -738,3 +738,129 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(direct)
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                   AS n_orphans
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders)::BIGINT,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT count(*) FROM customer)::BIGINT,
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+    """,
+    doc="""Referential-integrity audit across the fact spine: orphan
+    counts for the three FK edges (lineitem→orders, orders→customer,
+    customer→nation) — the cross-TABLE data-quality check
+    dq_constraint_audit's per-column rules cannot see, and the first
+    audit run after any ingest that can partially fail.  Each edge is
+    one left-anti join: parent keys broadcast where bounded
+    (nation, customer at their dimension scale); the lineitem→orders
+    edge shuffles both sides on the key at 100 TB — the unavoidable
+    full-scan DQ cost, paid as one pass per edge with only counts
+    surviving.""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    def edge(name, child, key, parent, pkey, broadcast_parent):
+        p = parent.select(F.col(pkey).alias(key)).distinct()
+        if broadcast_parent:
+            p = F.broadcast(p)
+        orphans = child.select(key).join(p, key, "left_anti")
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge(
+            "lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+            "o_orderkey", False,
+        )
+        .unionByName(
+            edge(
+                "orders.o_custkey->customer", orders, "o_custkey", cust,
+                "c_custkey", True,
+            )
+        )
+        .unionByName(
+            edge(
+                "customer.c_nationkey->nation", cust, "c_nationkey", nation,
+                "n_nationkey", True,
+            )
+        )
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH pred AS (
+            SELECT doc_id, lang AS true_lang,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                            / len(string_split(text, ' ')) > 0.05
+                        THEN 'en' ELSE 'und' END AS lang_guess
+            FROM documents
+        )
+        SELECT true_lang, lang_guess,
+               count(*)::BIGINT AS n_docs,
+               round(count(*)::DOUBLE / sum(count(*))
+                     OVER (PARTITION BY true_lang), 6) AS share_of_true
+        FROM pred GROUP BY true_lang, lang_guess
+    """,
+    doc="""Language-ID confusion matrix: the stopword-density detector
+    (text_lang_id) evaluated against the labeled corpus — per
+    (true_lang, predicted) cell counts and the within-true-language
+    share (row-normalized recall surface).  The evaluation query every
+    classifier in the curation pipeline needs: text_lang_id ships the
+    PREDICTIONS, this measures them — a detector regression (threshold
+    drift, stoplist change) shows up here as mass moving off the 'en'
+    diagonal cell while the prediction query itself stays green.  The
+    share window is PARTITIONED by true_lang (bounded groups); counting
+    is one |langs|·|guesses| aggregate.""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import lang_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = lang_id(docs).select("doc_id", "lang_guess")
+    labeled = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    counts = labeled.groupBy("true_lang", "lang_guess").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = W.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "share_of_true"
+        ),
+    )

@@ -111,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_contamination_check",
     "trend_seasonal_decompose",
     "multitouch_attribution",
+    "referential_integrity_audit",
+    "lang_id_confusion",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
