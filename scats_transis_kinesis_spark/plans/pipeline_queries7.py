@@ -864,3 +864,63 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_true"
         ),
     )
+
+
+# Cutoff for the ranking-evaluation query.
+PREC_AT_K = 100
+
+
+@register(
+    "quality_precision_at_k",
+    oracle=f"""
+        WITH scored AS (
+            SELECT d.lang,
+                   round(0.4 * least(len(string_split(d.text, ' ')) / 100.0,
+                                     1.0)
+                         + 0.3 * (len(list_filter(string_split(d.text, ' '),
+                                      t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                                  / len(string_split(d.text, ' ')))
+                         + 0.3 * (1 - length(regexp_replace(lower(d.text),
+                                      '[a-z0-9 ]', '', 'g'))::DOUBLE
+                                      / length(d.text)), 6) AS quality,
+                   d.doc_id
+            FROM documents d
+        ), top AS (
+            SELECT lang FROM scored
+            ORDER BY quality DESC, doc_id ASC LIMIT {PREC_AT_K}
+        )
+        SELECT {PREC_AT_K}::BIGINT AS k,
+               count(*)::BIGINT AS n_retrieved,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_positive,
+               round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS precision_at_k
+        FROM top
+    """,
+    doc=f"""Precision@{PREC_AT_K} of the quality ranking against the
+    'en' label — the ranking-evaluation companion to lang_id_confusion
+    (that measures a CLASSIFIER cell-by-cell; this measures whether a
+    SCORE orders the corpus usefully, the question a selection
+    threshold actually asks).  The top-{PREC_AT_K} cut is a global
+    (quality DESC, doc_id) order + limit — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k, then a {PREC_AT_K}-row
+    merge on one reducer; the bm25_topk scale path, never a full
+    sort) — followed by one scalar aggregate.""",
+)
+def quality_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    top = scored.orderBy(F.desc("quality"), F.asc("doc_id")).limit(PREC_AT_K)
+    pos = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    return top.agg(
+        F.lit(PREC_AT_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_retrieved"),
+        pos.cast("long").alias("n_positive"),
+        F.round(pos.cast("double") / F.count("*"), 6).alias(
+            "precision_at_k"
+        ),
+    )

@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "multitouch_attribution",
     "referential_integrity_audit",
     "lang_id_confusion",
+    "quality_precision_at_k",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
