@@ -155,6 +155,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "lang_id_confusion",
     "quality_precision_at_k",
+    "quality_auc_en",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -924,3 +924,129 @@ def quality_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_at_k"
         ),
     )
+
+
+# Range-bucket fan-out for the hierarchical rank-sum (quality scores
+# live in [0, 1]; 32 equi-width buckets keep every window partitioned).
+AUC_BUCKETS = 32
+
+
+@register(
+    "quality_auc_en",
+    oracle=f"""
+        WITH scored AS (
+            SELECT round(0.4 * least(len(string_split(text, ' ')) / 100.0,
+                                     1.0)
+                         + 0.3 * (len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                                  / len(string_split(text, ' ')))
+                         + 0.3 * (1 - length(regexp_replace(lower(text),
+                                      '[a-z0-9 ]', '', 'g'))::DOUBLE
+                                      / length(text)), 6) AS quality,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents
+        ), g AS (
+            SELECT quality, count(*)::BIGINT AS n,
+                   sum(pos)::BIGINT AS n_pos
+            FROM scored GROUP BY quality
+        ), ranked AS (
+            SELECT quality, n, n_pos,
+                   coalesce(sum(n) OVER (ORDER BY quality
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_less
+            FROM g
+        ), tot AS (
+            SELECT sum(n_pos) AS np, sum(n) - sum(n_pos) AS nn FROM g
+        )
+        SELECT tot.np::BIGINT AS n_positive,
+               tot.nn::BIGINT AS n_negative,
+               round((sum(ranked.n_pos * (ranked.cum_less
+                                          + (ranked.n + 1) / 2.0))
+                      - tot.np * (tot.np + 1) / 2.0)
+                     / (tot.np * tot.nn), 6) AS auc
+        FROM ranked CROSS JOIN tot
+        GROUP BY tot.np, tot.nn
+    """,
+    doc=f"""Tie-corrected AUC (Mann-Whitney rank-sum with midranks) of
+    the quality score against the 'en' label — the threshold-free
+    ranking metric completing the evaluation family
+    (lang_id_confusion = classifier cells, quality_precision_at_k =
+    one cutoff, this = every cutoff at once).  The rank-sum needs a
+    GLOBAL cumulative count over score order — computed hierarchically
+    (the skyline/pack pattern): scores collapse to distinct-value
+    groups first (bounded at ≤1e6+1 rows by the round-6 grid, no
+    matter the corpus size), groups range-bucket by value into
+    {AUC_BUCKETS} equi-width buckets, the within-bucket exclusive
+    prefix runs in a bucket-PARTITIONED window, and only
+    {AUC_BUCKETS} per-bucket totals collect to become broadcast
+    offsets — never an unpartitioned window, never a data collect.
+    Midranks are half-integers and counts are ints, so every sum is
+    exact in double: no accumulation-order hazard anywhere.""",
+)
+def quality_auc_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_score(docs).select("doc_id", "quality").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    g = scored.groupBy("quality").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    bucket = F.least(
+        F.floor(F.col("quality") * AUC_BUCKETS).cast("long"),
+        F.lit(AUC_BUCKETS - 1),
+    )
+    g = g.withColumn("_b", bucket)
+    per_bucket = {
+        int(r["_b"]): int(r["s"])
+        for r in g.groupBy("_b").agg(F.sum("n").alias("s")).collect()
+    }
+    running, offsets = 0, []
+    for b in sorted(per_bucket):
+        offsets.append((b, running))
+        running += per_bucket[b]
+    off = spark.createDataFrame(offsets, "_b long, _off long")
+    w = (
+        W.partitionBy("_b")
+        .orderBy("quality")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = (
+        g.join(F.broadcast(off), "_b")
+        .withColumn(
+            "cum_less",
+            F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("_off"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("nn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.col("n_pos")
+                        * (F.col("cum_less") + (F.col("n") + 1) / 2.0)
+                    )
+                    - F.col("np") * (F.col("np") + 1) / 2.0
+                )
+                / (F.col("np") * F.col("nn")),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            F.col("np").alias("n_positive"),
+            F.col("nn").alias("n_negative"),
+            "auc",
+        )
+    )

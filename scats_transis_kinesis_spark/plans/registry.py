@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "referential_integrity_audit",
     "lang_id_confusion",
     "quality_precision_at_k",
+    "quality_auc_en",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -308,6 +308,7 @@ BNL_ALLOWED = {
     "near_dup_agreement_audit",       # three 1-row count aggregates
     "benford_digit_audit",            # 1-row grand-total broadcast
     "revenue_concentration_gini",     # num_buckets scalar rank offsets
+    "quality_auc_en",                 # 1-row rank-sum totals broadcast
     "sketch_mergeability_audit",      # 1-row exact-stats aggregate
     "theta_overlap_audit",            # 1-row exact-overlap aggregates
     "dsir_importance_weights",        # 1-row corpus/target token totals
