@@ -115,6 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "quality_precision_at_k",
     "quality_auc_en",
+    "chi2_lang_source_independence",
+    "quality_gains_by_band",
+    "jackknife_ci_order_total",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -180,3 +183,4 @@ from . import pipeline_queries4  # noqa: E402,F401
 from . import pipeline_queries5  # noqa: E402,F401
 from . import pipeline_queries6  # noqa: E402,F401
 from . import pipeline_queries7  # noqa: E402,F401
+from . import pipeline_queries8  # noqa: E402,F401

@@ -314,6 +314,10 @@ BNL_ALLOWED = {
     "dsir_importance_weights",        # 1-row corpus/target token totals
     "embedding_anisotropy_audit",     # 1-row global-centroid broadcast
     "vocab_coverage_curve",           # 1-row (total, n_types) aggregate
+    "referential_integrity_audit",    # 1-row n_child × 1-row n_orphans per edge
+    "chi2_lang_source_independence",  # 1-row (n, r, c) totals broadcast
+    "quality_gains_by_band",          # 1-row (nt, pt) totals broadcast
+    "jackknife_ci_order_total",       # ≤32-row block frame × 1-row totals
 }
 
 
