@@ -156,6 +156,9 @@ HEADLINE = [
     "lang_id_confusion",
     "quality_precision_at_k",
     "quality_auc_en",
+    "chi2_lang_source_independence",
+    "quality_gains_by_band",
+    "jackknife_ci_order_total",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -124,13 +124,20 @@ def correlate_streams(
     right_ts: str = "ts",
     within: str = "15 minutes",
     watermark: str = WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right events within
-    ``within`` AFTER the left event, per key.  Both sides carry
-    watermarks so the join state is bounded — a buffered left row can be
-    evicted once the right watermark passes left_ts + within
-    (the SCATS shape: correlate a detector alarm stream with the
-    detector count stream around the alarm)."""
+    """Watermarked stream-stream join: right events within ``within``
+    AFTER the left event, per key.  Both sides carry watermarks so the
+    join state is bounded — a buffered left row can be evicted once the
+    right watermark passes left_ts + within (the SCATS shape: correlate
+    a detector alarm stream with the detector count stream around the
+    alarm).
+
+    ``how="left_outer"`` keeps unmatched left events: Spark emits the
+    null-padded row only once the watermark has passed the row's entire
+    match window (left_ts + within + delay) — i.e. when no future right
+    event could still match — so "alarm with NO counts around it" is
+    itself a detectable, bounded-latency output, not silence."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
@@ -139,6 +146,7 @@ def correlate_streams(
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {within}")),
+        how,
     )
 
 

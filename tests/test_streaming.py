@@ -514,6 +514,77 @@ def test_stream_stream_join_within_window(spark):
         assert got == {1, 3}  # u2's purchase was 40 min later -> excluded
 
 
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark):
+    # Left-outer stream-stream join: a click with no purchase inside its
+    # 15-minute window must surface as a null-padded row — but only
+    # AFTER the watermark closes the row's match window (no future
+    # purchase could still match).  Batch 1 carries the matched pair and
+    # the orphan; batch 2 advances both event-time watermarks far past
+    # the orphan's window; batch 3 is the filler that lets the post-batch
+    # watermark take effect (watermark lags one batch).
+    from scats_transis_kinesis_spark.streaming.pipeline import correlate_streams
+
+    with tempfile.TemporaryDirectory() as d:
+        clicks_p, purch_p = os.path.join(d, "clicks"), os.path.join(d, "purchases")
+
+        def emit(path, rows, batch):
+            sub = os.path.join(path, f"b{batch}")
+            spark.createDataFrame(rows, "user_id long, t string").select(
+                "user_id", F.col("t").cast("timestamp").alias("ts")
+            ).coalesce(1).write.parquet(sub)
+            stamp = 1_700_000_000 + batch * 60
+            for root, _, files in os.walk(sub):
+                for f in files:
+                    os.utime(os.path.join(root, f), (stamp, stamp))
+
+        emit(clicks_p, [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")], 1)
+        emit(purch_p, [(1, "2024-01-01 00:10:00")], 1)
+
+        cs = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(clicks_p, "*"))
+        )
+        ps = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(purch_p, "*"))
+        )
+        joined = correlate_streams(cs, ps, within="15 minutes", how="left_outer").select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("r.ts").alias("purchase_ts"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_louter_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = {
+                (r["user_id"], r["purchase_ts"] is not None)
+                for r in spark.sql("SELECT * FROM ss_louter_out").collect()
+            }
+            # The orphan must NOT have been emitted yet: its window is
+            # still open (a purchase could arrive).
+            assert first == {(1, True)}, first
+
+            for batch in (2, 3):
+                emit(clicks_p, [(9, "2024-01-01 02:00:00")], batch)
+                emit(purch_p, [(9, "2024-01-01 02:00:00")], batch)
+                q.processAllAvailable()
+            got = {
+                (r["user_id"], r["purchase_ts"] is not None)
+                for r in spark.sql("SELECT * FROM ss_louter_out").collect()
+            }
+        finally:
+            q.stop()
+        assert (2, False) in got, got  # the orphan, null-padded
+        assert (1, True) in got and (9, True) in got
+
+
 def test_kinesis_sink_batch_replay_is_idempotent(spark):
     # A replayed micro-batch (same batch_id after crash-restart between
     # sink write and checkpoint commit) must not double-send when the
