@@ -159,6 +159,11 @@ HEADLINE = [
     "chi2_lang_source_independence",
     "quality_gains_by_band",
     "jackknife_ci_order_total",
+    "acf_hourly_traffic",
+    "ks_drift_orders",
+    "cusum_changepoint_daily",
+    "robust_outliers_mad",
+    "link_prediction_scores",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

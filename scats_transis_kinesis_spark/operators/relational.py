@@ -448,3 +448,63 @@ def skyline_2d(
         F.col("_earlier_max").isNull()
         | (F.col("_earlier_max") <= F.col(value_col))
     ).drop("_earlier_max", "_prev_bucket_max")
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    bucket_col: str,
+    order_by: list,
+    sums: dict[str, str],
+    row_index: str | None = None,
+) -> DataFrame:
+    """Exact global running totals over ``order_by`` (and optionally the
+    global row index) WITHOUT an unpartitioned window — the cumulative-
+    sum sibling of :func:`hierarchical_row_number`, shared by the CDF /
+    CUSUM family.
+
+    Caller contract: ``bucket_col`` holds integer bucket ids whose
+    numeric order agrees with the global ``order_by`` order across
+    buckets (range bucketing — e.g. ``year(day)`` for a date ordering,
+    or an equi-width split of the order column).  The running sum runs
+    PER BUCKET (bounded, partitioned window); only the per-bucket
+    totals — |buckets| scalars per summed column — reach the driver to
+    become cumulative offsets that broadcast-join back.  Every
+    cluster-side stage stays partitioned, same as a 1000-executor
+    prefix-scan would run it.
+
+    ``sums`` maps source column -> output running-total column; sources
+    must be integral (the offsets ride a ``long`` frame so the
+    cross-engine totals stay exact integer math).
+    """
+    srcs = list(sums)
+    aggs = [F.count("*").alias("_bps_n")] + [
+        F.sum(s).cast("long").alias(f"_bps_{i}") for i, s in enumerate(srcs)
+    ]
+    per_bucket = sorted(
+        (int(r[bucket_col]), r) for r in df.groupBy(bucket_col).agg(*aggs).collect()
+    )
+    run_n, run = 0, [0] * len(srcs)
+    offsets = []
+    for b, r in per_bucket:
+        offsets.append((b, run_n, *run))
+        run_n += int(r["_bps_n"])
+        run = [run[i] + int(r[f"_bps_{i}"]) for i in range(len(srcs))]
+    schema = f"{bucket_col} long, _bps_off_n long" + "".join(
+        f", _bps_off_{i} long" for i in range(len(srcs))
+    )
+    off = df.sparkSession.createDataFrame(offsets, schema)
+    w = W.partitionBy(bucket_col).orderBy(*order_by)
+    out = df.withColumn(bucket_col, F.col(bucket_col).cast("long")).join(
+        F.broadcast(off), bucket_col
+    )
+    for i, s in enumerate(srcs):
+        out = out.withColumn(
+            sums[s],
+            (F.sum(s).over(w) + F.col(f"_bps_off_{i}")).cast("long"),
+        )
+    if row_index is not None:
+        out = out.withColumn(
+            row_index,
+            (F.row_number().over(w) + F.col("_bps_off_n")).cast("long"),
+        )
+    return out.drop("_bps_off_n", *[f"_bps_off_{i}" for i in range(len(srcs))])

@@ -1,0 +1,505 @@
+"""Round-5 late additions: time-series diagnostics, exact distribution
+drift, robust outlier statistics, and graph link prediction.
+
+- ``acf_hourly_traffic`` — the autocorrelation function of hourly event
+  volume at lags 1..12: the periodicity diagnostic read before choosing
+  seasonal windows (``seasonality_dow_hour``) or alerting baselines
+  (``anomaly_zscore_hours``).
+- ``ks_drift_orders`` — the EXACT two-sample Kolmogorov–Smirnov
+  statistic between early/late order-total distributions.  Complements
+  ``column_drift_audit``: PSI sees binned share shifts, KS is the
+  sup-norm CDF distance at every distinct value, computed with a
+  hierarchical (bucketed) prefix sum instead of a global window.
+- ``cusum_changepoint_daily`` — CUSUM changepoint location over daily
+  revenue: the argmax of |cumulative deviation from the global mean|,
+  the standard single-changepoint screen run before trusting a trend.
+- ``robust_outliers_mad`` — per-nation median/MAD robust z-scores and
+  outlier rates: the heavy-tail-safe alternative to the z-score audits
+  (a single whale order cannot drag the threshold the way it drags a
+  mean/stddev fence).
+- ``link_prediction_scores`` — common-neighbor / Jaccard / Adamic–Adar
+  scores for non-adjacent vertex pairs of the 1995 co-purchase graph:
+  the classical link-prediction feature set (Liben-Nowell & Kleinberg),
+  i.e. "which two parts are never bought together yet share the most
+  co-purchase neighbors".
+
+Scale discipline, as everywhere in the registry: no unpartitioned
+window (global CDFs/prefix sums use ``bucketed_prefix_sums`` — local
+windows per range bucket plus |buckets| driver scalars broadcast back);
+every ``.collect()`` is a bounded summary (bucket totals, 1-row
+min/max); every crossJoin is a broadcast of a 1-row aggregate; FP sums
+cross engines as integer micros/cents (round BEFORE the sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import bucketed_prefix_sums
+from ..sources.loaders import load_table
+from .pipeline_queries5 import _COPURCHASE_EDGE_CTES, _copurchase_edges
+from .registry import register
+
+# ACF report depth: hourly traffic is dominated by the diurnal cycle,
+# so a half-day of lags shows the decay AND the first harmonic.
+ACF_MAX_LAG = 12
+
+# KS split point: orders strictly before the cutover are the reference
+# sample, the rest the current sample (mirrors column_drift_audit).
+KS_CUTOVER = "1998-01-01"
+
+# Range-bucket count for hierarchical prefix sums (|buckets| scalars
+# per summed column reach the driver — 32 keeps that trivially small
+# while bounding the per-bucket window partitions).
+KS_BUCKETS = 32
+
+# Robust-outlier fence: |x - median| > OUT_K * MAD_CONSISTENCY * MAD,
+# the standard "3 sigma" fence with the normal-consistency constant.
+OUT_K = 3
+MAD_CONSISTENCY = 1.4826
+
+LINK_TOPK = 20
+
+
+@register(
+    "acf_hourly_traffic",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+            FROM events GROUP BY date_trunc('hour', ts)
+        ), pairs AS (
+            SELECT l.lag, a.c AS c_prev, b.c AS c_now
+            FROM hourly a
+                 CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG}))
+                             AS lag) l,
+                 hourly b
+            WHERE b.h = a.h + to_hours(l.lag)
+        )
+        SELECT lag, count(*)::BIGINT AS n_pairs,
+               round(corr(c_prev, c_now), 6) AS acf
+        FROM pairs GROUP BY lag
+    """,
+    doc=f"""Sample autocorrelation of hourly event volume at lags
+    1..{ACF_MAX_LAG} (Pearson correlation of the (count_t, count_t+lag)
+    pairs — the lag-pairs ACF estimator, well-defined under calendar
+    gaps).  Scale shape: one hourly pre-aggregation collapses the event
+    volume to |hours| rows (time is bounded, so this frame stays small
+    at any data scale), then a {ACF_MAX_LAG}-way lag explode and a
+    self-equi-join on the shifted hour — broadcast-sized both sides —
+    and a {ACF_MAX_LAG}-group corr.  The raw events are touched exactly
+    once.""",
+)
+def acf_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    shifted = hourly.select(
+        "h",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    ).select(
+        F.timestamp_add("HOUR", F.col("lag"), F.col("h")).alias("h2"),
+        F.col("lag").cast("long").alias("lag"),
+        F.col("c").alias("c_prev"),
+    )
+    now = hourly.select(F.col("h").alias("h2"), F.col("c").alias("c_now"))
+    return (
+        shifted.join(now, "h2")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("c_prev", "c_now"), 6).alias("acf"),
+        )
+    )
+
+
+@register(
+    "ks_drift_orders",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS val,
+                   CASE WHEN o_orderdate < DATE '{KS_CUTOVER}'
+                        THEN 1 ELSE 0 END AS isref
+            FROM orders
+        ), g AS (
+            SELECT val, sum(isref)::BIGINT AS rc,
+                   sum(1 - isref)::BIGINT AS cc
+            FROM v GROUP BY val
+        ), t AS (
+            SELECT sum(rc)::BIGINT AS rn, sum(cc)::BIGINT AS cn FROM g
+        ), c AS (
+            SELECT val,
+                   sum(rc) OVER (ORDER BY val)::BIGINT AS cr,
+                   sum(cc) OVER (ORDER BY val)::BIGINT AS ccum
+            FROM g
+        ), s AS (
+            SELECT val, abs(t.cn * cr - t.rn * ccum)::BIGINT AS d
+            FROM c CROSS JOIN t
+        ), m AS (SELECT max(d) AS md FROM s),
+        pick AS (SELECT min(val) AS at_val FROM s, m WHERE s.d = m.md)
+        SELECT t.rn AS n_ref, t.cn AS n_cur,
+               round(m.md / (t.rn::DOUBLE * t.cn), 6) AS ks_stat,
+               round(pick.at_val / 100.0, 2) AS ks_at_total
+        FROM t CROSS JOIN m CROSS JOIN pick
+    """,
+    doc=f"""Exact two-sample Kolmogorov–Smirnov statistic between the
+    pre-{KS_CUTOVER} and post-{KS_CUTOVER} order-total distributions —
+    the sup-norm CDF distance evaluated at EVERY distinct value, not a
+    binned approximation.  The global CDFs are hierarchical: distinct
+    values are range-bucketed ({KS_BUCKETS} equi-width buckets from a
+    1-row min/max aggregate), cumulative counts run per bucket
+    (partitioned windows), and only the {KS_BUCKETS}×2 per-bucket
+    totals reach the driver as broadcast offsets — the same prefix-scan
+    a 1000-executor cluster runs, never a single-partition window.  The
+    D statistic stays exact integer math (|cn·cumref − rn·cumcur|)
+    until the final division; argmax ties resolve to the smallest
+    value.  Integer bound: n_ref·n_cur must fit int64 — fine to ~3e9
+    rows per side, beyond which the counts would carry per-bucket
+    scaling.""",
+)
+def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val"),
+        F.when(
+            F.col("o_orderdate") < F.lit(KS_CUTOVER).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("isref"),
+    )
+    g = v.groupBy("val").agg(
+        F.sum("isref").cast("long").alias("rc"),
+        F.sum(1 - F.col("isref")).cast("long").alias("cc"),
+    )
+    lo, hi = g.agg(F.min("val"), F.max("val")).first()
+    if hi == lo:
+        bucket = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / KS_BUCKETS
+        bucket = F.least(
+            F.greatest(
+                F.floor((F.col("val") - float(lo)) / width), F.lit(0)
+            ),
+            F.lit(KS_BUCKETS - 1),
+        )
+    pre = bucketed_prefix_sums(
+        g.withColumn("_vb", bucket.cast("long")),
+        "_vb",
+        [F.col("val")],
+        {"rc": "cr", "cc": "ccum"},
+    )
+    tot = pre.agg(
+        F.max("cr").alias("rn"), F.max("ccum").alias("cn")
+    )
+    s = pre.crossJoin(F.broadcast(tot)).select(
+        "val",
+        "rn",
+        "cn",
+        F.abs(F.col("cn") * F.col("cr") - F.col("rn") * F.col("ccum"))
+        .cast("long")
+        .alias("d"),
+    )
+    m = s.agg(F.max("d").alias("md"))
+    pick = (
+        s.join(F.broadcast(m), s.d == F.col("md"))
+        .agg(F.min("val").alias("at_val"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(pick))
+        .select(
+            F.col("rn").alias("n_ref"),
+            F.col("cn").alias("n_cur"),
+            F.round(
+                F.col("md") / (F.col("rn").cast("double") * F.col("cn")), 6
+            ).alias("ks_stat"),
+            F.round(F.col("at_val") / 100.0, 2).alias("ks_at_total"),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS cents
+            FROM orders GROUP BY o_orderdate
+        ), tot AS (
+            SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS t FROM daily
+        ), pre AS (
+            SELECT d,
+                   row_number() OVER (ORDER BY d) AS i,
+                   sum(cents) OVER (ORDER BY d)::BIGINT AS cum
+            FROM daily
+        ), sc AS (
+            SELECT d, i, cum, abs(tot.n * cum - i * tot.t)::BIGINT AS s_abs
+            FROM pre CROSS JOIN tot
+        ), mx AS (SELECT max(s_abs) AS m FROM sc),
+        pick AS (SELECT min(d) AS cd FROM sc, mx WHERE sc.s_abs = mx.m),
+        r AS (SELECT sc.* FROM sc JOIN pick ON sc.d = pick.cd)
+        SELECT tot.n AS n_days, r.d AS change_day,
+               round(r.s_abs / (tot.n * 100.0), 6) AS cusum_dollars,
+               round(r.cum / (r.i * 100.0), 6) AS mean_before,
+               round((tot.t - r.cum) / ((tot.n - r.i) * 100.0), 6)
+                   AS mean_after
+        FROM r CROSS JOIN tot
+    """,
+    doc="""CUSUM single-changepoint screen over daily revenue: the day
+    maximizing |cumulative deviation from the global mean| (Page's
+    cumulative-sum statistic; ties resolve to the earliest day), with
+    the pre/post means that describe the level shift.  The cumulative
+    sum S_t is carried SCALED — n·cum_t − t·total, a pure-integer form
+    of n·(cum_t − t·mean) — so the argmax is exact integer math across
+    engines (bound: n_days·total_cents within int64, comfortable past
+    petabyte revenue).  Scale shape: one daily pre-aggregation (time is
+    bounded, so |days| is small forever), a year-bucketed hierarchical
+    prefix sum (partitioned windows + |years| broadcast offsets — never
+    a single-partition window), and three 1-row broadcast combines for
+    max / argmax / report.""",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    pre = bucketed_prefix_sums(
+        daily.withColumn("_yb", F.year("d").cast("long")),
+        "_yb",
+        [F.col("d")],
+        {"cents": "cum"},
+        row_index="i",
+    )
+    tot = pre.agg(F.max("i").alias("n"), F.max("cum").alias("t"))
+    sc = pre.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "i",
+        "cum",
+        "n",
+        "t",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("t"))
+        .cast("long")
+        .alias("s_abs"),
+    )
+    mx = sc.agg(F.max("s_abs").alias("m"))
+    pick = (
+        sc.join(F.broadcast(mx), sc.s_abs == F.col("m"))
+        .agg(F.min("d").alias("cd"))
+    )
+    r = sc.join(F.broadcast(pick), sc.d == F.col("cd"))
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("change_day"),
+        F.round(F.col("s_abs") / (F.col("n") * 100.0), 6).alias(
+            "cusum_dollars"
+        ),
+        F.round(F.col("cum") / (F.col("i") * 100.0), 6).alias("mean_before"),
+        F.round(
+            (F.col("t") - F.col("cum"))
+            / ((F.col("n") - F.col("i")) * 100.0),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle=f"""
+        WITH f AS (
+            SELECT n.n_name AS nation,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), med AS (
+            SELECT nation, count(*)::BIGINT AS n_orders,
+                   quantile_cont(v, 0.5) AS med
+            FROM f GROUP BY nation
+        ), dev AS (
+            SELECT f.nation, med.n_orders, med.med, abs(f.v - med.med) AS d
+            FROM f JOIN med USING (nation)
+        ), mad AS (
+            SELECT nation, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY nation
+        )
+        SELECT dev.nation, max(dev.n_orders) AS n_orders,
+               round(max(dev.med) / 100.0, 4) AS median_total,
+               round(max(mad.mad) / 100.0, 4) AS mad_total,
+               sum(CASE WHEN dev.d > {OUT_K} * {MAD_CONSISTENCY} * mad.mad
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+               round(sum(CASE WHEN dev.d > {OUT_K} * {MAD_CONSISTENCY}
+                                          * mad.mad
+                             THEN 1 ELSE 0 END)
+                     / max(dev.n_orders)::DOUBLE, 6) AS outlier_rate
+        FROM dev JOIN mad USING (nation)
+        GROUP BY dev.nation
+    """,
+    doc=f"""Per-nation robust outlier audit on order totals: median,
+    MAD (median absolute deviation), and the share of orders outside
+    the |x − median| > {OUT_K}·{MAD_CONSISTENCY}·MAD fence — the
+    heavy-tail-safe replacement for mean/stddev fences (a single whale
+    order moves a z-score fence but not this one; breakdown point 50%).
+    Values ride as integer cents; the exact grouped medians are the
+    ``percentile`` ≡ ``quantile_cont`` parity pinned since round 4.
+    Scale shape: MAD is inherently two-pass — two grouped exact
+    percentiles over the |nations|-keyed frame plus broadcast join-backs
+    of the 25-row median/MAD frames, then one counting pass; at 100 TB
+    the two exact percentile passes would swap for the KLL sketch
+    family (``grouped_percentiles_approx``) with identical plumbing.""",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    f = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    med = f.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("percentile(v, 0.5)").alias("med"),
+    )
+    dev = f.join(F.broadcast(med), "nation").select(
+        "nation",
+        "n_orders",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("nation").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    fence = F.lit(float(OUT_K)) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.round(F.max("med") / 100.0, 4).alias("median_total"),
+            F.round(F.max("mad") / 100.0, 4).alias("mad_total"),
+            F.sum(F.when(F.col("d") > fence, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.sum(F.when(F.col("d") > fence, 1).otherwise(0))
+                / F.max("n_orders").cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+@register(
+    "link_prediction_scores",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES}, deg AS (
+            SELECT x AS vertex, count(*)::BIGINT AS d
+            FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY x
+        ), adj AS (
+            SELECT u AS w, v AS n FROM edges
+            UNION ALL
+            SELECT v AS w, u AS n FROM edges
+        ), wed AS (
+            SELECT a.n AS u, b.n AS v, a.w AS w
+            FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+        ), cn AS (
+            SELECT u, v, count(*)::BIGINT AS common_n,
+                   sum(round(1e6 / ln(dw.d)))::BIGINT AS aa_micros
+            FROM wed JOIN deg dw ON wed.w = dw.vertex
+            GROUP BY u, v
+        ), ne AS (
+            SELECT cn.* FROM cn
+            LEFT JOIN edges e ON cn.u = e.u AND cn.v = e.v
+            WHERE e.u IS NULL
+        )
+        SELECT ne.u, ne.v, ne.common_n, ne.aa_micros,
+               round(ne.common_n::DOUBLE
+                     / (du.d + dv.d - ne.common_n), 6) AS jaccard
+        FROM ne
+        JOIN deg du ON ne.u = du.vertex
+        JOIN deg dv ON ne.v = dv.vertex
+        ORDER BY ne.common_n DESC, ne.aa_micros DESC, ne.u, ne.v
+        LIMIT {LINK_TOPK}
+    """,
+    doc=f"""Link prediction over the 1995 co-purchase graph: the top
+    {LINK_TOPK} NON-adjacent part pairs by common co-purchase
+    neighbors, with the classical score family (Liben-Nowell &
+    Kleinberg '03): common-neighbor count, Jaccard of neighborhoods,
+    and Adamic–Adar (Σ 1/ln deg(w), per-wedge terms rounded to integer
+    micros BEFORE the sum — wedge centers have degree ≥ 2, so ln is
+    never zero).  Scale shape: wedges come from one adjacency self-
+    equi-join on the center vertex (the output IS the wedge set, so
+    Σ deg(w)² is inherent to the exact scores; at 100 TB a power-law
+    graph caps hub centers first — the LSH-style candidate cap the
+    dedup family already applies), partial-aggregated into (u,v)
+    scores, anti-joined against the edge list to keep non-edges, and
+    top-k'd via TakeOrderedAndProject.  No cartesian anywhere; every
+    join is an equi-join.""",
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("vertex"))
+        .unionAll(edges.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    adj = edges.select(
+        F.col("u").alias("w"), F.col("v").alias("n")
+    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    a, b = adj.alias("a"), adj.alias("b")
+    wed = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
+    ).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.w").alias("w")
+    )
+    cn = (
+        wed.join(deg.withColumnRenamed("vertex", "w"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_n"),
+            F.sum(F.round(F.lit(1e6) / F.log(F.col("d"))))
+            .cast("long")
+            .alias("aa_micros"),
+        )
+    )
+    ne = cn.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("vertex").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("vertex").alias("v"), F.col("d").alias("dv"))
+    return (
+        ne.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_n",
+            "aa_micros",
+            F.round(
+                F.col("common_n").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_n")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("common_n").desc(),
+            F.col("aa_micros").desc(),
+            "u",
+            "v",
+        )
+        .limit(LINK_TOPK)
+    )

@@ -118,6 +118,13 @@ _PRIORITY: tuple[str, ...] = (
     "chi2_lang_source_independence",
     "quality_gains_by_band",
     "jackknife_ci_order_total",
+    # --- round-5 late additions, past the 50-query window: these lead
+    # the ROUND-6 rotation (local-gate green this round) ---
+    "acf_hourly_traffic",
+    "ks_drift_orders",
+    "cusum_changepoint_daily",
+    "robust_outliers_mad",
+    "link_prediction_scores",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -184,3 +191,4 @@ from . import pipeline_queries5  # noqa: E402,F401
 from . import pipeline_queries6  # noqa: E402,F401
 from . import pipeline_queries7  # noqa: E402,F401
 from . import pipeline_queries8  # noqa: E402,F401
+from . import pipeline_queries9  # noqa: E402,F401

@@ -441,3 +441,32 @@ def test_hierarchical_row_number_matches_global_sort(spark):
         for i, (rid, _) in enumerate(sorted(rows, key=lambda x: (x[1], x[0])))
     }
     assert got == expected
+
+
+def test_bucketed_prefix_sums_matches_global_scan(spark):
+    """Running totals + row index from the bucketed prefix scan must
+    equal a straight single-threaded scan in global order, on seeded
+    random data with uneven bucket sizes (including an empty bucket
+    range and a hot bucket)."""
+    import random
+
+    from scats_transis_kinesis_spark.operators.relational import (
+        bucketed_prefix_sums,
+    )
+
+    rng = random.Random(13)
+    # Keys cluster: bucket 3 hot, bucket 1 empty (key range skipped).
+    keys = [rng.choice([0, 2, 3, 3, 3, 4]) * 100 + rng.randrange(100) for _ in range(400)]
+    keys = sorted(set(keys))  # distinct order keys, like a CDF frame
+    rows = [(k, rng.randrange(1, 50), rng.randrange(1, 9)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, a long, b long").withColumn(
+        "bkt", (F.col("k") / 100).cast("long")
+    )
+    out = bucketed_prefix_sums(
+        df, "bkt", [F.col("k")], {"a": "cum_a", "b": "cum_b"}, row_index="i"
+    ).collect()
+    got = {r["k"]: (r["i"], r["cum_a"], r["cum_b"]) for r in out}
+    ca = cb = 0
+    for i, (k, a, b) in enumerate(sorted(rows), start=1):
+        ca, cb = ca + a, cb + b
+        assert got[k] == (i, ca, cb), k

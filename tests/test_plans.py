@@ -318,6 +318,8 @@ BNL_ALLOWED = {
     "chi2_lang_source_independence",  # 1-row (n, r, c) totals broadcast
     "quality_gains_by_band",          # 1-row (nt, pt) totals broadcast
     "jackknife_ci_order_total",       # ≤32-row block frame × 1-row totals
+    "ks_drift_orders",                # 1-row totals/max/argmax broadcasts
+    "cusum_changepoint_daily",        # 1-row totals/max broadcasts
 }
 
 
