@@ -164,6 +164,8 @@ HEADLINE = [
     "cusum_changepoint_daily",
     "robust_outliers_mad",
     "link_prediction_scores",
+    "zipf_law_fit",
+    "heaps_law_fit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

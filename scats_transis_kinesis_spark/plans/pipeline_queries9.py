@@ -503,3 +503,152 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(LINK_TOPK)
     )
+
+
+# Zipf/Heaps fits: the two classical corpus-scaling laws, fitted by
+# least squares in log-log space (regr_slope/intercept/r2 — the regr_*
+# cross-engine parity pinned since the TPC-H spine).
+ZIPF_BUCKETS = 32
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, count(*)::BIGINT AS f FROM tok GROUP BY term
+        ), r AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rnk
+            FROM tf
+        )
+        SELECT count(*)::BIGINT AS n_types, sum(f)::BIGINT AS n_tokens,
+               round(regr_slope(ln(f), ln(rnk)), 6) AS zipf_slope,
+               round(regr_intercept(ln(f), ln(rnk)), 6) AS zipf_intercept,
+               round(regr_r2(ln(f), ln(rnk)), 6) AS r2
+        FROM r
+    """,
+    doc="""Zipf's-law fit over the corpus unigram distribution: the
+    log-log least-squares slope of frequency against frequency rank
+    (healthy natural-language corpora sit near −1; templated or
+    synthetic text bends the curve — a standard corpus-health audit
+    next to the entropy/repetition filters).  The global frequency
+    rank uses ``hierarchical_row_number`` (rank per frequency bucket +
+    broadcast offsets — never an unpartitioned window); the fit is one
+    ``regr_*`` aggregate over the |vocabulary| frame.  Raw tokens are
+    touched once.""",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import hierarchical_row_number
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = hierarchical_row_number(
+        tf,
+        (-F.col("f")).cast("double"),
+        tiebreak="term",
+        out="rnk",
+        num_buckets=ZIPF_BUCKETS,
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*)::BIGINT AS nt FROM tok GROUP BY doc_id
+        ), fo AS (
+            SELECT term, min(doc_id) AS fd FROM tok GROUP BY term
+        ), nu AS (
+            SELECT fd AS doc_id, count(*)::BIGINT AS nw FROM fo GROUP BY fd
+        ), d AS (
+            SELECT dl.doc_id, dl.nt, coalesce(nu.nw, 0)::BIGINT AS nw
+            FROM dl LEFT JOIN nu USING (doc_id)
+        ), c AS (
+            SELECT doc_id,
+                   sum(nt) OVER (ORDER BY doc_id)::BIGINT AS ct,
+                   sum(nw) OVER (ORDER BY doc_id)::BIGINT AS cv
+            FROM d
+        )
+        SELECT count(*)::BIGINT AS n_docs, max(ct) AS n_tokens,
+               max(cv) AS n_types,
+               round(regr_slope(ln(cv), ln(ct)), 6) AS heaps_beta,
+               round(regr_intercept(ln(cv), ln(ct)), 6) AS heaps_logk,
+               round(regr_r2(ln(cv), ln(ct)), 6) AS r2
+        FROM c
+    """,
+    doc="""Heaps'-law fit: vocabulary growth against corpus growth in
+    ingestion (doc_id) order — the log-log slope β of distinct types
+    vs tokens seen (natural corpora sit near 0.5–0.7; β collapsing
+    toward 0 flags a corpus that has stopped contributing new
+    vocabulary, the diminishing-returns signal behind dedup/mixture
+    decisions; the curve itself is ``vocab_coverage_curve``, this is
+    the scalar fit).  New-type credit goes to each term's FIRST
+    document (grouped min), per-document token and novelty counts then
+    take a doc_id-bucketed hierarchical prefix sum
+    (``bucketed_prefix_sums`` — partitioned windows + broadcast
+    offsets), and the fit is one ``regr_*`` aggregate over the |docs|
+    frame.""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("nt"))
+    nu = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("nw"))
+    )
+    d = dl.join(nu, "doc_id", "left").select(
+        "doc_id",
+        "nt",
+        F.coalesce(F.col("nw"), F.lit(0)).cast("long").alias("nw"),
+    )
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if hi == lo:
+        bucket = F.lit(0)
+    else:
+        width = (float(hi) - float(lo)) / ZIPF_BUCKETS
+        bucket = F.least(
+            F.greatest(
+                F.floor((F.col("doc_id") - float(lo)) / width), F.lit(0)
+            ),
+            F.lit(ZIPF_BUCKETS - 1),
+        )
+    c = bucketed_prefix_sums(
+        d.withColumn("_db", bucket.cast("long")),
+        "_db",
+        [F.col("doc_id")],
+        {"nt": "ct", "nw": "cv"},
+    )
+    lv, lt = F.log(F.col("cv")), F.log(F.col("ct"))
+    return c.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("ct").alias("n_tokens"),
+        F.max("cv").alias("n_types"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(lv, lt), 6).alias("heaps_logk"),
+        F.round(F.regr_r2(lv, lt), 6).alias("r2"),
+    )

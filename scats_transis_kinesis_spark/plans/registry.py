@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_changepoint_daily",
     "robust_outliers_mad",
     "link_prediction_scores",
+    "zipf_law_fit",
+    "heaps_law_fit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
