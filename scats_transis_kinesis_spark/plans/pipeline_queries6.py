@@ -180,9 +180,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PSI drift-audit parameters: decile buckets of the REFERENCE period,
 # Jeffreys-style +0.5 count smoothing so an empty bucket contributes a
-# finite penalty instead of an infinite log-ratio.
+# finite penalty instead of an infinite log-ratio.  The smoothing
+# constant is defined ONCE beside the streaming twin
+# (streaming/pipeline.py:PSI_SMOOTH) so the batch/stream drift
+# contract cannot drift on an edit to one side.
+from ..streaming.pipeline import PSI_SMOOTH as DRIFT_SMOOTH  # noqa: E402
+
 DRIFT_QS = [round(0.1 * i, 1) for i in range(1, 10)]
-DRIFT_SMOOTH = 0.5
 DRIFT_CUTOVER = "1996-01-01"
 
 

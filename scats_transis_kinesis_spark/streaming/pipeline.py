@@ -202,3 +202,96 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, ts_col: str =
     return events.withWatermark(ts_col, WATERMARK).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+# PSI smoothing pseudo-count: keeps an emptied bucket's log-ratio
+# finite.  THE single definition — plans/pipeline_queries6 imports it
+# as DRIFT_SMOOTH, so the batch/stream drift contract cannot drift.
+PSI_SMOOTH = 0.5
+
+
+def bucketize_against_reference(
+    df: DataFrame, cutpoints: list[float], value_col: str = "value"
+) -> DataFrame:
+    """Assign each row its reference-quantile bucket (len(cutpoints)+1
+    buckets): the count of cutpoints strictly below the value — the
+    same ``filter(cs, c -> v > c)`` form as the batch
+    ``column_drift_audit``, evaluated against a LITERAL array (the
+    cutpoints are a bounded driver-side list; at production scale they
+    come from the reference corpus's KLL sketch).  Pure codegen'd
+    columns — no state, no shuffle."""
+    arr = F.array(*[F.lit(float(c)) for c in cutpoints])
+    return df.withColumn(
+        "bucket",
+        F.size(F.filter(arr, lambda c: F.col(value_col) > c)).cast("int"),
+    )
+
+
+def psi_drift_monitor(
+    stream: DataFrame,
+    cutpoints: list[float],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming drift counts — the streaming twin of the batch
+    ``column_drift_audit``: watermarked tumbling-window per-bucket
+    counts of a value distribution against reference cutpoints.  In
+    append mode each (window, bucket) count emits exactly once when
+    the watermark closes the window; state is bounded by
+    (#open windows × #buckets).  Streaming allows one aggregation per
+    query, so the per-window PSI fold is the batch side of the sink —
+    run :func:`psi_of_bucket_counts` inside ``foreachBatch`` (or over
+    the materialized sink table), the same stream/batch split as the
+    Kinesis envelope/retry stages."""
+    b = bucketize_against_reference(stream, cutpoints, value_col)
+    return (
+        b.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "n")
+    )
+
+
+def psi_of_bucket_counts(
+    counts: DataFrame,
+    ref_shares: list[float],
+    smooth: float = PSI_SMOOTH,
+) -> DataFrame:
+    """Fold (window_start, bucket, n) counts into one PSI row per
+    window against the reference shares (a bounded literal list;
+    pass them ALREADY smoothed — the batch audit's
+    ``(ref_c + s) / (ref_n + s·n_buckets)`` — so both sides of the
+    log-ratio carry the same pseudo-count treatment):
+
+        psi = Σ_buckets (cur − ref) · ln(cur / ref)
+
+    with ``cur = (n + smooth) / (n_win + smooth·n_buckets)`` — the
+    exact ``column_drift_audit`` formula.  Buckets absent from a
+    window still contribute (their smoothed share vs the reference),
+    via a per-window explode of the bounded bucket list.  Batch
+    DataFrame in/out; every shuffle is keyed by ``window_start`` and
+    the per-window fan-out is |buckets| — scale-free."""
+    n_b = len(ref_shares)
+    ref = F.array(*[F.lit(float(s)) for s in ref_shares])
+    tot = counts.groupBy("window_start").agg(
+        F.sum("n").cast("long").alias("n_win")
+    )
+    full = tot.select(
+        "window_start",
+        "n_win",
+        F.explode(F.sequence(F.lit(0), F.lit(n_b - 1))).alias("bucket"),
+    ).join(counts, ["window_start", "bucket"], "left")
+    cur = (F.coalesce(F.col("n"), F.lit(0)) + F.lit(smooth)) / (
+        F.col("n_win") + F.lit(smooth * n_b)
+    )
+    rs = F.element_at(ref, F.col("bucket") + 1)
+    return (
+        full.withColumn("_term", (cur - rs) * F.log(cur / rs))
+        .groupBy("window_start")
+        .agg(
+            F.max("n_win").alias("n_events"),
+            F.round(F.sum("_term"), 6).alias("psi"),
+        )
+    )

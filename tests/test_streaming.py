@@ -1214,3 +1214,110 @@ def test_incremental_embedding_dedup_across_runs(spark):
         )
         with pytest.raises(Exception, match="different version"):
             incremental_embedding_dedup(run3, state)
+
+
+# ----------------------------------------------------- PSI drift monitor
+
+
+def _smoothed_shares(counts, smooth=0.5):
+    tot = sum(counts)
+    return [(c + smooth) / (tot + smooth * len(counts)) for c in counts]
+
+
+def test_psi_of_bucket_counts_zero_when_stream_matches_reference(spark):
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        psi_of_bucket_counts,
+    )
+
+    # Reference shares smoothed from the SAME counts the window carries
+    # -> cur_share == ref_share bucket-for-bucket -> psi exactly 0.
+    w = "2024-01-01 00:00:00"
+    counts = spark.createDataFrame(
+        [(w, 0, 6), (w, 1, 3), (w, 2, 1)],
+        "window_start string, bucket int, n long",
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "bucket",
+        "n",
+    )
+    out = psi_of_bucket_counts(counts, _smoothed_shares([6, 3, 1])).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 10
+    assert out[0]["psi"] == 0.0
+
+
+def test_psi_of_bucket_counts_penalizes_missing_bucket_by_hand(spark):
+    import math
+
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        psi_of_bucket_counts,
+    )
+
+    # Window has NO rows in bucket 1: its smoothed share must still
+    # enter the sum (the hand-computed value below includes it).
+    ref = _smoothed_shares([5, 5])
+    w = "2024-01-01 01:00:00"
+    counts = spark.createDataFrame(
+        [(w, 0, 8)], "window_start string, bucket int, n long"
+    ).select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "bucket",
+        "n",
+    )
+    cur = [(8 + 0.5) / 9.0, 0.5 / 9.0]
+    want = round(
+        sum((c - r) * math.log(c / r) for c, r in zip(cur, ref)), 6
+    )
+    out = psi_of_bucket_counts(counts, ref).collect()[0]
+    assert out["n_events"] == 8
+    assert out["psi"] == want and out["psi"] > 0.5
+
+
+def test_psi_drift_monitor_stream_counts_match_batch(spark):
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        bucketize_against_reference,
+        psi_drift_monitor,
+    )
+
+    cutpoints = [3.0, 9.0]  # 3 buckets over `value`
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        _write_events_parquet(spark, src)
+        batch_df = spark.read.parquet(src)
+        expected = {
+            (r["window_start"].isoformat(), r["bucket"], r["n"])
+            for r in (
+                bucketize_against_reference(batch_df, cutpoints)
+                .groupBy(
+                    F.window("ts", "5 minutes").alias("win"), "bucket"
+                )
+                .agg(F.count("*").cast("long").alias("n"))
+                .select(
+                    F.col("win.start").alias("window_start"), "bucket", "n"
+                )
+                .collect()
+            )
+        }
+
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            psi_drift_monitor(stream, cutpoints)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("psi_out")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["window_start"].isoformat(), r["bucket"], r["n"])
+                for r in spark.sql("SELECT * FROM psi_out").collect()
+            }
+        finally:
+            q.stop()
+        assert got == expected
