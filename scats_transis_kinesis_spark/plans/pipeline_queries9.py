@@ -461,21 +461,29 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(
         F.col("u").alias("w"), F.col("v").alias("n")
     ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("n")))
-    a, b = adj.alias("a"), adj.alias("b")
-    wed = a.join(
-        b,
-        (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
-    ).select(
-        F.col("a.n").alias("u"), F.col("b.n").alias("v"), F.col("a.w").alias("w")
+    # Attach deg(w) — and the per-wedge Adamic–Adar term, which depends
+    # only on the center — to the EDGE-sized adjacency before the
+    # self-join, so the wedge set (the largest intermediate, Σ deg²)
+    # never enters another join: wedges inherit the term from side a.
+    adjd = adj.join(deg.withColumnRenamed("vertex", "w"), "w").withColumn(
+        "aa_term",
+        F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long"),
     )
+    a, b = adjd.alias("a"), adj.alias("b")
     cn = (
-        wed.join(deg.withColumnRenamed("vertex", "w"), "w")
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .select(
+            F.col("a.n").alias("u"),
+            F.col("b.n").alias("v"),
+            F.col("a.aa_term").alias("aa_term"),
+        )
         .groupBy("u", "v")
         .agg(
             F.count("*").cast("long").alias("common_n"),
-            F.sum(F.round(F.lit(1e6) / F.log(F.col("d"))))
-            .cast("long")
-            .alias("aa_micros"),
+            F.sum("aa_term").cast("long").alias("aa_micros"),
         )
     )
     ne = cn.join(edges, ["u", "v"], "left_anti")
