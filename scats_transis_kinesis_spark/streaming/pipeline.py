@@ -295,3 +295,43 @@ def psi_of_bucket_counts(
             F.round(F.sum("_term"), 6).alias("psi"),
         )
     )
+
+
+def run_psi_monitor(
+    stream: DataFrame,
+    cutpoints: list[float],
+    ref_shares: list[float],
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+):
+    """End-to-end streaming drift monitor: watermarked per-(window,
+    bucket) counts in append mode (each window's counts arrive in the
+    micro-batch that closes it, complete) → :func:`psi_of_bucket_counts`
+    fold inside ``foreachBatch`` → one PSI row per window appended to a
+    parquet audit table.  Crash-replay is idempotent the same way the
+    Kinesis sink is: each micro-batch overwrites its own
+    ``batch_id=<n>`` partition, so a replayed batch rewrites identical
+    rows instead of duplicating them.  Returns the started query."""
+    import os
+
+    counts = psi_drift_monitor(
+        stream, cutpoints, ts_col, value_col, window, watermark
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        psi_of_bucket_counts(batch_df, ref_shares).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

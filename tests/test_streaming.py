@@ -1321,3 +1321,65 @@ def test_psi_drift_monitor_stream_counts_match_batch(spark):
         finally:
             q.stop()
         assert got == expected
+
+
+def test_run_psi_monitor_end_to_end_appends_closed_windows(spark):
+    import math
+
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        run_psi_monitor,
+    )
+
+    cutpoints = [5.0]
+    ref = _smoothed_shares([5, 5])
+    with tempfile.TemporaryDirectory() as d:
+        src, out = os.path.join(d, "ev"), os.path.join(d, "psi")
+
+        def emit(rows, batch):
+            sub = os.path.join(src, f"b{batch}")
+            spark.createDataFrame(rows, "t string, value double").select(
+                F.col("t").cast("timestamp").alias("ts"), "value"
+            ).coalesce(1).write.parquet(sub)
+            stamp = 1_700_000_000 + batch * 60
+            for root, _, files in os.walk(sub):
+                for f in files:
+                    os.utime(os.path.join(root, f), (stamp, stamp))
+
+        # Window 00:00–00:05 — 3 low values, 1 high.
+        emit(
+            [
+                ("2024-01-01 00:00:10", 1.0),
+                ("2024-01-01 00:01:00", 2.0),
+                ("2024-01-01 00:02:00", 3.0),
+                ("2024-01-01 00:03:00", 9.0),
+            ],
+            1,
+        )
+        # Far-future batches: advance the watermark past the window,
+        # then a filler so the post-batch watermark takes effect.
+        emit([("2024-01-01 06:00:00", 1.0)], 2)
+        emit([("2024-01-01 07:00:00", 1.0)], 3)
+
+        q = run_psi_monitor(
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*")),
+            cutpoints,
+            ref,
+            out,
+            os.path.join(d, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = {
+            r["window_start"].isoformat(): (r["n_events"], r["psi"])
+            for r in spark.read.parquet(out).collect()
+        }
+        cur = [3.5 / 5.0, 1.5 / 5.0]  # (3+0.5)/(4+1), (1+0.5)/(4+1)
+        want = round(
+            sum((c - r) * math.log(c / r) for c, r in zip(cur, ref)), 6
+        )
+        assert rows["2024-01-01T00:00:00"] == (4, want), rows
