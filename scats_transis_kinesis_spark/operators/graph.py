@@ -195,3 +195,48 @@ def lpa_communities(
         )
         labels = bi.join(lab, bi.dst == lab.vertex).select("src", "lbl")
     return lab.select("vertex", F.col("lbl").alias("community"))
+
+
+def bfs_distances(
+    bi_edges: DataFrame,
+    source,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS: ``(v, hop)`` with the minimal hop count from
+    ``source`` for every vertex reachable within ``max_hops``.
+
+    Each round is frontier ⋈ adjacency (keyed equi-join — AQE
+    broadcasts while the frontier is small), a ``distinct``, and an
+    anti-join against the visited set, eagerly ``localCheckpoint``-ed
+    so the lineage stays one round deep.  Rounds are bounded by
+    ``max_hops``; the per-round emptiness probe is a bounded scalar
+    job.  The anti-join makes the first reach win, so hop IS the BFS
+    distance without any min-aggregation.
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances needs max_hops >= 0, got {max_hops}")
+    bi = bi_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = (
+        bi.select(F.col("src").alias("v"))
+        .where(F.col("v") == source)
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("v")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(bi, frontier["v"] == bi["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("v")
+    return visited

@@ -1,0 +1,264 @@
+"""Round-5 final additions: runtime-filter pruning, item-item
+similarity, and bounded graph traversal.
+
+- ``bloom_runtime_filter_audit`` — the semi-join pruning primitive for
+  100 TB fact scans: an m-bit Bloom bitmap built over a selective
+  dimension key set, broadcast into the fact scan as a LITERAL (no
+  join, no shuffle on the fact side), probed with pure bitwise
+  projection; the audit joins the exact membership back in to count
+  realized false positives and prove zero false negatives in-query.
+  The portable twin of Spark's own ``InjectRuntimeFilter``.
+- ``copurchase_item_similarity`` — item-item collaborative-filtering
+  similarity (squared cosine over the implicit order×part matrix):
+  the classic recommender precompute, expressed as a within-basket
+  self-join + two broadcast degree joins + global top-k.  The cosine²
+  is reported in exact integer ppm (``1e6·c²/(dᵤ·dᵥ)``, one correctly
+  rounded double division — no ``sqrt`` in the contract).
+- ``bfs_hops_from_hub`` — bounded-depth breadth-first distances from
+  the highest-degree vertex of the co-purchase graph: per-hop frontier
+  expansion with an anti-join visited set, the building block of
+  k-hop-neighborhood features.  The DuckDB oracle replays it as a
+  recursive CTE with ``min(hop)`` semantics.
+
+Scale discipline, as everywhere in the registry: the Bloom probe is a
+projection (the ONLY fact-side join is the audit's exact-membership
+check, which production pruning would not run); each BFS round is an
+equi-join on the frontier with eager ``localCheckpoint`` (bounded
+rounds, bounded scalar emptiness probes); the one 1-row hub collect
+and the ``m/64``-long bitmap collect are bounded summaries; every
+degree join is a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import bfs_distances
+from ..operators.bloom import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_position_sql,
+    bloom_probe,
+    build_bloom_words,
+)
+from ..sources.loaders import load_table
+from .pipeline_queries5 import (
+    _COPURCHASE_EDGE_CTES,
+    _COPURCHASE_LINES_CTE,
+    _copurchase_edges,
+    _copurchase_lines,
+)
+from .registry import register
+
+# The selective dim predicate the runtime filter prunes the fact scan
+# with: one of the five market segments (~20% of customers).
+BLOOM_SEGMENT = "BUILDING"
+
+# BFS report depth: 4 hops covers the co-purchase graph's effective
+# diameter while keeping the oracle's recursive CTE bounded at
+# |V| × (depth+1) working rows.
+BFS_MAX_HOPS = 4
+
+_BLOOM_BITS_CTE = " UNION ALL ".join(
+    f"SELECT {bloom_position_sql('ck', j)} AS pos FROM keys"
+    for j in range(BLOOM_K)
+)
+_BLOOM_PASS_EXPR = " AND ".join(
+    f"{bloom_position_sql('o_custkey', j)} IN (SELECT pos FROM bits)"
+    for j in range(BLOOM_K)
+)
+
+
+@register(
+    "bloom_runtime_filter_audit",
+    oracle=f"""
+        WITH keys AS (
+            SELECT c_custkey AS ck FROM customer
+            WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+        ), bits AS (
+            SELECT DISTINCT pos FROM ({_BLOOM_BITS_CTE})
+        ), probe AS (
+            SELECT ({_BLOOM_PASS_EXPR}) AS bloom_pass,
+                   o_custkey IN (SELECT ck FROM keys) AS is_member
+            FROM orders
+        )
+        SELECT count(*)::BIGINT AS n_fact,
+               (SELECT count(*) FROM keys)::BIGINT AS n_keys,
+               count(*) FILTER (WHERE bloom_pass)::BIGINT AS n_pass_bloom,
+               count(*) FILTER (WHERE is_member)::BIGINT AS n_exact_match,
+               count(*) FILTER (WHERE bloom_pass AND NOT is_member)::BIGINT
+                   AS n_false_pos,
+               bool_and(bloom_pass OR NOT is_member) AS no_false_negatives,
+               {BLOOM_M_BITS}::BIGINT AS m_bits,
+               {BLOOM_K}::BIGINT AS k_hashes
+        FROM probe
+    """,
+    doc=f"""Bloom runtime-filter audit: build a {BLOOM_M_BITS}-bit /
+    {BLOOM_K}-hash bitmap over the '{BLOOM_SEGMENT}'-segment customer
+    keys, probe every order with a PROJECTION (the bitmap rides into
+    codegen as a literal long array — the fact side is never joined or
+    shuffled for the filter itself), then count realized false
+    positives against exact membership and assert zero false
+    negatives.  This is the semi-join pruning shape for 100 TB fact
+    scans — the exact-membership join here exists only so the audit is
+    self-verifying; production pruning runs the probe alone and
+    finishes with an exact join on the tiny surviving subset.  Portable
+    md5 hashing makes bitmap and probe bit-identical in DuckDB.""",
+)
+def bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    keys = cust.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
+        F.col("c_custkey").alias("ck")
+    )
+    words = build_bloom_words(keys, "ck")
+    orders = load_table(spark, "orders", sf_dir)
+    probe = (
+        orders.select(
+            "o_custkey",
+            bloom_probe(F.col("o_custkey"), words).alias("bloom_pass"),
+        )
+        .join(F.broadcast(keys), F.col("o_custkey") == F.col("ck"), "left")
+        .select("bloom_pass", F.col("ck").isNotNull().alias("is_member"))
+    )
+    audit = probe.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(F.when(F.col("bloom_pass"), 1)).alias("n_pass_bloom"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_exact_match"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1)).alias(
+            "n_false_pos"
+        ),
+        F.bool_and(F.col("bloom_pass") | ~F.col("is_member")).alias(
+            "no_false_negatives"
+        ),
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    return audit.crossJoin(F.broadcast(n_keys)).select(
+        "n_fact",
+        "n_keys",
+        "n_pass_bloom",
+        "n_exact_match",
+        "n_false_pos",
+        "no_false_negatives",
+        F.lit(BLOOM_M_BITS).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+    )
+
+
+@register(
+    "copurchase_item_similarity",
+    oracle=f"""
+        WITH {_COPURCHASE_LINES_CTE}, deg AS (
+            SELECT pk, count(*)::BIGINT AS d FROM lines GROUP BY pk
+        ), pairs AS (
+            SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS co_count
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        )
+        SELECT p.u, p.v, p.co_count, du.d AS deg_u, dv.d AS deg_v,
+               round(1000000.0 * p.co_count * p.co_count
+                     / (du.d * dv.d))::BIGINT AS cos2_ppm
+        FROM pairs p
+        JOIN deg du ON p.u = du.pk
+        JOIN deg dv ON p.v = dv.pk
+        ORDER BY cos2_ppm DESC, p.u, p.v LIMIT 100
+    """,
+    doc="""Item-item collaborative-filtering similarity over the 1995
+    co-purchase matrix (orders are implicit baskets): top-100 part
+    pairs by squared cosine ``c²/(dᵤ·dᵥ)`` in exact integer ppm.
+    Scale shape: candidate pairs come ONLY from the within-basket
+    self-join (the inverted-index trick — parts never co-purchased are
+    never paired; no |parts|² anywhere); the two degree attachments are
+    broadcast joins against the |parts|-row degree table; the top-100
+    is a TakeOrderedAndProject (per-partition heads, no global sort
+    materialization).  Hot-basket skew is the LSH hot-band cap pattern
+    if basket sizes grow super-linear; TPC-H baskets are ≤7 lines.
+    Squaring the cosine keeps the contract in integer arithmetic plus
+    ONE correctly rounded IEEE division — no ``sqrt`` drift across
+    engines.""",
+)
+def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _copurchase_lines(spark, sf_dir)
+    deg = lines.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+    a, b = lines.alias("a"), lines.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co_count"))
+    )
+    sim = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("pk").alias("u"), F.col("d").alias("deg_u"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("pk").alias("v"), F.col("d").alias("deg_v"))),
+            "v",
+        )
+        .withColumn(
+            "cos2_ppm",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("co_count")
+                * F.col("co_count")
+                / (F.col("deg_u") * F.col("deg_v"))
+            ).cast("long"),
+        )
+    )
+    return (
+        sim.orderBy(F.desc("cos2_ppm"), "u", "v")
+        .limit(100)
+        .select("u", "v", "co_count", "deg_u", "deg_v", "cos2_ppm")
+    )
+
+
+@register(
+    "bfs_hops_from_hub",
+    oracle=f"""
+        WITH RECURSIVE {_COPURCHASE_EDGE_CTES}, bi AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL
+            SELECT v AS src, u AS dst FROM edges
+        ), deg AS (
+            SELECT src, count(*)::BIGINT AS d FROM bi GROUP BY src
+        ), hub AS (
+            SELECT src AS h FROM deg ORDER BY d DESC, src LIMIT 1
+        ), walk(v, hop) AS (
+            SELECT h, 0 FROM hub
+            UNION
+            SELECT b.dst, w.hop + 1
+            FROM walk w JOIN bi b ON b.src = w.v
+            WHERE w.hop < {BFS_MAX_HOPS}
+        ), dist AS (
+            SELECT v, min(hop) AS hop FROM walk GROUP BY v
+        )
+        SELECT hop, count(*)::BIGINT AS n_vertices,
+               sum(v)::BIGINT AS vertex_checksum
+        FROM dist GROUP BY hop
+    """,
+    doc=f"""Bounded-depth BFS from the highest-(degree, id)-ranked hub
+    of the 1995 co-purchase graph: vertices reached per hop (≤
+    {BFS_MAX_HOPS}) with an identity checksum (sum of vertex ids) so
+    the contract pins the reached SET, not just its size.  Scale
+    shape: each round is frontier ⋈ adjacency (keyed equi-join; AQE
+    broadcasts while the frontier is small) followed by a distinct and
+    an anti-join against the visited set, eagerly localCheckpoint-ed —
+    bounded rounds, each emptiness probe a bounded scalar job; the
+    1-row hub argmax is the only other collect.  The oracle replays
+    the traversal as a recursive CTE (``min(hop)`` over the ≤
+    |V|·(depth+1) working rows).""",
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    bi = (
+        edges.selectExpr("u AS src", "v AS dst")
+        .unionByName(edges.selectExpr("v AS src", "u AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), F.asc("src")).limit(1).collect()[0]["src"]
+    visited = bfs_distances(bi, hub, BFS_MAX_HOPS)
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("v").alias("vertex_checksum"),
+    )

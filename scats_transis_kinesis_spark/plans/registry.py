@@ -127,6 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "link_prediction_scores",
     "zipf_law_fit",
     "heaps_law_fit",
+    "bloom_runtime_filter_audit",
+    "copurchase_item_similarity",
+    "bfs_hops_from_hub",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -194,3 +197,4 @@ from . import pipeline_queries6  # noqa: E402,F401
 from . import pipeline_queries7  # noqa: E402,F401
 from . import pipeline_queries8  # noqa: E402,F401
 from . import pipeline_queries9  # noqa: E402,F401
+from . import pipeline_queries10  # noqa: E402,F401

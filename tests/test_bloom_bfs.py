@@ -1,0 +1,134 @@
+"""Unit tests for the round-5 Bloom runtime filter and bounded BFS —
+independent ground truth (python sets / python BFS) plus the plan-shape
+invariant that makes the Bloom probe a scale win: it must compile to a
+pure projection over the fact side, with no join and no exchange."""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+from pyspark.sql import functions as F
+
+from scats_transis_kinesis_spark.operators.bloom import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_probe,
+    build_bloom_words,
+)
+from scats_transis_kinesis_spark.operators.graph import bfs_distances
+
+
+def _words_for(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "ck long")
+    return build_bloom_words(df, "ck")
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    rng = random.Random(5)
+    inserted = rng.sample(range(1, 10_000_000), 500)
+    absent = [k for k in rng.sample(range(10_000_001, 20_000_000), 500)]
+    words = _words_for(spark, inserted)
+    probe = spark.createDataFrame(
+        [(k, k in set(inserted)) for k in inserted + absent],
+        "ck long, is_member boolean",
+    ).select(
+        "is_member", bloom_probe(F.col("ck"), words).alias("bloom_pass")
+    )
+    rows = probe.collect()
+    # Structural guarantee: every inserted key passes.
+    assert all(r["bloom_pass"] for r in rows if r["is_member"])
+    # Statistical guarantee: at load kn/m = 500*4/16384 the theoretical
+    # FP rate is ~2e-4; allow 1% of 500 absent keys as a loose ceiling.
+    fps = sum(r["bloom_pass"] for r in rows if not r["is_member"])
+    assert fps <= 5, f"Bloom FP rate implausibly high: {fps}/500"
+
+
+def test_bloom_probe_plan_is_projection_only(spark):
+    # The scale contract: probing is a literal-bitmap projection — the
+    # fact side is never joined or shuffled to apply the filter.
+    words = _words_for(spark, [1, 2, 3])
+    fact = spark.range(0, 1000).select(F.col("id").alias("ck"))
+    plan = (
+        fact.where(bloom_probe(F.col("ck"), words))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_bloom_words_are_bounded_state():
+    assert BLOOM_M_BITS % 64 == 0
+    # 2 KiB of driver state at the default geometry.
+    assert BLOOM_M_BITS // 64 == 256
+    assert BLOOM_K >= 1
+
+
+def _python_bfs(bi_edges, source, max_hops):
+    adj = {}
+    for s, d in bi_edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_hops:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_distances_matches_python_bfs_random_graph(spark):
+    rng = random.Random(11)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    edges = [(u, v) for u, v in edges if u != v]
+    bi = edges + [(v, u) for u, v in edges]
+    df = spark.createDataFrame(bi, "src long, dst long")
+    got = {
+        (r["v"], r["hop"])
+        for r in bfs_distances(df, 0, 3).collect()
+    }
+    want = set(_python_bfs(bi, 0, 3).items())
+    assert got == want
+
+
+def test_bfs_distances_stops_early_on_exhausted_frontier(spark):
+    # Path 0-1-2: depth 10 requested, everything reached by hop 2.
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {(r["v"], r["hop"]) for r in bfs_distances(df, 0, 10).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_copurchase_item_similarity_hand_checked(spark, tmp_path):
+    # Baskets (1995): {1,2,3}, {1,2}, {1,2}; a 1994 basket {3,4} must
+    # be excluded by the date window.  deg: 1→3, 2→3, 3→1.
+    # cos²ppm: (1,2) = 1e6·3²/(3·3) = 1000000; (1,3) = (2,3) =
+    # 1e6·1/3 → 333333.
+    import datetime
+
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+
+    d95, d94 = datetime.datetime(1995, 6, 1), datetime.datetime(1994, 6, 1)
+    spark.createDataFrame(
+        [(1, d95), (2, d95), (3, d95), (4, d94)],
+        "o_orderkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    lines = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2), (4, 3), (4, 4)]
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        (r["u"], r["v"], r["co_count"], r["deg_u"], r["deg_v"], r["cos2_ppm"])
+        for r in REGISTRY["copurchase_item_similarity"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 2, 3, 3, 3, 1000000),
+        (1, 3, 1, 3, 1, 333333),
+        (2, 3, 1, 3, 1, 333333),
+    ]

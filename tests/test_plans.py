@@ -320,6 +320,7 @@ BNL_ALLOWED = {
     "jackknife_ci_order_total",       # ≤32-row block frame × 1-row totals
     "ks_drift_orders",                # 1-row totals/max/argmax broadcasts
     "cusum_changepoint_daily",        # 1-row totals/max broadcasts
+    "bloom_runtime_filter_audit",     # 1-row n_keys aggregate broadcast
 }
 
 
