@@ -166,6 +166,12 @@ HEADLINE = [
     "link_prediction_scores",
     "zipf_law_fit",
     "heaps_law_fit",
+    # round-5 closing additions: runtime-filter pruning, CF similarity,
+    # bounded BFS
+    "bloom_runtime_filter_audit",
+    "copurchase_item_similarity",
+    "bfs_hops_from_hub",
+    "semdedup_semantic_prune",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

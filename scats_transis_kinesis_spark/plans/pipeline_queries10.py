@@ -262,3 +262,93 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum("v").alias("vertex_checksum"),
     )
+
+
+# SemDeDup threshold: squared cosine in ppm.  The synthetic embedding
+# corpus tops out near cos² ≈ 0.26, so 0.15 (cos ≈ 0.39) yields a real
+# but minority drop set — production text near-dup would sit at
+# cos ≥ 0.95 with the SAME plan.
+SEMDEDUP_TAU_PPM = 150_000
+
+
+def _semdedup_oracle() -> str:
+    from .pipeline_queries2 import KM_DIM, _kmeans_ctes
+
+    ctes, last = _kmeans_ctes()
+    dot = (
+        f"round(list_reduce(list_transform(generate_series(1, {KM_DIM}),"
+        " i -> a.v[i] * b.v[i]), (x, y) -> x + y), 6)"
+    )
+    ctes.append(
+        f"""m AS (
+            SELECT vec_id, cid, v,
+                   round(list_reduce(list_transform(v, x -> x * x),
+                                     (x, y) -> x + y), 6) AS n2
+            FROM {last}
+        )"""
+    )
+    ctes.append(
+        f"""prs AS (
+            SELECT a.cid, b.vec_id AS cand, {dot} AS dot,
+                   a.n2 AS na, b.n2 AS nb
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        )"""
+    )
+    ctes.append(
+        f"""dropped AS (
+            SELECT DISTINCT cid, cand AS vec_id FROM prs
+            WHERE dot > 0
+              AND round(1000000.0 * dot * dot / (na * nb))::BIGINT
+                  >= {SEMDEDUP_TAU_PPM}
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        , stats AS (SELECT cid, count(*)::BIGINT AS n_vecs FROM m GROUP BY cid),
+        dr AS (
+            SELECT cid, count(*)::BIGINT AS n_dropped,
+                   sum(vec_id)::BIGINT AS dropped_checksum
+            FROM dropped GROUP BY cid
+        )
+        SELECT s.cid AS cluster, s.n_vecs,
+               coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped,
+               coalesce(dr.dropped_checksum, 0)::BIGINT AS dropped_checksum
+        FROM stats s LEFT JOIN dr ON s.cid = dr.cid
+    """
+    )
+
+
+@register(
+    "semdedup_semantic_prune",
+    oracle=_semdedup_oracle(),
+    doc=f"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding corpus, then drop
+    any vector with a lower-id within-cluster neighbor above the
+    cosine threshold (squared-cosine ≥ {SEMDEDUP_TAU_PPM} ppm,
+    sign-checked) — reported per cluster as kept/dropped counts with an
+    identity checksum over the dropped set.  The greedy keep-lowest-id
+    rule replaces the paper's keep-farthest-from-centroid tie-break to
+    stay deterministic and oracle-replayable; the clustering is the
+    engine's fixed-3-round Lloyd contract (every FP intermediate
+    rounded to 6 in lockstep — the oracle extends the SAME unrolled
+    CTE chain).  Scale shape: clustering first makes the pairwise
+    stage O(Σ|cluster|²) instead of O(n²) — k is chosen ∝ n/target
+    cluster size in production, and a within-cluster LSH band bounds
+    the quadratic term if clusters still run hot (the dedup-family
+    levers apply unchanged); the pair dot products are codegen'd
+    zip_with folds, no Python, and the only driver traffic is the
+    k·dim centroid summaries the k-means loop already pays.""",
+)
+def semdedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import kmeans_assign
+    from .pipeline_queries2 import KM_DIM, KM_ITERS, KM_K
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    asg = kmeans_assign(e, k=KM_K, iters=KM_ITERS, dim=KM_DIM).select(
+        "vec_id", F.col("cluster").alias("cid")
+    )
+    from ..operators.dedup import semantic_prune_stats
+
+    return semantic_prune_stats(asg.join(e, "vec_id"), SEMDEDUP_TAU_PPM)

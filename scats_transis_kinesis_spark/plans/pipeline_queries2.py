@@ -625,10 +625,13 @@ def domain_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K, KM_ITERS, KM_DIM = 8, 3, 64
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> tuple[list[str], str]:
     """Exactly-unrolled Lloyd iterations as chained CTEs: assignment
     d{t}/a{t}/s{t}, centroid update c{t+1} — every FP intermediate
-    rounded to 6 in lockstep with the Spark loop."""
+    rounded to 6 in lockstep with the Spark loop.  Returns the CTE
+    list and the name of the final-assignment CTE (vec_id, v, cid,
+    dist) so downstream oracles (semantic dedup) can extend the same
+    chain."""
     dist = (
         f"round(list_reduce(list_transform(generate_series(1, {KM_DIM}),"
         " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),"
@@ -668,10 +671,14 @@ def _kmeans_oracle() -> str:
                     FROM s{t} GROUP BY cid
                 )"""
             )
-    last = KM_ITERS - 1
+    return ctes, f"s{KM_ITERS - 1}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, last = _kmeans_ctes()
     return (
         "WITH " + ",\n".join(ctes) + f"""
-        SELECT vec_id, cid AS cluster, dist FROM s{last}
+        SELECT vec_id, cid AS cluster, dist FROM {last}
     """
     )
 

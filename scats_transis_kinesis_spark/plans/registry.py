@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_runtime_filter_audit",
     "copurchase_item_similarity",
     "bfs_hops_from_hub",
+    "semdedup_semantic_prune",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -132,3 +132,29 @@ def test_copurchase_item_similarity_hand_checked(spark, tmp_path):
         (1, 3, 1, 3, 1, 333333),
         (2, 3, 1, 3, 1, 333333),
     ]
+
+
+def test_semantic_prune_stats_hand_checked(spark):
+    # Cluster 0: v1 ∥ v2 ∥ v3 (pairwise cos=1 → 2 and 3 dropped), v4
+    # orthogonal (kept), v5 anti-parallel to v1 (cos=-1, sign-checked
+    # → kept).  Cluster 1: v6 ∥ v7 but in DIFFERENT clusters never
+    # pair — here same cluster, 7 dropped; v8 at cos≈0.707 (cos²=0.5
+    # PPM 500000 ≥ 150000 → dropped).
+    from scats_transis_kinesis_spark.operators.dedup import semantic_prune_stats
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [2.0, 0.0, 0.0]),
+        (3, 0, [0.5, 0.0, 0.0]),
+        (4, 0, [0.0, 1.0, 0.0]),
+        (5, 0, [-1.0, 0.0, 0.0]),
+        (6, 1, [0.0, 0.0, 3.0]),
+        (7, 1, [0.0, 0.0, 1.0]),
+        (8, 1, [0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cid int, v array<double>")
+    got = {
+        r["cluster"]: (r["n_vecs"], r["n_dropped"], r["dropped_checksum"])
+        for r in semantic_prune_stats(df, 150_000).collect()
+    }
+    assert got == {0: (5, 2, 5), 1: (3, 2, 15)}
