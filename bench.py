@@ -172,6 +172,7 @@ HEADLINE = [
     "copurchase_item_similarity",
     "bfs_hops_from_hub",
     "semdedup_semantic_prune",
+    "mmr_diversified_topk",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

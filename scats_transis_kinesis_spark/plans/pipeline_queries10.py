@@ -1,5 +1,6 @@
 """Round-5 final additions: runtime-filter pruning, item-item
-similarity, and bounded graph traversal.
+similarity, bounded graph traversal, semantic dedup, and diversified
+retrieval.
 
 - ``bloom_runtime_filter_audit`` — the semi-join pruning primitive for
   100 TB fact scans: an m-bit Bloom bitmap built over a selective
@@ -19,6 +20,15 @@ similarity, and bounded graph traversal.
   expansion with an anti-join visited set, the building block of
   k-hop-neighborhood features.  The DuckDB oracle replays it as a
   recursive CTE with ``min(hop)`` semantics.
+- ``semdedup_semantic_prune`` — SemDeDup (Abbas et al. 2023):
+  k-means-bounded within-cluster cosine dedup, extending the
+  rounded-lockstep Lloyd contract (``operators/dedup.py:
+  semantic_prune_stats``).
+- ``mmr_diversified_topk`` — maximal-marginal-relevance re-ranking
+  (Carbonell & Goldstein '98): distributed pool scoring, exact-integer
+  greedy over the bounded pool, 10-step unrolled MATERIALIZED-CTE
+  oracle (plain chained CTEs inline EXPONENTIALLY in DuckDB — each
+  step references its predecessor three times).
 
 Scale discipline, as everywhere in the registry: the Bloom probe is a
 projection (the ONLY fact-side join is the audit's exact-membership
@@ -352,3 +362,147 @@ def semdedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_prune_stats
 
     return semantic_prune_stats(asg.join(e, "vec_id"), SEMDEDUP_TAU_PPM)
+
+
+# MMR parameters: candidate pool from the dense ranking, re-ranked
+# greedily with relevance/diversity mixed at λ = 0.7 (exact milli
+# integers — 700·rel − 300·max_sim, no FP in the greedy itself).
+MMR_POOL = 20
+MMR_K = 10
+MMR_LAMBDA_MILLI = 700
+MMR_QUERY_VEC_ID = 0  # embedding row used as the dense query (as RRF)
+
+_COS_SQL = (
+    "round(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))) * 1e6)::BIGINT"
+)
+
+
+def _mmr_oracle() -> str:
+    lam, com = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    ctes = [
+        f"""qvec AS MATERIALIZED (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            WHERE vec_id = {MMR_QUERY_VEC_ID}
+        )""",
+        f"""pool AS MATERIALIZED (
+            SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v,
+                   round(list_dot_product(embedding::DOUBLE[], q)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q, q))) * 1e6)::BIGINT
+                       AS rel
+            FROM embeddings CROSS JOIN qvec
+            WHERE vec_id <> {MMR_QUERY_VEC_ID}
+            ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+        )""",
+        f"""sims AS MATERIALIZED (
+            SELECT a.doc_id AS i, b.doc_id AS j, {_COS_SQL} AS s
+            FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+        )""",
+        f"""sel0 AS MATERIALIZED (
+            SELECT 0 AS mmr_rank, doc_id, rel, {lam} * rel AS score
+            FROM pool ORDER BY rel DESC, doc_id LIMIT 1
+        )""",
+        "acc0 AS MATERIALIZED (SELECT * FROM sel0)",
+    ]
+    for t in range(1, MMR_K):
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+                SELECT {t} AS mmr_rank, p.doc_id, p.rel,
+                       {lam} * p.rel - {com} * max(s.s) AS score
+                FROM pool p
+                JOIN sims s ON s.i = p.doc_id
+                 AND s.j IN (SELECT doc_id FROM acc{t - 1})
+                WHERE p.doc_id NOT IN (SELECT doc_id FROM acc{t - 1})
+                GROUP BY p.doc_id, p.rel
+                ORDER BY score DESC, p.doc_id LIMIT 1
+            )"""
+        )
+        ctes.append(
+            f"acc{t} AS MATERIALIZED (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT mmr_rank, doc_id, rel AS rel_micros, score
+        FROM acc{MMR_K - 1}
+    """
+    )
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc=f"""Maximal-marginal-relevance diversified top-{MMR_K}
+    (Carbonell & Goldstein '98): greedily re-rank the dense top-
+    {MMR_POOL} pool so each pick maximizes λ·relevance −
+    (1−λ)·max-similarity-to-already-picked — the standard diversity
+    re-rank for retrieval and for redundancy-aware training-sample
+    selection.  Scale shape: the DISTRIBUTED work is scoring the
+    corpus against the query and taking the top-{MMR_POOL}
+    (TakeOrderedAndProject over one scan); the greedy loop then runs
+    on the driver over a FIXED {MMR_POOL}-candidate pool —
+    O(k·pool) integer comparisons on ≤{MMR_POOL}² collected
+    similarity scalars (a bounded summary, like the k-means
+    centroids), which is the only honest place for an inherently
+    sequential k-step argmax.  All greedy arithmetic is exact milli/
+    micro integers ({MMR_LAMBDA_MILLI}·rel − {1000 - MMR_LAMBDA_MILLI}
+    ·max_sim), so the 10-step unrolled-CTE oracle cannot drift.""",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == MMR_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    pool = (
+        emb.where(F.col("vec_id") != MMR_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("v"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")) * 1e6)
+            .cast("long")
+            .alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    sim_rows = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1e6)
+            .cast("long")
+            .alias("s"),
+        )
+        .collect()
+    )
+    sims = {(r["i"], r["j"]): r["s"] for r in sim_rows}
+    cands = {
+        r["doc_id"]: r["rel"] for r in pool.select("doc_id", "rel").collect()
+    }
+    lam, com = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    first = max(cands, key=lambda d: (cands[d], -d))
+    picked = [(0, first, cands[first], lam * cands[first])]
+    selected = [first]
+    # A pool smaller than k exhausts early — the oracle's empty sel{t}
+    # steps agree (both emit |pool| rows).
+    for t in range(1, min(MMR_K, len(cands))):
+        remaining = [d for d in cands if d not in selected]
+        scored = [
+            (lam * cands[d] - com * max(sims[(d, s)] for s in selected), d)
+            for d in remaining
+        ]
+        score, d = max(scored, key=lambda x: (x[0], -x[1]))
+        picked.append((t, d, cands[d], score))
+        selected.append(d)
+    return spark.createDataFrame(
+        picked, "mmr_rank int, doc_id long, rel_micros long, score long"
+    )

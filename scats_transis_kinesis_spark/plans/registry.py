@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "copurchase_item_similarity",
     "bfs_hops_from_hub",
     "semdedup_semantic_prune",
+    "mmr_diversified_topk",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -158,3 +158,32 @@ def test_semantic_prune_stats_hand_checked(spark):
         for r in semantic_prune_stats(df, 150_000).collect()
     }
     assert got == {0: (5, 2, 5), 1: (3, 2, 15)}
+
+
+def test_mmr_diversity_beats_redundancy_hand_checked(spark, tmp_path):
+    # q = vec 0 = [1,0,0].  c1 and c2 are PARALLEL (cos(c1,c2)=1) with
+    # rel ≈ 0.9; c3 mirrors c1 (rel ≈ 0.9, cos(c1,c3) ≈ 0.62).  Pure
+    # relevance ranks (c1, c2, c3) by id; MMR at λ=0.7 must pick the
+    # DIVERSE c3 at rank 1: score(c2) = 700·900000 − 300·1000000 =
+    # 330,000,000 < score(c3) = 700·900000 − 300·620000 = 444,000,000.
+    from scats_transis_kinesis_spark.plans.registry import REGISTRY
+
+    y = 0.4358898943540674  # sqrt(1 - 0.81): unit-norm companions
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, y, 0.0]),
+        (2, [1.8, 2 * y, 0.0]),
+        (3, [0.9, -y, 0.0]),
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = [
+        (r["mmr_rank"], r["doc_id"], r["rel_micros"], r["score"])
+        for r in REGISTRY["mmr_diversified_topk"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (0, 1, 900000, 630000000),
+        (1, 3, 900000, 444000000),
+        (2, 2, 900000, 330000000),
+    ]
