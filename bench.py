@@ -173,6 +173,8 @@ HEADLINE = [
     "bfs_hops_from_hub",
     "semdedup_semantic_prune",
     "mmr_diversified_topk",
+    "k_anonymity_audit",
+    "erasure_cascade_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "bfs_hops_from_hub",
     "semdedup_semantic_prune",
     "mmr_diversified_topk",
+    "k_anonymity_audit",
+    "erasure_cascade_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -200,3 +202,4 @@ from . import pipeline_queries7  # noqa: E402,F401
 from . import pipeline_queries8  # noqa: E402,F401
 from . import pipeline_queries9  # noqa: E402,F401
 from . import pipeline_queries10  # noqa: E402,F401
+from . import pipeline_queries11  # noqa: E402,F401

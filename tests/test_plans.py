@@ -321,6 +321,7 @@ BNL_ALLOWED = {
     "ks_drift_orders",                # 1-row totals/max/argmax broadcasts
     "cusum_changepoint_daily",        # 1-row totals/max broadcasts
     "bloom_runtime_filter_audit",     # 1-row n_keys aggregate broadcast
+    "k_anonymity_audit",              # 1-row coarse-QI aggregate broadcast
 }
 
 
