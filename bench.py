@@ -175,6 +175,7 @@ HEADLINE = [
     "mmr_diversified_topk",
     "k_anonymity_audit",
     "erasure_cascade_audit",
+    "quantile_normalize_by_source",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -13,6 +13,10 @@ training-data platform.
   through orders to line items; the audit reports, per table, total
   rows, rows to erase, and an identity checksum over the erased keys —
   the verification artifact an erasure job must reproduce.
+- ``quantile_normalize_by_source`` — cross-source quantile
+  normalization of document length (Bolstad '03 batch-effect
+  correction applied to corpus curation): rank within source, replace
+  with the cross-source mean at the rank.
 
 Scale shapes: k-anonymity is two grouped aggregations over the
 dimension (the QI class frame is |classes| rows — trivially
@@ -217,4 +221,62 @@ def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_orderkey") + F.col("l_linenumber"),
             )
         )
+    )
+
+
+@register(
+    "quantile_normalize_by_source",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rk
+            FROM documents
+        ), targets AS (
+            SELECT rk, round(avg(n_chars) * 1e6)::BIGINT AS qnorm_micros
+            FROM ranked GROUP BY rk
+            HAVING count(*) = (SELECT count(DISTINCT source) FROM documents)
+        )
+        SELECT r.doc_id, r.source, r.n_chars, r.rk, t.qnorm_micros
+        FROM ranked r JOIN targets t ON r.rk = t.rk
+    """,
+    doc="""Quantile normalization of document length across sources
+    (the batch-effect correction standard in expression analysis,
+    Bolstad '03, applied to corpus curation): rank within source, then
+    replace each value with the cross-source mean at its rank, so
+    every source ends up with the SAME length distribution — the
+    pre-mixing step that stops one source's length profile from
+    leaking through a mixture.  Ranks not present in every source are
+    dropped (the defined behavior when group sizes differ).  Scale
+    shape: one per-source window (partitioned — never global), one
+    |ranks|-keyed aggregation, one rank-keyed join back; a single
+    source too large for one partition's window switches to the
+    hierarchical rank machinery (``bucketed_prefix_sums``) unchanged.
+    The 1-row source-count aggregate broadcasts into the HAVING.""",
+)
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    ranked = docs.withColumn("rk", rk)
+    n_sources = docs.agg(
+        F.countDistinct("source").alias("ns")
+    )
+    targets = (
+        ranked.groupBy("rk")
+        .agg(
+            F.round(F.avg("n_chars") * 1e6).cast("long").alias("qnorm_micros"),
+            F.count(F.lit(1)).alias("n_at_rank"),
+        )
+        .crossJoin(F.broadcast(n_sources))
+        .where(F.col("n_at_rank") == F.col("ns"))
+        .select("rk", "qnorm_micros")
+    )
+    return ranked.join(targets, "rk").select(
+        "doc_id", "source", "n_chars", "rk", "qnorm_micros"
     )

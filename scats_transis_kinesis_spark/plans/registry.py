@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "mmr_diversified_topk",
     "k_anonymity_audit",
     "erasure_cascade_audit",
+    "quantile_normalize_by_source",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
