@@ -16,7 +16,7 @@ streaming DataFrame — the flagship registry query is the batch twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WATERMARK = "10 minutes"
@@ -332,6 +332,101 @@ def run_psi_monitor(
     return (
         counts.writeStream.outputMode("append")
         .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cdc_snapshot(
+    spark, snapshot_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest committed CDC snapshot version, or ``None`` before the
+    first apply.  Versions are ``v=<batch_id>`` subdirectories; the
+    newest one is the committed state (a half-written version is
+    rewritten wholesale when its batch replays, so reading the max is
+    safe once the query reports the batch committed).  ``before``
+    restricts to versions strictly below a batch id — what a replayed
+    batch must read so its own prior half-write is never its base."""
+    import os
+    import re
+
+    if not os.path.isdir(snapshot_dir):
+        return None
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(snapshot_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and (before is None or int(m.group(1)) < before)
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_dir, f"v={max(versions)}")
+    )
+
+
+def apply_cdc_stream(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str = "k",
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Streaming CDC apply — the change-feed half of a lakehouse MERGE.
+
+    Each micro-batch of change events (``op`` ∈ {'u' upsert,
+    'd' delete}; ``seq`` a monotone per-key sequence) is reduced to
+    its latest change per key (highest seq; delete outranks upsert on
+    a seq tie), then merged into the snapshot: upserts via the batch
+    :func:`~..operators.relational.upsert` latest-wins union, deletes
+    via anti-join.  The merged state is written to
+    ``snapshot_dir/v=<batch_id>`` and the CURRENT state read back is
+    the highest committed version — so a crash-replayed batch reads
+    the same predecessor version (``max v < batch_id``) and REWRITES
+    its own version with identical content instead of double-applying
+    (the same batch-id idempotence contract as the Kinesis sink).
+
+    Scale shape: one keyed shuffle per batch over snapshot ∪ changes
+    (the MERGE plan shape); on Delta/Iceberg the versioned-directory
+    dance becomes the table format's own MVCC commit and the write
+    narrows to touched files.  State lives in the table, not the state
+    store — the stream itself is stateless, so watermarks are not
+    required and a replayed batch needs no retraction logic.
+    """
+    import os
+
+    from ..operators.relational import upsert
+
+    data_cols = [c for c in changes.columns if c not in (op_col,)]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # Tie-break: at equal seq the delete wins ('d' sorts before
+        # 'u' ascending) — a same-sequence insert+delete nets to gone.
+        w = Window.partitionBy(key).orderBy(
+            F.desc(seq_col), F.asc(op_col)
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        current = read_cdc_snapshot(spark, snapshot_dir, before=batch_id)
+        ups = latest.where(F.col(op_col) == "u").select(*data_cols)
+        dels = latest.where(F.col(op_col) == "d").select(key)
+        merged = upsert(current, ups, key) if current is not None else ups
+        merged = merged.join(dels, key, "left_anti")
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v={batch_id}")
+        )
+
+    return (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -1383,3 +1383,75 @@ def test_run_psi_monitor_end_to_end_appends_closed_windows(spark):
             sum((c - r) * math.log(c / r) for c, r in zip(cur, ref)), 6
         )
         assert rows["2024-01-01T00:00:00"] == (4, want), rows
+
+
+def test_apply_cdc_stream_end_to_end(spark):
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        apply_cdc_stream,
+        read_cdc_snapshot,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, snap = os.path.join(d, "chg"), os.path.join(d, "snap")
+
+        def emit(rows, batch):
+            sub = os.path.join(src, f"b{batch}")
+            spark.createDataFrame(
+                rows, "k long, seq long, op string, val string"
+            ).coalesce(1).write.parquet(sub)
+            stamp = 1_700_000_000 + batch * 60
+            for root, _, files in os.walk(sub):
+                for f in files:
+                    os.utime(os.path.join(root, f), (stamp, stamp))
+
+        # Batch A: insert k1, k2; within-batch k1 updated (seq wins).
+        emit(
+            [(1, 1, "u", "a"), (1, 2, "u", "a2"), (2, 3, "u", "b")], 1
+        )
+        # Batch B: update k1, delete k2, insert k3; k4 insert+delete in
+        # the SAME batch at the same seq — delete outranks on the tie.
+        emit(
+            [
+                (1, 4, "u", "a3"),
+                (2, 5, "d", None),
+                (3, 6, "u", "c"),
+                (4, 7, "u", "x"),
+                (4, 7, "d", None),
+            ],
+            2,
+        )
+        q = apply_cdc_stream(
+            spark.readStream.schema("k long, seq long, op string, val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*")),
+            snap,
+            os.path.join(d, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["k"]: (r["seq"], r["val"])
+            for r in read_cdc_snapshot(spark, snap).collect()
+        }
+        assert got == {1: (4, "a3"), 3: (6, "c")}
+
+        # Crash-replay idempotence: the final version rebuilt from its
+        # predecessor + the same batch content is byte-identical.  Both
+        # versions exist (v=0, v=1 for the two file-batches).
+        import re
+
+        versions = sorted(
+            int(m.group(1))
+            for v in os.listdir(snap)
+            if (m := re.fullmatch(r"v=(\d+)", v))
+        )
+        assert len(versions) == 2
+        replay_base = {
+            r["k"]: (r["seq"], r["val"])
+            for r in read_cdc_snapshot(
+                spark, snap, before=versions[-1]
+            ).collect()
+        }
+        assert replay_base == {1: (2, "a2"), 2: (3, "b")}
