@@ -176,6 +176,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "erasure_cascade_audit",
     "quantile_normalize_by_source",
+    "ppr_nation_trade_seeds",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

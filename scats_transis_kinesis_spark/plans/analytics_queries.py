@@ -696,6 +696,33 @@ def _pagerank_oracle(iterations: int = 3, d: float = 0.85) -> str:
     """
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-level trade graph (customer nation → supplier nation,
+    edge weight = line count) — shared by the classic and personalized
+    PageRank queries."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .cache()
+    )
+
+
 @register(
     "pagerank_nation_trade",
     oracle=_pagerank_oracle(),
@@ -712,26 +739,82 @@ def _pagerank_oracle(iterations: int = 3, d: float = 0.85) -> str:
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    c = load_table(spark, "customer", sf_dir)
-    s = load_table(spark, "supplier", sf_dir)
-    n = load_table(spark, "nation", sf_dir)
-    cn = n.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
-    )
-    sn = n.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
-    )
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("double").alias("weight"))
-        .cache()
-    )
+    edges = _trade_edges(spark, sf_dir)
     ranks = pagerank(edges, iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# Personalized-PageRank seed set: 4 seeds so the teleport mass 1/|S| =
+# 0.25 is binary-exact in both engines (1/3 would put a repeating
+# fraction inside the cross-engine FP contract).
+PPR_SEEDS = ("NATION_0", "NATION_7", "NATION_13", "NATION_21")
+
+
+def _ppr_oracle(iterations: int = 3, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank — the :func:`_pagerank_oracle`
+    recurrence with the uniform base term replaced by the seed-set
+    teleport distribution (rank_0 = tele)."""
+    seed_values = ", ".join(f"('{s}')" for s in PPR_SEEDS)
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+        r{k} AS (
+            SELECT t.node,
+                   (1 - {d}) * t.tl
+                   + {d} * coalesce(sum(p.rank * e.wn), 0) AS rank
+            FROM tele t
+            LEFT JOIN nrm e ON e.v = t.node
+            LEFT JOIN r{k - 1} p ON p.node = e.u
+            GROUP BY t.node, t.tl
+        )""")
+    return f"""
+        WITH edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, count(*)::DOUBLE AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nrm AS (
+            SELECT src AS u, dst AS v,
+                   w / sum(w) OVER (PARTITION BY src) AS wn
+            FROM edges
+        ),
+        seeds AS (SELECT node FROM (VALUES {seed_values}) t(node)),
+        tele AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0 / (SELECT count(*) FROM seeds)
+                        ELSE 0.0 END AS tl
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        r0 AS (SELECT node, tl AS rank FROM tele),{','.join(iters)}
+        SELECT node, round(rank, 6) AS rank FROM r{iterations}
+    """
+
+
+@register(
+    "ppr_nation_trade_seeds",
+    oracle=_ppr_oracle(),
+    doc=f"""Personalized PageRank (3 fixed iterations, damping 0.85,
+    teleport restricted to the {len(PPR_SEEDS)}-nation seed set) over
+    the nation trade graph — proximity-to-seed-neighborhood scores,
+    the recommender/affinity variant of the classic rank (seed = a
+    user's items at 100 TB; here a fixed nation set so the contract is
+    deterministic).  Same Pregel-superstep shape as
+    ``pagerank_nation_trade`` (one keyed join + one grouped sum per
+    round, node-sized teleport frame riding the same join); the seed
+    count divides to a binary-exact 0.25 teleport mass, and the oracle
+    unrolls the identical recurrence.""",
+)
+def ppr_nation_trade_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_personalized
+
+    edges = _trade_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([(s,) for s in PPR_SEEDS], "node string")
+    ranks = pagerank_personalized(edges, seeds, iterations=3)
     return ranks.select("node", F.round("rank", 6).alias("rank"))

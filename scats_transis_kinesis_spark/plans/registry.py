@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "erasure_cascade_audit",
     "quantile_normalize_by_source",
+    "ppr_nation_trade_seeds",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -193,3 +193,22 @@ def test_connected_components_randomized_parity_with_union_find(spark):
             ).collect()
         }
         assert got == expected, (trial, sorted(rows))
+
+
+def test_pagerank_personalized_path_graph_hand_computed(spark):
+    # a→b, seed {a}: tele(a)=1, tele(b)=0.  r0=(1,0);
+    # every round a = 0.15·1 (no in-edges), b = 0.85·rank(a) —
+    # r3: a = 0.15, b = 0.85·0.15 = 0.1275.
+    from scats_transis_kinesis_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, weight double"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: round(r["rank"], 6)
+        for r in pagerank_personalized(edges, seeds, iterations=3).collect()
+    }
+    assert got == {"a": 0.15, "b": 0.1275}
