@@ -280,6 +280,13 @@ def pagerank_personalized(
         )
         .cache()
     )
+    # Materialize the loop-invariant caches BEFORE building the lazy
+    # 3-round plan (the classic pagerank gets this for free from its
+    # n_nodes count): without it the 5-join edge construction under
+    # `nodes`/`norm`/`tele` is racing to populate the cache inside the
+    # final action — measured 7.4 s vs 3.0 s for the classic twin on
+    # the same edge frame at sf0.1.
+    nodes.count()
     n_seeds = seeds.count()
     seed_nodes = seeds.toDF("node")
     tele = (
