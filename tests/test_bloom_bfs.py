@@ -187,3 +187,47 @@ def test_mmr_diversity_beats_redundancy_hand_checked(spark, tmp_path):
         (1, 3, 900000, 444000000),
         (2, 2, 900000, 330000000),
     ]
+
+
+def test_bloom_fp_rate_tracks_theory_across_geometries(spark):
+    # Estimator-quality sweep (hash gates can't see this): at each
+    # geometry the realized FP rate on disjoint probes must stay under
+    # 2x the theoretical (1 - e^{-kn/m})^k plus a small-sample floor.
+    import math
+
+    rng = random.Random(7)
+    inserted = rng.sample(range(1, 10_000_000), 400)
+    absent = rng.sample(range(10_000_001, 20_000_000), 2000)
+    df = spark.createDataFrame([(k,) for k in inserted], "ck long")
+    probe_df = spark.createDataFrame([(k,) for k in absent], "ck long")
+    for m_bits, k in [(1024, 2), (4096, 4), (16384, 4)]:
+        words = build_bloom_words(df, "ck", m_bits, k)
+        fps = (
+            probe_df.where(bloom_probe(F.col("ck"), words, m_bits, k))
+            .count()
+        )
+        theory = (1 - math.exp(-k * len(inserted) / m_bits)) ** k
+        ceiling = 2 * theory * len(absent) + 10
+        assert fps <= ceiling, (m_bits, k, fps, theory)
+        # Inserted keys must ALWAYS pass, at every geometry.
+        assert (
+            df.where(bloom_probe(F.col("ck"), words, m_bits, k)).count()
+            == len(inserted)
+        )
+
+
+def test_semantic_prune_tau_monotone(spark):
+    # Raising the threshold can only shrink the drop set.
+    from scats_transis_kinesis_spark.operators.dedup import semantic_prune_stats
+
+    rng = random.Random(3)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cid int, v array<double>")
+    drops = []
+    for tau in (100_000, 300_000, 600_000, 900_000):
+        stats = semantic_prune_stats(df, tau).collect()
+        drops.append(sum(r["n_dropped"] for r in stats))
+        assert all(r["n_vecs"] >= r["n_dropped"] for r in stats)
+    assert drops == sorted(drops, reverse=True), drops

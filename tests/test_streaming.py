@@ -1455,3 +1455,60 @@ def test_apply_cdc_stream_end_to_end(spark):
             ).collect()
         }
         assert replay_base == {1: (2, "a2"), 2: (3, "b")}
+
+
+def test_apply_cdc_stream_resumes_from_checkpoint(spark):
+    # Stop after two batches, add a third change file, restart with the
+    # SAME checkpoint: the new query continues from the committed
+    # snapshot instead of re-reading history.
+    from scats_transis_kinesis_spark.streaming.pipeline import (
+        apply_cdc_stream,
+        read_cdc_snapshot,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, snap, ckpt = (
+            os.path.join(d, "chg"),
+            os.path.join(d, "snap"),
+            os.path.join(d, "ckpt"),
+        )
+
+        def emit(rows, batch):
+            sub = os.path.join(src, f"b{batch}")
+            spark.createDataFrame(
+                rows, "k long, seq long, op string, val string"
+            ).coalesce(1).write.parquet(sub)
+            stamp = 1_700_000_000 + batch * 60
+            for root, _, files in os.walk(sub):
+                for f in files:
+                    os.utime(os.path.join(root, f), (stamp, stamp))
+
+        def start():
+            return apply_cdc_stream(
+                spark.readStream.schema(
+                    "k long, seq long, op string, val string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*")),
+                snap,
+                ckpt,
+            )
+
+        emit([(1, 1, "u", "a"), (2, 2, "u", "b")], 1)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        emit([(2, 3, "d", None), (3, 4, "u", "c")], 2)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["k"]: r["val"]
+            for r in read_cdc_snapshot(spark, snap).collect()
+        }
+        assert got == {1: "a", 3: "c"}
