@@ -177,6 +177,13 @@ HEADLINE = [
     "erasure_cascade_audit",
     "quantile_normalize_by_source",
     "ppr_nation_trade_seeds",
+    # round-5 batch 3: sketch point-queries, graded ranking eval,
+    # native session windows, Spark-4 SQL/Python surface
+    "countmin_error_audit",
+    "ndcg_quality_ranking",
+    "session_window_native",
+    "sql_pipe_surface",
+    "udtf_chunk_spans",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -255,8 +255,35 @@ def hierarchical_row_number(
         F.min(order_numeric).cast("double"), F.max(order_numeric).cast("double")
     ).first()
     if lo is None or hi == lo:
-        bucket = F.lit(0)
+        # Degenerate: every order value ties (e.g. a bounded top-k cut
+        # whose gains are all equal).  A constant bucket would fold
+        # into an UNPARTITIONED window — the exact plan shape this
+        # helper exists to avoid — so the global order (which now
+        # reduces to the tiebreak) re-buckets on the tiebreak: numeric
+        # tiebreaks recurse with the tiebreak as the bucketing order;
+        # non-numeric ones bucket by the first character's codepoint
+        # (order-preserving under Spark's binary string order — UTF-8
+        # byte order equals codepoint order).  A fully-constant frame
+        # keeps the codepoint bucket: constant-VALUED but
+        # column-derived, so the window stays partitioned in the plan.
+        from pyspark.sql.types import NumericType
+
+        tb_numeric = isinstance(df.schema[tiebreak].dataType, NumericType)
+        if lo is not None and tb_numeric and num_buckets > 0:
+            # num_buckets=0 marks the recursive call so a tied
+            # tiebreak cannot recurse forever.
+            return hierarchical_row_number(
+                df.withColumn("_hrn_tb", F.col(tiebreak).cast("double")),
+                F.col("_hrn_tb"),
+                tiebreak,
+                out=out,
+                num_buckets=0,
+            ).drop("_hrn_tb")
+        bucket = F.ascii(
+            F.substring(F.col(tiebreak).cast("string"), 1, 1)
+        ).cast("long")
     else:
+        num_buckets = num_buckets or 32
         width = (float(hi) - float(lo)) / num_buckets
         bucket = F.least(
             F.greatest(

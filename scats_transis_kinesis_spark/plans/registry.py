@@ -136,6 +136,11 @@ _PRIORITY: tuple[str, ...] = (
     "erasure_cascade_audit",
     "quantile_normalize_by_source",
     "ppr_nation_trade_seeds",
+    "countmin_error_audit",
+    "ndcg_quality_ranking",
+    "session_window_native",
+    "sql_pipe_surface",
+    "udtf_chunk_spans",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -205,3 +210,4 @@ from . import pipeline_queries8  # noqa: E402,F401
 from . import pipeline_queries9  # noqa: E402,F401
 from . import pipeline_queries10  # noqa: E402,F401
 from . import pipeline_queries11  # noqa: E402,F401
+from . import pipeline_queries12  # noqa: E402,F401

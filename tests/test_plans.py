@@ -163,6 +163,9 @@ def test_no_rowwise_python_udf_anywhere(spark):
         "multimodal_features",
         "sim_topk_vectorized",
         "embedding_contamination_check",
+        # Arrow-batched Python UDTF (ArrowEvalPythonUDTF) — the declared
+        # set-returning-function surface query.
+        "udtf_chunk_spans",
     }, pandas_users
 
 

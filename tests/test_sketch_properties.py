@@ -225,3 +225,48 @@ def test_theta_set_algebra_error_across_overlap_sizes(spark):
         )
         assert abs(row["inter"] - ov) <= 0.08 * ov, (ov, row["inter"])
         assert abs(row["diff"] - (n - ov)) <= 0.08 * (n - ov), (ov, row["diff"])
+
+
+def test_countmin_guarantees_and_geometry(spark):
+    """Count-Min invariants the hash gate can't see (the oracle replays
+    the same arithmetic, so a broken geometry would stay green):
+
+    1. One-sided error is a HARD guarantee: est >= exact for every key
+       at every geometry (each bucket counts a superset of the key).
+    2. Row-count monotonicity is a HARD guarantee when one family
+       prefixes another: min over a superset of hash rows can only
+       tighten, so est_d4(k) <= est_d1(k) per key.
+    3. Width monotonicity is statistical but pinned at extreme
+       separation (32x width, zipf-ish skewed keys): total overestimate
+       at w=2048 must not exceed w=64 — a dead-width bug (w ignored,
+       modulus misrouted) fails by orders of magnitude.
+    """
+    from scats_transis_kinesis_spark.operators.sketches import countmin_estimates
+    from scats_transis_kinesis_spark.plans.pipeline_queries12 import CM_PARAMS
+
+    # Skewed synthetic keys: key = floor(sqrt(id)) gives frequency
+    # ~2k+1 for key k — heavy head, long tail, deterministic.
+    keys = spark.range(0, 40_000).select(
+        F.floor(F.sqrt(F.col("id"))).cast("long").alias("k")
+    )
+
+    d4 = countmin_estimates(keys, "k", CM_PARAMS, 256).collect()
+    assert all(r["est"] >= r["exact"] for r in d4), "one-sided guarantee broken"
+
+    d1 = {
+        r["key"]: r["est"]
+        for r in countmin_estimates(keys, "k", CM_PARAMS[:1], 256).collect()
+    }
+    assert all(r["est"] <= d1[r["key"]] for r in d4), (
+        "adding hash rows must only tighten estimates"
+    )
+
+    def total_over(w):
+        rows = countmin_estimates(keys, "k", CM_PARAMS, w).collect()
+        return sum(r["est"] - r["exact"] for r in rows)
+
+    over_narrow, over_wide = total_over(64), total_over(2048)
+    assert over_wide <= over_narrow, (over_narrow, over_wide)
+    # At w=2048 with ~200 distinct keys the sketch should answer almost
+    # everything exactly; a misrouted width cannot.
+    assert over_wide < over_narrow / 4 or over_narrow == 0
