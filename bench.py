@@ -184,6 +184,8 @@ HEADLINE = [
     "session_window_native",
     "sql_pipe_surface",
     "udtf_chunk_spans",
+    "window_distribution_stats",
+    "map_hof_surface",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -440,3 +440,126 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL chunk_spans(t.doc_id, t.n_toks_total) c
         """
     )
+
+
+# --- Window distribution-function surface -----------------------------
+@register(
+    "window_distribution_stats",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(percent_rank() OVER w, 6) AS balance_pct_rank,
+               round(cume_dist() OVER w, 6) AS balance_cume_dist,
+               ntile(10) OVER w AS balance_decile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="""The distribution window functions (percent_rank, cume_dist,
+    ntile) over customer balances within each nation — the remaining
+    members of the ANSI window surface after window_order_ranks
+    (row_number/rank/dense_rank/lag/lead) and window_frames_running
+    (frames).  percent_rank = (rank-1)/(n-1) and cume_dist = |rows <=
+    current|/n are exact integer ratios (the custkey tiebreak removes
+    ties), so round-6 agrees across engines.  Every window is
+    PARTITIONED by nation — the engine-wide no-unpartitioned-window
+    invariant; at 100 TB each partition computes independently after
+    one keyed shuffle.""",
+)
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+        F.ntile(10).over(w).alias("balance_decile"),
+    )
+
+
+# --- Map higher-order-function surface --------------------------------
+# Month split for the per-user activity-shift maps.
+MAP_HOF_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "map_hof_surface",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_type,
+                   sum(CASE WHEN ts < TIMESTAMP '{MAP_HOF_SPLIT}'
+                            THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   sum(CASE WHEN ts >= TIMESTAMP '{MAP_HOF_SPLIT}'
+                            THEN 1 ELSE 0 END)::BIGINT AS c2
+            FROM events GROUP BY user_id, event_type
+        ), t AS (
+            SELECT user_id, sum(c1 + c2)::BIGINT AS tot FROM c
+            GROUP BY user_id
+        )
+        SELECT c.user_id, c.event_type,
+               (c.c2 - c.c1)::BIGINT AS delta,
+               round(1e6 * (c.c2 - c.c1) / t.tot)::BIGINT AS delta_ppm
+        FROM c JOIN t USING (user_id)
+        WHERE c.c2 <> c.c1
+    """,
+    doc=f"""Per-user activity-shift maps via the MAP higher-order
+    functions — the map-typed complement of hof_array_surface: each
+    user's first-half and second-half event-type count maps
+    (map_from_entries over grouped counts, zero entries dropped with
+    map_filter so the key sets genuinely differ), diffed with
+    map_zip_with over the KEY UNION (missing sides coalesce to 0),
+    zero deltas dropped with a second map_filter, and the surviving
+    values enriched via transform_values (delta plus delta as ppm of
+    the user's total activity) before exploding back to rows.  The
+    split is {MAP_HOF_SPLIT!r}.  Scale shape: maps are bounded at
+    |event types| entries per user — one grouped aggregation and pure
+    codegen'd map expressions after it; the oracle replays the same
+    semantics relationally (conditional halves, full key union via the
+    grouped base, c2 <> c1 filter).""",
+)
+def map_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    split = F.lit(MAP_HOF_SPLIT).cast("timestamp")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("c2"),
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_filter(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c1"))
+            ),
+            lambda _, v: v > 0,
+        ).alias("m1"),
+        F.map_filter(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c2"))
+            ),
+            lambda _, v: v > 0,
+        ).alias("m2"),
+        F.sum(F.col("c1") + F.col("c2")).alias("tot"),
+    )
+    delta = F.map_filter(
+        F.map_zip_with(
+            "m1",
+            "m2",
+            lambda _, a, b: F.coalesce(b, F.lit(0)) - F.coalesce(a, F.lit(0)),
+        ),
+        lambda _, v: v != 0,
+    )
+    enriched = F.transform_values(
+        delta,
+        lambda _, v: F.struct(
+            v.cast("long").alias("delta"),
+            F.round(F.lit(1e6) * v / F.col("tot")).cast("long").alias(
+                "delta_ppm"
+            ),
+        ),
+    )
+    return (
+        maps.select("user_id", F.explode(enriched).alias("event_type", "s"))
+        .select("user_id", "event_type", "s.delta", "s.delta_ppm")
+    )

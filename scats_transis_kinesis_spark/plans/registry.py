@@ -141,6 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_native",
     "sql_pipe_surface",
     "udtf_chunk_spans",
+    "window_distribution_stats",
+    "map_hof_surface",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
