@@ -186,6 +186,7 @@ HEADLINE = [
     "udtf_chunk_spans",
     "window_distribution_stats",
     "map_hof_surface",
+    "ann_recall_audit",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -563,3 +563,112 @@ def map_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         maps.select("user_id", F.explode(enriched).alias("event_type", "s"))
         .select("user_id", "event_type", "s.delta", "s.delta_ppm")
     )
+
+
+# --- ANN recall audit --------------------------------------------------
+def _ann_recall_oracle() -> str:
+    from .extension_queries import _COS, _SIM_QUERY_IDS
+
+    ids = ", ".join(map(str, _SIM_QUERY_IDS))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qvec FROM e
+            WHERE vec_id IN ({ids})
+        ), bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COS.format(a="q.qvec", b="c.v")} DESC,
+                                    c.vec_id) AS rn
+                FROM q JOIN e c ON c.vec_id <> q.query_id
+            ) WHERE rn <= 5
+        ), cents AS (
+            SELECT vec_id AS centroid_id, v AS cvec FROM e
+            ORDER BY vec_id LIMIT 16
+        ), assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT query_id, qvec, centroid_id FROM (
+                SELECT q.query_id, q.qvec, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COS.format(a="q.qvec", b="c.cvec")} DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= 4
+        ), ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY s.query_id
+                           ORDER BY s.cosine_sim DESC, s.neighbor_id) AS rn
+                FROM (
+                    SELECT p.query_id, a.vec_id AS neighbor_id,
+                           {_COS.format(a="p.qvec", b="a.v")} AS cosine_sim
+                    FROM probe p JOIN assigned a USING (centroid_id)
+                    WHERE a.vec_id <> p.query_id
+                ) s
+            ) WHERE rn <= 5
+        )
+        SELECT bf.query_id, 5::BIGINT AS k,
+               count(ivf.neighbor_id)::BIGINT AS n_hits,
+               round(1e6 * count(ivf.neighbor_id) / 5)::BIGINT
+                   AS recall_ppm
+        FROM bf LEFT JOIN ivf
+          ON ivf.query_id = bf.query_id
+         AND ivf.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
+@register(
+    "ann_recall_audit",
+    oracle=_ann_recall_oracle(),
+    doc="""Recall@5 of the IVF-pruned approximate nearest-neighbor path
+    against the exact brute-force ranking, per query — the
+    similarity-search member of the estimate-vs-exact audit family
+    (near_dup_agreement_audit for the dedup detectors, the
+    sketch_mergeability/countmin audits for the sketches): the number a
+    100 TB deployment watches when tuning (num_centroids, nprobe),
+    computed IN-QUERY so a probe-routing regression flips the hashed
+    result.  Reuses the production operators verbatim
+    (operators/similarity.py:cosine_topk_bruteforce /
+    cosine_topk_bucketed, both driver-green as standalone queries);
+    the audit join is per-(query, neighbor) over two bounded
+    |queries|·k frames.  The statistical side (recall floor across
+    corpus draws) is pinned by test_ivf_recall_vs_bruteforce.""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from .extension_queries import _SIM_QUERY_IDS
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = 5
+    exact = S.cosine_topk_bruteforce(emb, query_ids=_SIM_QUERY_IDS, k=k)
+    approx = S.cosine_topk_bucketed(
+        emb, query_ids=_SIM_QUERY_IDS, k=k, num_centroids=16, nprobe=4
+    )
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("hit").cast("long").alias("n_hits"),
+        F.round(F.lit(1e6) * F.count("hit") / F.lit(k))
+        .cast("long")
+        .alias("recall_ppm"),
+    )

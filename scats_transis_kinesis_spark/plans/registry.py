@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_chunk_spans",
     "window_distribution_stats",
     "map_hof_surface",
+    "ann_recall_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
