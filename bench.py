@@ -187,6 +187,7 @@ HEADLINE = [
     "window_distribution_stats",
     "map_hof_surface",
     "ann_recall_audit",
+    "holt_linear_daily",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

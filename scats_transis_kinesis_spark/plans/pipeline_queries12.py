@@ -672,3 +672,96 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# --- Holt linear-trend smoothing ---------------------------------------
+# Fixed smoothing weights: dyadic halves keep every update exact in
+# double before the lockstep round.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+@register(
+    "holt_linear_daily",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+            SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts::DATE) AS i
+            FROM events GROUP BY event_type, ts::DATE
+        ), n AS (
+            SELECT event_type, max(i) AS n_days FROM d GROUP BY event_type
+        ), hw(event_type, i, l, t) AS (
+            SELECT event_type, 1, y, 0.0::DOUBLE FROM d WHERE i = 1
+            UNION ALL
+            SELECT d.event_type, d.i,
+                   round({HOLT_ALPHA}::DOUBLE * d.y
+                         + {1 - HOLT_ALPHA}::DOUBLE * (hw.l + hw.t), 6),
+                   round({HOLT_BETA}::DOUBLE
+                         * (round({HOLT_ALPHA}::DOUBLE * d.y
+                                  + {1 - HOLT_ALPHA}::DOUBLE * (hw.l + hw.t),
+                                  6) - hw.l)
+                         + {1 - HOLT_BETA}::DOUBLE * hw.t, 6)
+            FROM hw JOIN d ON d.event_type = hw.event_type
+                          AND d.i = hw.i + 1
+        )
+        SELECT hw.event_type, n.n_days::BIGINT AS n_days,
+               hw.l AS level, hw.t AS trend,
+               round(hw.l + hw.t, 6) AS forecast_next
+        FROM hw JOIN n USING (event_type) WHERE hw.i = n.n_days
+    """,
+    doc=f"""Holt linear-trend exponential smoothing (Holt '57) of the
+    daily event volume per type — a sequential level/trend recurrence
+    (alpha=beta={HOLT_ALPHA}), the class of per-key ORDERED folds SQL
+    cannot express directly.  Engine side: one grouped count per (type,
+    day), then the day series collects into a bounded per-key array
+    (|days| entries — the LOCF/resample pattern) and the recurrence
+    runs as a codegen'd ``aggregate`` fold with a struct accumulator,
+    every level/trend update ROUNDED to 6 in lockstep so the iterative
+    FP contract is hash-checkable (the k-means trick applied to a
+    recurrence).  The oracle replays the recurrence as a recursive CTE
+    over day-indexed rows — NOT DuckDB's ``list_reduce``, whose struct
+    accumulator exposes already-updated sibling fields (probed on
+    v1.0.0), a semantics trap the CTE form avoids.  Scale shape: state
+    is (level, trend) scalars per key; the array is bounded by the
+    date range, and a longer horizon chunks by (key, month) with
+    carried state exactly like the incremental-aggregation queries.
+    Seeds: level = first day's count, trend = 0.""",
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda r: r["y"],
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
+
+    def step(acc, y):
+        lvl = F.round(F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["t"]), 6)
+        return F.struct(
+            lvl.alias("l"),
+            F.round(
+                F.lit(b) * (lvl - acc["l"]) + F.lit(1 - b) * acc["t"], 6
+            ).alias("t"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), F.lit(2), F.size("ys")),
+        F.struct(
+            F.element_at(F.col("ys"), 1).alias("l"), F.lit(0.0).alias("t")
+        ),
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        state["l"].alias("level"),
+        state["t"].alias("trend"),
+        F.round(state["l"] + state["t"], 6).alias("forecast_next"),
+    )

@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution_stats",
     "map_hof_surface",
     "ann_recall_audit",
+    "holt_linear_daily",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
