@@ -188,6 +188,7 @@ HEADLINE = [
     "map_hof_surface",
     "ann_recall_audit",
     "holt_linear_daily",
+    "kcore_peel_copurchase",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -319,3 +319,50 @@ def pagerank_personalized(
     for frame in (norm, nodes, tele):
         frame.unpersist(blocking=False)
     return ranks
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman '83 coreness, the bounded
+    synchronous variant): each round computes degrees over the
+    surviving subgraph, drops every vertex with degree < ``k``, and
+    restricts the edge list to survivors.  Returns ``(vertex,
+    core_degree)`` — each surviving vertex with its degree INSIDE the
+    round-``rounds`` subgraph.
+
+    The true k-core is the fixpoint; the fixed round count is the
+    deterministic cross-engine contract (the LPA / k-means trick) —
+    a vertex whose degree fell below ``k`` only in the LAST round is
+    still reported, exactly as the oracle's unrolled rounds report it.
+    Convergence-driven peeling is the same loop with the
+    connected-components emptiness probe.
+
+    Per round: one grouped degree count and two semi-joins (the keep
+    set is |survivors| vertex ids — broadcastable long after round 1);
+    each round's edge list is eagerly localCheckpoint-ed so lineage
+    stays flat.  All shuffles are keyed by vertex id."""
+    if rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
+    alive = edges.select(u, v)
+    for _ in range(rounds):
+        bi = alive.select(F.col(u).alias("x")).unionAll(
+            alive.select(F.col(v).alias("x"))
+        )
+        keep = (
+            bi.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("x")
+        )
+        alive = (
+            alive.join(keep.withColumnRenamed("x", u), u, "leftsemi")
+            .join(keep.withColumnRenamed("x", v), v, "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.select(F.col(u).alias("vertex"))
+        .unionAll(alive.select(F.col(v).alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

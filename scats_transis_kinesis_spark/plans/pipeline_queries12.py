@@ -765,3 +765,62 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["t"].alias("trend"),
         F.round(state["l"] + state["t"], 6).alias("forecast_next"),
     )
+
+
+# --- k-core peeling ----------------------------------------------------
+KCORE_K = 12
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    from .pipeline_queries5 import _COPURCHASE_EDGE_CTES
+
+    ctes = [_COPURCHASE_EDGE_CTES, "e0 AS (SELECT u, v FROM edges)"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""k{r} AS (
+                SELECT x FROM (
+                    SELECT u AS x FROM e{r}
+                    UNION ALL SELECT v FROM e{r}
+                ) GROUP BY x HAVING count(*) >= {KCORE_K}
+            )"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS (
+                SELECT u, v FROM e{r}
+                WHERE u IN (SELECT x FROM k{r})
+                  AND v IN (SELECT x FROM k{r})
+            )"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT x AS vertex, count(*)::BIGINT AS core_degree
+        FROM (SELECT u AS x FROM {last} UNION ALL SELECT v FROM {last})
+        GROUP BY x
+    """
+
+
+@register(
+    "kcore_peel_copurchase",
+    oracle=_kcore_oracle(),
+    doc=f"""k-core peeling (Seidman '83) of the 1995 co-purchase graph,
+    k={KCORE_K}, {KCORE_ROUNDS} synchronous rounds
+    (operators/graph.py:kcore_peel): each round drops vertices whose
+    degree in the SURVIVING subgraph fell below k, cascading — the
+    graph-density screen that separates a dense recommendation core
+    from peripheral long-tail parts (and, on dedup-cluster graphs,
+    genuine duplicate cores from chance-collision tendrils).  The
+    fixed round count is the deterministic contract (the LPA/k-means
+    trick; the true core is the fixpoint of the same loop).  Per
+    round: one grouped degree count + two vertex-keyed semi-joins,
+    round edges eagerly checkpointed.  The oracle unrolls the
+    {KCORE_ROUNDS} rounds as chained CTEs.""",
+)
+def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+    from .pipeline_queries5 import _copurchase_edges
+
+    return kcore_peel(
+        _copurchase_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
+    )

@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "map_hof_surface",
     "ann_recall_audit",
     "holt_linear_daily",
+    "kcore_peel_copurchase",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

@@ -212,3 +212,31 @@ def test_pagerank_personalized_path_graph_hand_computed(spark):
         for r in pagerank_personalized(edges, seeds, iterations=3).collect()
     }
     assert got == {"a": 0.15, "b": 0.1275}
+
+
+def test_kcore_peel_cascades_and_keeps_cycle(spark):
+    """Hand-checked graph: a 5-cycle (every vertex degree 2 — a true
+    2-core, survives any number of rounds) with a pendant chain
+    10-11-12 hanging off vertex 0.  k=2 peeling: round 1 drops the
+    chain tip (12 has degree 1... chain: 0-10, 10-11, 11-12: 12 has
+    degree 1, dropped; 11 falls to 1), round 2 drops 11, round 3
+    drops 10 — the cascade the fixed rounds must reproduce — while
+    the cycle keeps all five vertices at degree exactly 2."""
+    from scats_transis_kinesis_spark.operators.graph import kcore_peel
+
+    cycle = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(cycle + chain, "u long, v long")
+
+    got = {
+        r["vertex"]: r["core_degree"]
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+    # One round fewer leaves the last chain vertex still attached.
+    partial = {
+        r["vertex"]: r["core_degree"]
+        for r in kcore_peel(edges, k=2, rounds=2).collect()
+    }
+    assert partial == {0: 3, 1: 2, 2: 2, 3: 2, 4: 2, 10: 1}
