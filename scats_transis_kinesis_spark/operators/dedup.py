@@ -550,6 +550,13 @@ def containment_prefix_pairs(
             F.greatest("p.pid", "q.pid").alias("id_b"),
         )
         .distinct()
+        # Explicit repartition before the exact verify: the candidate
+        # rows are two longs each (tiny bytes) but every row pays an
+        # array_intersect over two full shingle sets (heavy compute),
+        # so AQE coalesces the exchange to ~1 task if allowed — a user
+        # repartition with an explicit count is exempt (measured 10.5 s
+        # -> ~1 s for the verify stage at sf0.1).
+        .repartition(32, "id_a")
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("toks_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("toks_b"))

@@ -480,7 +480,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     several times, and at 100 TB this is a written adjacency table, not
     a recomputed lineage."""
     lines = _copurchase_lines(spark, sf_dir)
-    a, b = lines.alias("a"), lines.alias("b")
+    # Explicit repartition before the within-basket self-join: basket
+    # rows are two longs (tiny shuffle bytes) but the join emits
+    # sum(|basket|^2) pair rows (heavy compute + the distinct that
+    # follows), so AQE coalesces the exchange to ~2 tasks if allowed —
+    # user repartition with an explicit count is exempt.  This helper
+    # feeds every co-purchase graph query, so the fan-out pays off
+    # seven times per bench pass.
+    fanned = lines.repartition(32, "ok")
+    a, b = fanned.alias("a"), fanned.alias("b")
     return (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))

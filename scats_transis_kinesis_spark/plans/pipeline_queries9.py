@@ -469,7 +469,14 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aa_term",
         F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long"),
     )
-    a, b = adjd.alias("a"), adj.alias("b")
+    # Explicit repartition before the wedge self-join: the adjacency
+    # rows are a few longs each (tiny shuffle bytes) but the join emits
+    # sum(deg(w)^2) wedge rows (heavy compute), so AQE coalesces the
+    # exchange to ~2 tasks if allowed — user repartition with an
+    # explicit count is exempt (the SemDeDup/containment-verify
+    # pattern; measured 5.4 s -> ~3 s at sf0.1).
+    adjd = adjd.repartition(32, "w")
+    a, b = adjd.alias("a"), adj.repartition(32, "w").alias("b")
     cn = (
         a.join(
             b,
