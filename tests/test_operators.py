@@ -443,6 +443,51 @@ def test_hierarchical_row_number_matches_global_sort(spark):
     assert got == expected
 
 
+def test_hierarchical_row_number_degenerate_all_ties(spark):
+    """When every order value ties, the helper must still rank (by the
+    tiebreak) WITHOUT an unpartitioned window: numeric tiebreaks
+    re-bucket on the tiebreak; string tiebreaks bucket by first-char
+    codepoint; a fully-constant frame still produces a partitioned
+    plan (constant-valued but column-derived key)."""
+    from scats_transis_kinesis_spark.operators.relational import (
+        hierarchical_row_number,
+    )
+
+    def plan_of(df):
+        jvm = spark.sparkContext._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # Numeric tiebreak: recursion path.
+    df = spark.createDataFrame(
+        [(i, 7) for i in (5, 3, 9, 1, 12)], "id int, v int"
+    )
+    out = hierarchical_row_number(df, F.col("v"), tiebreak="id", out="rn")
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    assert got == {1: 1, 3: 2, 5: 3, 9: 4, 12: 5}
+
+    # String tiebreak: codepoint-bucket path.
+    sdf = spark.createDataFrame(
+        [(k, 7) for k in ("pear", "apple", "zeta", "banana")],
+        "k string, v int",
+    )
+    sout = hierarchical_row_number(sdf, F.col("v"), tiebreak="k", out="rn")
+    sgot = {r["k"]: r["rn"] for r in sout.collect()}
+    assert sgot == {"apple": 1, "banana": 2, "pear": 3, "zeta": 4}
+    # The window in the plan must carry a partition expression (no
+    # foldable-literal key that Spark collapses to SinglePartition).
+    assert "windowspecdefinition(ascii" in plan_of(sout).lower() or (
+        "ascii" in plan_of(sout).lower()
+    )
+
+    # Fully-constant frame (order AND tiebreak tie): ranks are an
+    # arbitrary-but-valid permutation; assert the rank SET.
+    cdf = spark.createDataFrame([(1, 7)] * 4, "id int, v int")
+    cout = hierarchical_row_number(cdf, F.col("v"), tiebreak="id", out="rn")
+    assert sorted(r["rn"] for r in cout.collect()) == [1, 2, 3, 4]
+
+
 def test_bucketed_prefix_sums_matches_global_scan(spark):
     """Running totals + row index from the bucketed prefix scan must
     equal a straight single-threaded scan in global order, on seeded
