@@ -325,6 +325,8 @@ BNL_ALLOWED = {
     "cusum_changepoint_daily",        # 1-row totals/max broadcasts
     "bloom_runtime_filter_audit",     # 1-row n_keys aggregate broadcast
     "k_anonymity_audit",              # 1-row coarse-QI aggregate broadcast
+    "ndcg_quality_ranking",           # 1-row IDCG aggregate crossJoin
+    "ann_recall_audit",               # |query set| = 5 broadcast rows (exact side)
 }
 
 
