@@ -675,95 +675,102 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Holt linear-trend smoothing ---------------------------------------
-# Fixed smoothing weights: dyadic halves keep every update exact in
-# double before the lockstep round.
-HOLT_ALPHA = 0.5
-HOLT_BETA = 0.5
+# Fixed smoothing weights alpha = beta = 1/2, realized as EXACT integer
+# halving in micros: round-half-up(x/2) = floor((x+1)/2).  A
+# round(.,6)-lockstep double contract is NOT safe here — dyadic weights
+# put every intermediate exactly ON a .5e-7 decimal boundary, where
+# Spark (BigDecimal HALF_UP on the binary double) and DuckDB
+# (multiply-and-round) legitimately disagree; a one-ulp flip surfaced
+# at sf0.001.  Integer micros make the recurrence bit-exact by
+# construction.
 
 
 @register(
     "holt_linear_daily",
-    oracle=f"""
+    oracle="""
         WITH RECURSIVE d AS (
-            SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS y,
+            SELECT event_type, ts::DATE AS day,
+                   (count(*) * 1000000)::BIGINT AS ym,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY ts::DATE) AS i
             FROM events GROUP BY event_type, ts::DATE
         ), n AS (
             SELECT event_type, max(i) AS n_days FROM d GROUP BY event_type
         ), hw(event_type, i, l, t) AS (
-            SELECT event_type, 1, y, 0.0::DOUBLE FROM d WHERE i = 1
+            SELECT event_type, 1, ym, 0::BIGINT FROM d WHERE i = 1
             UNION ALL
             SELECT d.event_type, d.i,
-                   round({HOLT_ALPHA}::DOUBLE * d.y
-                         + {1 - HOLT_ALPHA}::DOUBLE * (hw.l + hw.t), 6),
-                   round({HOLT_BETA}::DOUBLE
-                         * (round({HOLT_ALPHA}::DOUBLE * d.y
-                                  + {1 - HOLT_ALPHA}::DOUBLE * (hw.l + hw.t),
-                                  6) - hw.l)
-                         + {1 - HOLT_BETA}::DOUBLE * hw.t, 6)
+                   floor((d.ym + hw.l + hw.t + 1) / 2.0)::BIGINT,
+                   floor((floor((d.ym + hw.l + hw.t + 1) / 2.0)::BIGINT
+                          - hw.l + hw.t + 1) / 2.0)::BIGINT
             FROM hw JOIN d ON d.event_type = hw.event_type
                           AND d.i = hw.i + 1
         )
         SELECT hw.event_type, n.n_days::BIGINT AS n_days,
-               hw.l AS level, hw.t AS trend,
-               round(hw.l + hw.t, 6) AS forecast_next
+               hw.l AS level_micros, hw.t AS trend_micros,
+               (hw.l + hw.t)::BIGINT AS forecast_micros
         FROM hw JOIN n USING (event_type) WHERE hw.i = n.n_days
     """,
-    doc=f"""Holt linear-trend exponential smoothing (Holt '57) of the
+    doc="""Holt linear-trend exponential smoothing (Holt '57) of the
     daily event volume per type — a sequential level/trend recurrence
-    (alpha=beta={HOLT_ALPHA}), the class of per-key ORDERED folds SQL
+    (alpha = beta = 1/2), the class of per-key ORDERED folds SQL
     cannot express directly.  Engine side: one grouped count per (type,
     day), then the day series collects into a bounded per-key array
     (|days| entries — the LOCF/resample pattern) and the recurrence
-    runs as a codegen'd ``aggregate`` fold with a struct accumulator,
-    every level/trend update ROUNDED to 6 in lockstep so the iterative
-    FP contract is hash-checkable (the k-means trick applied to a
-    recurrence).  The oracle replays the recurrence as a recursive CTE
-    over day-indexed rows — NOT DuckDB's ``list_reduce``, whose struct
-    accumulator exposes already-updated sibling fields (probed on
-    v1.0.0), a semantics trap the CTE form avoids.  Scale shape: state
-    is (level, trend) scalars per key; the array is bounded by the
-    date range, and a longer horizon chunks by (key, month) with
-    carried state exactly like the incremental-aggregation queries.
-    Seeds: level = first day's count, trend = 0.""",
+    runs as a codegen'd ``aggregate`` fold with a struct accumulator.
+    The state is EXACT INTEGER MICROS — each half-weight update is
+    round-half-up(x/2) = floor((x+1)/2) on integers, so the contract
+    has no FP anywhere (a round-6 double lockstep was tried first and
+    flipped one ulp at sf0.001: dyadic weights put every value ON the
+    decimal rounding boundary, where Spark's BigDecimal HALF_UP and
+    DuckDB's multiply-and-round disagree).  The oracle replays the
+    recurrence as a recursive CTE over day-indexed rows — NOT DuckDB's
+    ``list_reduce``, whose struct accumulator exposes already-updated
+    sibling fields (probed on v1.0.0).  Scale shape: state is (level,
+    trend) scalars per key; the array is bounded by the date range,
+    and a longer horizon chunks by (key, month) with carried state
+    exactly like the incremental-aggregation queries.  Seeds: level =
+    first day's count in micros, trend = 0.""",
 )
 def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    ).agg((F.count(F.lit(1)) * F.lit(1_000_000)).alias("ym"))
     series = daily.groupBy("event_type").agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("day", "y"))),
-            lambda r: r["y"],
+            F.sort_array(F.collect_list(F.struct("day", "ym"))),
+            lambda r: r["ym"],
         ).alias("ys"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
-    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
 
-    def step(acc, y):
-        lvl = F.round(F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["t"]), 6)
+    def half_up(x):
+        # round-half-up(x/2) on integers; the double division is exact
+        # below 2^53 micros and floor() restores the integer.
+        return F.floor((x + F.lit(1)) / F.lit(2.0)).cast("long")
+
+    def step(acc, ym):
+        lvl = half_up(ym + acc["l"] + acc["t"])
         return F.struct(
             lvl.alias("l"),
-            F.round(
-                F.lit(b) * (lvl - acc["l"]) + F.lit(1 - b) * acc["t"], 6
-            ).alias("t"),
+            half_up(lvl - acc["l"] + acc["t"]).alias("t"),
         )
 
     state = F.aggregate(
         F.slice(F.col("ys"), F.lit(2), F.size("ys")),
         F.struct(
-            F.element_at(F.col("ys"), 1).alias("l"), F.lit(0.0).alias("t")
+            F.element_at(F.col("ys"), 1).cast("long").alias("l"),
+            F.lit(0).cast("long").alias("t"),
         ),
         step,
     )
     return series.select(
         "event_type",
         "n_days",
-        state["l"].alias("level"),
-        state["t"].alias("trend"),
-        F.round(state["l"] + state["t"], 6).alias("forecast_next"),
+        state["l"].alias("level_micros"),
+        state["t"].alias("trend_micros"),
+        (state["l"] + state["t"]).cast("long").alias("forecast_micros"),
     )
 
 
