@@ -189,6 +189,7 @@ HEADLINE = [
     "ann_recall_audit",
     "holt_linear_daily",
     "kcore_peel_copurchase",
+    "mrr_quality_by_source",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

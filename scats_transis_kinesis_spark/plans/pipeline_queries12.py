@@ -831,3 +831,77 @@ def kcore_peel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(
         _copurchase_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
     )
+
+
+# --- Mean reciprocal rank ----------------------------------------------
+@register(
+    "mrr_quality_by_source",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS r
+            FROM documents
+        ), firsts AS (
+            SELECT source, min(r) AS first_rel
+            FROM ranked WHERE lang = 'en' GROUP BY source
+        ), rr AS (
+            SELECT s.source,
+                   coalesce(round(1000000.0 / f.first_rel), 0)::BIGINT
+                       AS rr_ppm
+            FROM (SELECT DISTINCT source FROM documents) s
+            LEFT JOIN firsts f USING (source)
+        )
+        SELECT count(*)::BIGINT AS n_queries,
+               sum(CASE WHEN rr_ppm > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_with_relevant,
+               sum(rr_ppm)::BIGINT AS total_rr_ppm,
+               round(sum(rr_ppm)::DOUBLE / count(*))::BIGINT AS mrr_ppm
+        FROM rr
+    """,
+    doc="""Mean reciprocal rank of the first relevant ('en') document
+    across per-source length rankings — each source acts as a query,
+    the position of its first relevant hit contributes 1/rank
+    (integer ppm; sources with no relevant doc contribute 0) — the
+    last member of the ranking-evaluation family
+    (quality_precision_at_k = one cutoff, quality_auc_en = every
+    cutoff, ndcg_quality_ranking = graded positions, this = first-hit
+    latency, the navigational-retrieval metric).  Scale shape: one
+    source-PARTITIONED rank window, a grouped min, and a
+    |sources|-row summary — no global window, no collect.""",
+)
+def mrr_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    r = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    ranked = docs.select("source", "lang", r.alias("r"))
+    firsts = (
+        ranked.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.min("r").alias("first_rel"))
+    )
+    rr = (
+        docs.select("source")
+        .distinct()
+        .join(firsts, "source", "left")
+        .select(
+            F.coalesce(
+                F.round(F.lit(1000000.0) / F.col("first_rel")), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_ppm")
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rr_ppm") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_relevant"),
+        F.sum("rr_ppm").cast("long").alias("total_rr_ppm"),
+        F.round(F.sum("rr_ppm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mrr_ppm"),
+    )

@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_audit",
     "holt_linear_daily",
     "kcore_peel_copurchase",
+    "mrr_quality_by_source",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
