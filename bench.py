@@ -190,6 +190,11 @@ HEADLINE = [
     "holt_linear_daily",
     "kcore_peel_copurchase",
     "mrr_quality_by_source",
+    "hits_hubs_authorities",
+    "kaplan_meier_retention",
+    "order_concurrency_peaks",
+    "mutual_information_lang_source",
+    "markov_stationary_events",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

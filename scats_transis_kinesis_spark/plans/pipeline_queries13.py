@@ -1,0 +1,551 @@
+"""Round-5 final batch — classical graph/survival/interval/information
+analytics that were still missing from the surface:
+
+- ``hits_hubs_authorities`` — Kleinberg's HITS ('99) on the bipartite
+  1995 customer→part purchase graph: alternating hub/authority updates,
+  two synchronous rounds, max-normalized to EXACT INTEGER MICROS each
+  half-step (the Holt lesson: iterative contracts must carry no FP).
+- ``kaplan_meier_retention`` — the Kaplan–Meier ('58) product-limit
+  survival estimator over customer order-span lifetimes with explicit
+  right-censoring, folded sequentially in integer micros.
+- ``order_concurrency_peaks`` — sweep-line maximum-concurrent-intervals
+  over order fulfillment windows ([orderdate, last shipdate]): the
+  classic +1/−1 delta trick, aggregated to calendar days BEFORE the
+  running sum so the ordered scan is over the bounded day frame.
+- ``mutual_information_lang_source`` — mutual information (nats) and
+  the two marginal entropies between document language and source —
+  the dependence screen next to chi2_lang_source_independence (chi2
+  answers "is there dependence", MI answers "how many bits").
+- ``markov_stationary_events`` — stationary distribution of the
+  first-order event-type Markov chain (event_transition_matrix's
+  counts made row-stochastic in integer micros) by three unrolled
+  power-iteration rounds with per-term integer flooring.
+
+Scale shapes: HITS is two grouped sums + a broadcast max per
+half-round on an edge list that shuffles once (the PageRank economics;
+at extreme scale the int64 headroom documented inline moves to
+decimal(38)); Kaplan–Meier and the sweep line aggregate the raw data
+to a BOUNDED frame (distinct lifetime weeks / calendar days) and run
+the sequential recurrence as one codegen'd ``aggregate`` fold — no
+unpartitioned window ever touches row-scale data; MI and the
+stationary chain operate on |langs×sources| and |types|² cells —
+driver-size state over arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loaders import load_table
+from .registry import register
+
+HITS_ROUNDS = 2
+HITS_TOPK = 10
+KM_CENSOR_DAYS = 90
+PEAK_TOPK = 10
+MARKOV_ROUNDS = 3
+
+
+def _idiv(num: Column, den: Column) -> Column:
+    """Exact floor division on non-negative longs, safe past 2^53:
+    ``num - num % den`` is an exact multiple of ``den`` in int64, so
+    the double division that follows is exact whenever the QUOTIENT
+    fits in 53 bits (every use here bounds it by 1e6·|keys|)."""
+    return ((num - num % den) / den).cast("long")
+
+
+# --- HITS ----------------------------------------------------------------
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """ce AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1996-01-01'
+        )""",
+        "h0 AS (SELECT c, 1000000::BIGINT AS hm FROM (SELECT DISTINCT c FROM ce))",
+    ]
+    for t in range(HITS_ROUNDS):
+        ctes.append(
+            f"""a{t + 1}r AS (
+                SELECT p, sum(hm)::BIGINT AS ar
+                FROM ce JOIN h{t} USING (c) GROUP BY p
+            )"""
+        )
+        ctes.append(f"a{t + 1}m AS (SELECT max(ar) AS m FROM a{t + 1}r)")
+        ctes.append(
+            f"""a{t + 1} AS (
+                SELECT p, ((ar::HUGEINT * 1000000) // m)::BIGINT AS am
+                FROM a{t + 1}r, a{t + 1}m
+            )"""
+        )
+        ctes.append(
+            f"""h{t + 1}r AS (
+                SELECT c, sum(am)::BIGINT AS hr
+                FROM ce JOIN a{t + 1} USING (p) GROUP BY c
+            )"""
+        )
+        ctes.append(f"h{t + 1}m AS (SELECT max(hr) AS m FROM h{t + 1}r)")
+        ctes.append(
+            f"""h{t + 1} AS (
+                SELECT c, ((hr::HUGEINT * 1000000) // m)::BIGINT AS hm
+                FROM h{t + 1}r, h{t + 1}m
+            )"""
+        )
+    last = HITS_ROUNDS
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT * FROM (
+            SELECT 'authority' AS role, p AS node_id, am AS score_micros
+            FROM a{last} ORDER BY am DESC, p LIMIT {HITS_TOPK}
+        )
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'hub' AS role, c AS node_id, hm AS score_micros
+            FROM h{last} ORDER BY hm DESC, c LIMIT {HITS_TOPK}
+        )
+    """
+
+
+@register(
+    "hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc=f"""HITS (Kleinberg '99) on the bipartite 1995 customer→part
+    purchase graph: hubs are customers (they buy broadly-endorsed
+    parts), authorities are parts (they are bought by strong hubs) —
+    the mutual-reinforcement companion to pagerank_nation_trade, and
+    on a dedup-candidate graph the standard way to separate template
+    "hub" documents from the genuine centers they link.
+    {HITS_ROUNDS} synchronous rounds, each half-step max-normalized to
+    integer micros (``(raw·1e6) div max`` — no FP anywhere, the Holt
+    lesson); top {HITS_TOPK} per role with id tiebreaks.  Scale shape:
+    the edge list shuffles once per half-round for a grouped sum
+    (partial-aggregated map-side), the max is a broadcast scalar;
+    int64 headroom is raw ≤ 1e6·|customers| so micros·raw stays under
+    2^63 up to ~9e6 customers per part — past that the same plan runs
+    on decimal(38).""",
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ce = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = ce.select("c").distinct().withColumn(
+        "hm", F.lit(1_000_000).cast("long")
+    )
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        araw = ce.join(hub, "c").groupBy("p").agg(
+            F.sum("hm").cast("long").alias("ar")
+        )
+        amax = araw.agg(F.max("ar").alias("m"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "p", _idiv(F.col("ar") * F.lit(1_000_000), F.col("m")).alias("am")
+        )
+        hraw = ce.join(auth, "p").groupBy("c").agg(
+            F.sum("am").cast("long").alias("hr")
+        )
+        hmax = hraw.agg(F.max("hr").alias("m"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "c", _idiv(F.col("hr") * F.lit(1_000_000), F.col("m")).alias("hm")
+        )
+    top_auth = (
+        auth.orderBy(F.col("am").desc(), "p")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").alias("node_id"),
+            F.col("am").alias("score_micros"),
+        )
+    )
+    top_hub = (
+        hub.orderBy(F.col("hm").desc(), "c")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node_id"),
+            F.col("hm").alias("score_micros"),
+        )
+    )
+    return top_auth.unionAll(top_hub)
+
+
+# --- Kaplan–Meier --------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle=f"""
+        WITH RECURSIVE span AS (
+            SELECT o_custkey,
+                   min(o_orderdate)::DATE AS first_d,
+                   max(o_orderdate)::DATE AS last_d
+            FROM orders GROUP BY o_custkey
+        ), cutoff AS (SELECT max(o_orderdate)::DATE AS cut FROM orders),
+        per AS (
+            SELECT (date_diff('day', first_d, last_d) // 7)::BIGINT AS dur,
+                   CASE WHEN last_d < cut - INTERVAL {KM_CENSOR_DAYS} DAY
+                        THEN 1 ELSE 0 END AS ev
+            FROM span, cutoff
+        ), grp AS (
+            SELECT dur, count(*)::BIGINT AS c, sum(ev)::BIGINT AS d
+            FROM per GROUP BY dur
+        ), idx AS (
+            SELECT dur, c, d, row_number() OVER (ORDER BY dur) AS i FROM grp
+        ), tot AS (SELECT count(*)::BIGINT AS n FROM per),
+        km(i, dur, n_risk, d, s, at_next) AS (
+            SELECT i, dur, tot.n, d,
+                   ((1000000 * (tot.n - d)) // tot.n)::BIGINT,
+                   tot.n - c
+            FROM idx, tot WHERE i = 1
+            UNION ALL
+            SELECT idx.i, idx.dur, km.at_next, idx.d,
+                   ((km.s * (km.at_next - idx.d)) // km.at_next)::BIGINT,
+                   km.at_next - idx.c
+            FROM km JOIN idx ON idx.i = km.i + 1
+        )
+        SELECT dur AS duration_weeks, n_risk, d AS n_events,
+               s AS surv_micros
+        FROM km
+    """,
+    doc=f"""Kaplan–Meier ('58) product-limit survival estimator over
+    customer lifetimes (weeks between first and last order), with
+    explicit right-censoring: a customer whose last order falls within
+    {KM_CENSOR_DAYS} days of the dataset horizon is CENSORED (still
+    alive), not an event — the estimator the retention/churn family
+    (cohort_weekly_retention, user_daily_streaks) needs to be
+    statistically honest about the open end of the observation window.
+    S(t) = Π (1 − d_i/n_i) folded in EXACT INTEGER MICROS
+    (``(s·(n−d)) div n`` per step — the sequential-recurrence class,
+    same contract discipline as holt_linear_daily).  Scale shape: the
+    row-scale work is one groupBy(customer) span + one groupBy(week)
+    count; the recurrence runs over the BOUNDED distinct-week frame
+    (≤ date-range/7 rows) collected into a single codegen'd
+    ``aggregate`` fold — never an unpartitioned window over row-scale
+    data.  The oracle replays the fold as a recursive CTE.""",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    cutoff = orders.agg(F.max(F.to_date("o_orderdate")).alias("cut"))
+    per = span.crossJoin(F.broadcast(cutoff)).select(
+        F.floor(F.datediff("last_d", "first_d") / 7)
+        .cast("long")
+        .alias("dur"),
+        F.when(
+            F.col("last_d") < F.date_sub("cut", KM_CENSOR_DAYS), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    grp = per.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    series = grp.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "c", "d"))).alias("xs"),
+        F.sum("c").cast("long").alias("n"),
+    )
+
+    def step(acc, x):
+        n_risk = acc["at"]
+        s2 = _idiv(acc["s"] * (n_risk - x["d"]), n_risk)
+        row = F.struct(
+            x["dur"].alias("duration_weeks"),
+            n_risk.alias("n_risk"),
+            x["d"].alias("n_events"),
+            s2.alias("surv_micros"),
+        )
+        return F.struct(
+            (n_risk - x["c"]).alias("at"),
+            s2.alias("s"),
+            F.array_append(acc["out"], row).alias("out"),
+        )
+
+    folded = series.select(
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                F.col("n").alias("at"),
+                F.lit(1_000_000).cast("long").alias("s"),
+                F.expr(
+                    "CAST(array() AS ARRAY<STRUCT<duration_weeks: BIGINT,"
+                    " n_risk: BIGINT, n_events: BIGINT, surv_micros: BIGINT>>)"
+                ).alias("out"),
+            ),
+            step,
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    return folded.select(F.explode("out").alias("r")).select("r.*")
+
+
+# --- Sweep-line concurrency ---------------------------------------------
+
+
+@register(
+    "order_concurrency_peaks",
+    oracle=f"""
+        WITH iv AS (
+            SELECT o.o_orderkey, o.o_orderdate::DATE AS s,
+                   max(l.l_shipdate)::DATE AS e
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate::DATE
+        ), delta AS (
+            SELECT s AS day, 1 AS dlt FROM iv
+            UNION ALL
+            SELECT (e + INTERVAL 1 DAY)::DATE, -1 FROM iv
+        ), byday AS (
+            SELECT day, sum(dlt)::BIGINT AS net FROM delta GROUP BY day
+        ), run AS (
+            SELECT day, sum(net) OVER (ORDER BY day)::BIGINT AS concurrent
+            FROM byday
+        )
+        SELECT day, concurrent FROM run
+        ORDER BY concurrent DESC, day LIMIT {PEAK_TOPK}
+    """,
+    doc=f"""Sweep-line maximum-concurrent-intervals over order
+    fulfillment windows [o_orderdate, last l_shipdate]: the classic
+    +1-at-start / −1-after-end delta encoding, the peak-load question
+    ("how many orders were in flight at once, and when?") that a naive
+    interval self-join answers in O(n²).  Top {PEAK_TOPK} peak days
+    with day tiebreaks.  Scale shape: interval endpoints aggregate to
+    per-day NET deltas first (one row-scale shuffle, map-side
+    combined), so the running prefix sum scans the BOUNDED calendar
+    frame (|distinct days|, ~2.4k for the TPC-H range) as one
+    ``aggregate`` fold — the sweep itself never sees row-scale data
+    and no unpartitioned window exists in the plan.  All-integer
+    arithmetic; the oracle uses the equivalent ordered window over the
+    same bounded frame.""",
+)
+def order_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    iv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    delta = iv.select(
+        F.col("s").alias("day"), F.lit(1).alias("dlt")
+    ).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("dlt"))
+    )
+    byday = delta.groupBy("day").agg(F.sum("dlt").cast("long").alias("net"))
+    series = byday.agg(
+        F.sort_array(F.collect_list(F.struct("day", "net"))).alias("xs")
+    )
+
+    def step(acc, x):
+        run2 = (acc["run"] + x["net"]).alias("run")
+        row = F.struct(
+            x["day"].alias("day"), (acc["run"] + x["net"]).alias("concurrent")
+        )
+        return F.struct(run2, F.array_append(acc["out"], row).alias("out"))
+
+    folded = series.select(
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                F.lit(0).cast("long").alias("run"),
+                F.expr(
+                    "CAST(array() AS ARRAY<STRUCT<day: DATE, concurrent: BIGINT>>)"
+                ).alias("out"),
+            ),
+            step,
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select("r.*")
+        .orderBy(F.col("concurrent").desc(), "day")
+        .limit(PEAK_TOPK)
+    )
+
+
+# --- Mutual information --------------------------------------------------
+
+
+@register(
+    "mutual_information_lang_source",
+    oracle="""
+        WITH cell AS (
+            SELECT lang, source, count(*)::DOUBLE AS c
+            FROM documents GROUP BY lang, source
+        ), ml AS (SELECT lang, sum(c) AS nx FROM cell GROUP BY lang),
+        ms AS (SELECT source, sum(c) AS ny FROM cell GROUP BY source),
+        tot AS (SELECT sum(c) AS n FROM cell)
+        SELECT tot.n::BIGINT AS n_docs,
+               round(sum((c / tot.n) * ln((c * tot.n) / (nx * ny))), 6)
+                   AS mi_nats,
+               round(-sum((c / tot.n) * ln(nx / tot.n)), 6) AS h_lang,
+               round(-sum((c / tot.n) * ln(ny / tot.n)), 6) AS h_source
+        FROM cell
+        JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+        GROUP BY tot.n
+    """,
+    doc="""Mutual information (nats) between document language and
+    source, with both marginal entropies — the dependence STRENGTH
+    companion to chi2_lang_source_independence (chi2 tests whether
+    lang⊥source; MI says how much knowing the source tells you about
+    the language, the quantity a corpus-mixing plan actually budgets).
+    H entropies are computed cell-wise (−Σ p(x,y)·ln p(x) ≡
+    −Σ p(x)·ln p(x)) so all three numbers share one |langs×sources|
+    frame.  Scale shape: one grouped count over the corpus, then
+    arithmetic on the bounded contingency table — identical economics
+    to the chi2/KL family (domain_shift_kl's lockstep ln/round-6
+    contract).""",
+)
+def mutual_information_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ml = cell.groupBy("lang").agg(F.sum("c").alias("nx"))
+    ms = cell.groupBy("source").agg(F.sum("c").alias("ny"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cell.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum(p * F.log((F.col("c") * F.col("n")) / (F.col("nx") * F.col("ny")))),
+                6,
+            ).alias("mi_nats"),
+            F.round(-F.sum(p * F.log(F.col("nx") / F.col("n"))), 6).alias(
+                "h_lang"
+            ),
+            F.round(-F.sum(p * F.log(F.col("ny") / F.col("n"))), 6).alias(
+                "h_source"
+            ),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            "mi_nats",
+            "h_lang",
+            "h_source",
+        )
+    )
+
+
+# --- Markov stationary distribution -------------------------------------
+
+
+def _markov_oracle() -> str:
+    ctes = [
+        """seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )""",
+        """tc AS (
+            SELECT prev_type AS prev, event_type AS nxt,
+                   count(*)::BIGINT AS c
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )""",
+        "rt AS (SELECT prev, sum(c)::BIGINT AS tot FROM tc GROUP BY prev)",
+        """pm AS (
+            SELECT prev, nxt, ((c * 1000000) // tot)::BIGINT AS p
+            FROM tc JOIN rt USING (prev)
+        )""",
+        "st AS (SELECT DISTINCT event_type AS s FROM events)",
+        "k AS (SELECT count(*)::BIGINT AS kk FROM st)",
+        "v0 AS (SELECT s, (1000000 // kk)::BIGINT AS vm FROM st, k)",
+    ]
+    for t in range(MARKOV_ROUNDS):
+        ctes.append(
+            f"""w{t + 1} AS (
+                SELECT pm.nxt AS s,
+                       sum((v{t}.vm * pm.p) // 1000000)::BIGINT AS vm
+                FROM v{t} JOIN pm ON pm.prev = v{t}.s GROUP BY pm.nxt
+            )"""
+        )
+        ctes.append(
+            f"""v{t + 1} AS (
+                SELECT st.s, coalesce(w{t + 1}.vm, 0)::BIGINT AS vm
+                FROM st LEFT JOIN w{t + 1} ON w{t + 1}.s = st.s
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT s AS event_type, vm AS stationary_micros
+        FROM v{MARKOV_ROUNDS}
+    """
+
+
+@register(
+    "markov_stationary_events",
+    oracle=_markov_oracle(),
+    doc=f"""Stationary distribution of the first-order event-type
+    Markov chain: event_transition_matrix's (prev→next) counts made
+    row-stochastic in integer micros, then {MARKOV_ROUNDS} unrolled
+    power-iteration rounds v·P from a uniform start — "where does user
+    behavior settle", the steady-state companion to the transition
+    counts and event_path_trigrams.  Every probability and every
+    update term is floored integer micros (per-term flooring BEFORE
+    the sum keeps the result independent of addition order — no FP in
+    the contract; the ≤|types| floor losses per round are documented
+    estimator bias, not noise).  Scale shape: the row-scale work is
+    the one per-user lag shuffle that builds the counts; the chain
+    itself is a |types|² table iterated entirely on broadcast-size
+    frames — driver-size state over arbitrarily large event logs.""",
+)
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    tc = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rt = tc.groupBy("prev").agg(F.sum("c").cast("long").alias("tot"))
+    pm = tc.join(rt, "prev").select(
+        "prev", "nxt", _idiv(F.col("c") * F.lit(1_000_000), F.col("tot")).alias("p")
+    )
+    st = events.select(F.col("event_type").alias("s")).distinct()
+    k = st.agg(F.count(F.lit(1)).cast("long").alias("kk"))
+    v = st.crossJoin(F.broadcast(k)).select(
+        "s", _idiv(F.lit(1_000_000), F.col("kk")).alias("vm")
+    )
+    for _ in range(MARKOV_ROUNDS):
+        terms = v.join(F.broadcast(pm), v.s == pm.prev).select(
+            F.col("nxt").alias("s2"),
+            _idiv(F.col("vm") * F.col("p"), F.lit(1_000_000)).alias("term"),
+        )
+        sums = terms.groupBy("s2").agg(F.sum("term").cast("long").alias("vm2"))
+        v = st.join(F.broadcast(sums), st.s == sums.s2, "left").select(
+            "s", F.coalesce("vm2", F.lit(0)).cast("long").alias("vm")
+        )
+    return v.select(
+        F.col("s").alias("event_type"), F.col("vm").alias("stationary_micros")
+    )

@@ -147,6 +147,11 @@ _PRIORITY: tuple[str, ...] = (
     "holt_linear_daily",
     "kcore_peel_copurchase",
     "mrr_quality_by_source",
+    "hits_hubs_authorities",
+    "kaplan_meier_retention",
+    "order_concurrency_peaks",
+    "mutual_information_lang_source",
+    "markov_stationary_events",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -217,3 +222,4 @@ from . import pipeline_queries9  # noqa: E402,F401
 from . import pipeline_queries10  # noqa: E402,F401
 from . import pipeline_queries11  # noqa: E402,F401
 from . import pipeline_queries12  # noqa: E402,F401
+from . import pipeline_queries13  # noqa: E402,F401
