@@ -195,6 +195,9 @@ HEADLINE = [
     "order_concurrency_peaks",
     "mutual_information_lang_source",
     "markov_stationary_events",
+    "association_rules_triples",
+    "sssp_weighted_copurchase",
+    "grid_density_clusters",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

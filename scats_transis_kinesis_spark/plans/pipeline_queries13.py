@@ -549,3 +549,449 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("s").alias("event_type"), F.col("vm").alias("stationary_micros")
     )
+
+
+# --- A-priori frequent triples ------------------------------------------
+
+ASSOC3_MIN = 3
+ASSOC3_TOPK = 20
+
+# Customer-lifetime baskets (all parts a customer ever bought): the
+# 1995 order baskets peak at pair support 2, so the k=3 level needs the
+# wider basket definition to have any support->=3 structure to mine.
+_CUST_LINES_CTE = """lines AS (
+            SELECT DISTINCT o.o_custkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )"""
+
+
+@register(
+    "association_rules_triples",
+    oracle=f"""
+        WITH {_CUST_LINES_CTE}, n AS (
+            SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM lines
+        ), item AS (
+            SELECT pk, count(*)::BIGINT AS c FROM lines GROUP BY pk
+        ), bp AS (
+            SELECT a.ok, a.pk AS u, b.pk AS v
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+        ), pc AS (
+            SELECT u, v, count(*)::BIGINT AS c_ab FROM bp GROUP BY u, v
+        ), f2 AS (
+            SELECT u, v FROM pc WHERE c_ab >= {ASSOC3_MIN}
+        ), cand AS (
+            SELECT bp.ok, bp.u, bp.v FROM bp JOIN f2 USING (u, v)
+        ), tri AS (
+            SELECT cand.u AS pk_a, cand.v AS pk_b, l.pk AS pk_c,
+                   count(*)::BIGINT AS c_abc
+            FROM cand
+            JOIN lines l ON l.ok = cand.ok AND l.pk > cand.v
+            JOIN f2 f23 ON f23.u = cand.v AND f23.v = l.pk
+            JOIN f2 f13 ON f13.u = cand.u AND f13.v = l.pk
+            GROUP BY cand.u, cand.v, l.pk
+            HAVING count(*) >= {ASSOC3_MIN}
+        ), top AS (
+            SELECT * FROM tri
+            ORDER BY c_abc DESC, pk_a, pk_b, pk_c LIMIT {ASSOC3_TOPK}
+        )
+        SELECT t.pk_a, t.pk_b, t.pk_c, t.c_abc,
+               ((t.c_abc::HUGEINT * 1000000) // n.n_baskets)::BIGINT
+                   AS support_micros,
+               ((t.c_abc::HUGEINT * 1000000) // pc.c_ab)::BIGINT
+                   AS confidence_micros,
+               ((t.c_abc::HUGEINT * 1000000 * n.n_baskets)
+                    // (pc.c_ab * item.c))::BIGINT AS lift_micros
+        FROM top t
+        JOIN pc ON pc.u = t.pk_a AND pc.v = t.pk_b
+        JOIN item ON item.pk = t.pk_c
+        CROSS JOIN n
+    """,
+    doc=f"""Apriori level-3 market-basket mining (Agrawal & Srikant
+    '94) over customer-lifetime baskets: the top-{ASSOC3_TOPK}
+    3-itemsets with support >= {ASSOC3_MIN}, plus support, confidence
+    ((a,b) -> c) and lift in floor-integer micros.  The Spark path is
+    the REAL Apriori economics: within-basket pairs are semi-joined
+    against the frequent-pair set F2 BEFORE extending to a third item,
+    and both closing sub-pairs (b,c), (a,c) must also be in F2 — the
+    downward-closure prune is LOSSLESS for support >= {ASSOC3_MIN}
+    (every frequent triple's sub-pairs are frequent), so the candidate
+    triple enumeration touches a vanishing fraction of the naive
+    |basket|^3 blow-up.  The oracle applies the identical (lossless)
+    prune.  Scale shape: basket self-joins are ok-keyed equi-joins
+    bounded by per-basket width, F2 is a filtered aggregate that
+    broadcasts, and the {ASSOC3_TOPK}-row report frame broadcasts into
+    the metric joins (the pairs-query pattern).""",
+)
+def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .repartition(32, "ok")
+        .localCheckpoint(eager=True)
+    )
+    n = lines.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    item = lines.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = lines.alias("a"), lines.alias("b")
+    bp = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(
+        F.col("a.ok").alias("ok"),
+        F.col("a.pk").alias("u"),
+        F.col("b.pk").alias("v"),
+    )
+    pc = bp.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    f2 = (
+        pc.where(F.col("c_ab") >= ASSOC3_MIN)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    # Candidate (basket, u, v) rows are RECONSTRUCTED from the tiny
+    # frequent-pair set rather than by re-running the |basket|² self-
+    # join: broadcast f2 against the basket lines on u, then semi-join
+    # the (ok, v) membership — the candidate frame is Σ support(f2)
+    # rows (≈3·|f2|), orders of magnitude under the raw pair frame.
+    # This is the true Apriori shape: ONE L2 counting pass (bp→pc),
+    # then frequent-pair-driven candidate generation.
+    c1 = lines.join(
+        F.broadcast(f2), lines.pk == f2.u, "inner"
+    ).select("ok", "u", "v")
+    cand = c1.join(
+        lines.select("ok", F.col("pk").alias("v")), ["ok", "v"], "left_semi"
+    )
+    ext = cand.join(
+        lines.select(F.col("ok"), F.col("pk").alias("w")), "ok"
+    ).where(F.col("w") > F.col("v"))
+    ext = ext.join(
+        F.broadcast(f2.select(F.col("u").alias("v"), F.col("v").alias("w"))),
+        ["v", "w"],
+        "left_semi",
+    ).join(
+        F.broadcast(f2.select(F.col("u"), F.col("v").alias("w"))),
+        ["u", "w"],
+        "left_semi",
+    )
+    tri = (
+        ext.groupBy(
+            F.col("u").alias("pk_a"),
+            F.col("v").alias("pk_b"),
+            F.col("w").alias("pk_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
+        .where(F.col("c_abc") >= ASSOC3_MIN)
+    )
+    top = tri.orderBy(
+        F.desc("c_abc"), "pk_a", "pk_b", "pk_c"
+    ).limit(ASSOC3_TOPK).localCheckpoint(eager=True)
+    # Confidence needs c_ab for the {TOPK} report pairs only — re-count
+    # those from the basket lines under a broadcast of the report frame
+    # instead of evaluating the full L2 pair aggregate a second time
+    # (two broadcast-hash probes over lines vs another |basket|²
+    # self-join; the L2 pass already ran once to produce f2).
+    tp = top.select("pk_a", "pk_b").distinct()
+    cab = (
+        lines.join(F.broadcast(tp), lines.pk == tp.pk_a)
+        .select("ok", "pk_a", "pk_b")
+        .join(
+            lines.select("ok", F.col("pk").alias("pk_b")),
+            ["ok", "pk_b"],
+            "left_semi",
+        )
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    m = F.lit(1_000_000)
+    return (
+        F.broadcast(top)
+        .join(F.broadcast(cab), ["pk_a", "pk_b"])
+        .join(item.select(F.col("pk").alias("pk_c"), "c"), "pk_c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "pk_c",
+            "c_abc",
+            _idiv(F.col("c_abc") * m, F.col("n_baskets")).alias(
+                "support_micros"
+            ),
+            _idiv(F.col("c_abc") * m, F.col("c_ab")).alias(
+                "confidence_micros"
+            ),
+            _idiv(
+                F.col("c_abc") * m * F.col("n_baskets"),
+                F.col("c_ab") * F.col("c"),
+            ).alias("lift_micros"),
+        )
+    )
+
+
+# --- Weighted SSSP (Bellman–Ford, bounded rounds) -----------------------
+
+SSSP_ROUNDS = 4
+SSSP_TOPK = 50
+
+
+def _sssp_oracle() -> str:
+    from .pipeline_queries5 import _COPURCHASE_LINES_CTE
+
+    ctes = [
+        _COPURCHASE_LINES_CTE,
+        """pw AS (
+            SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS c
+            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk
+        )""",
+        """e AS (
+            SELECT u AS src, v AS dst, 1 + (1000000 // c) AS w FROM pw
+            UNION ALL
+            SELECT v, u, 1 + (1000000 // c) FROM pw
+        )""",
+        "deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src)",
+        "hub AS (SELECT src AS h FROM deg ORDER BY d DESC, src LIMIT 1)",
+        "d0 AS (SELECT h AS v, 0::BIGINT AS dist FROM hub)",
+    ]
+    for t in range(SSSP_ROUNDS):
+        ctes.append(
+            f"""d{t + 1} AS (
+                SELECT v, min(dist)::BIGINT AS dist FROM (
+                    SELECT v, dist FROM d{t}
+                    UNION ALL
+                    SELECT e.dst AS v, d{t}.dist + e.w
+                    FROM d{t} JOIN e ON e.src = d{t}.v
+                ) GROUP BY v
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT v AS vertex, dist AS dist_micros
+        FROM d{SSSP_ROUNDS} ORDER BY dist, v LIMIT {SSSP_TOPK}
+    """
+
+
+@register(
+    "sssp_weighted_copurchase",
+    oracle=_sssp_oracle(),
+    doc=f"""Weighted single-source shortest paths by {SSSP_ROUNDS}
+    synchronous Bellman–Ford relaxation rounds on the 1995 co-purchase
+    graph, edge length = 1 + (1e6 div co-purchase-count) — strong
+    co-purchase affinity is a short hop, so distance is a
+    multi-hop-affinity read the unweighted BFS can't give (the
+    {SSSP_TOPK} nearest parts to the hub, with hop-count x affinity
+    trade-offs resolved by actual path length).  All-integer weights
+    and distances; fixed round count makes the oracle an exactly
+    unrolled CTE chain (the k-core/PPR convention — no
+    convergence-dependent nondeterminism).  Scale shape: each round is
+    frontier-set join adjacency (src-keyed equi-join) + a grouped min
+    partial-aggregated map-side, eagerly localCheckpoint-ed so lineage
+    stays one round deep; the 1-row hub argmax is the only driver
+    scalar and the report is TakeOrdered.""",
+)
+def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_queries5 import _copurchase_lines
+
+    lines = _copurchase_lines(spark, sf_dir)
+    fanned = lines.repartition(32, "ok")
+    a, b = fanned.alias("a"), fanned.alias("b")
+    pw = (
+        a.join(
+            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wexpr = (F.lit(1) + _idiv(F.lit(1_000_000), F.col("c"))).alias("w")
+    e = (
+        pw.select(F.col("u").alias("src"), F.col("v").alias("dst"), wexpr)
+        .unionAll(
+            pw.select(F.col("v").alias("src"), F.col("u").alias("dst"), wexpr)
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), F.asc("src")).limit(1).collect()[0]["src"]
+    d = (
+        e.select(F.col("src").alias("v"))
+        .where(F.col("v") == hub)
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = d.join(e, d.v == e.src).select(
+            F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.orderBy(F.asc("dist"), F.asc("v"))
+        .limit(SSSP_TOPK)
+        .select(F.col("v").alias("vertex"), F.col("dist").alias("dist_micros"))
+    )
+
+
+# --- Grid-density clustering (DBSCAN-style) -----------------------------
+
+GRID_INV_H = 25  # cell width 0.04 on the first two embedding dims
+GRID_MINPTS = 4
+GRID_OFF = 32  # normalized vectors: |coord| <= 1 so |cell| < OFF
+GRID_STRIDE = 64
+
+
+def _grid_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   floor(CAST(embedding[1] AS DOUBLE) * {GRID_INV_H})::BIGINT AS cx,
+                   floor(CAST(embedding[2] AS DOUBLE) * {GRID_INV_H})::BIGINT AS cy
+            FROM embeddings
+        ), cells AS (
+            SELECT cx, cy, count(*)::BIGINT AS npts FROM pts GROUP BY cx, cy
+        ), core AS (
+            SELECT cx, cy, npts,
+                   (cx + {GRID_OFF}) * {GRID_STRIDE} + (cy + {GRID_OFF}) AS cid
+            FROM cells WHERE npts >= {GRID_MINPTS}
+        ), adj AS (
+            SELECT a.cid AS x, b.cid AS y
+            FROM core a JOIN core b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), reach(cid, lbl) AS (
+            SELECT cid, cid FROM core
+            UNION
+            SELECT adj.x, reach.lbl FROM reach JOIN adj ON adj.y = reach.cid
+        ), lab AS (
+            SELECT cid, min(lbl) AS lbl FROM reach GROUP BY cid
+        )
+        SELECT lab.lbl AS cluster_id, count(*)::BIGINT AS n_cells,
+               sum(core.npts)::BIGINT AS n_points
+        FROM lab JOIN core ON core.cid = lab.cid
+        GROUP BY lab.lbl
+        UNION ALL
+        SELECT -1, count(*)::BIGINT, coalesce(sum(npts), 0)::BIGINT
+        FROM cells WHERE npts < {GRID_MINPTS}
+    """
+
+
+@register(
+    "grid_density_clusters",
+    oracle=_grid_oracle(),
+    doc=f"""Grid-density clustering (the STING/GriDBSCAN family — Wang
+    et al. \'97 grid statistics under DBSCAN \'96 density semantics) on
+    the first two embedding dimensions: points land in 1/{GRID_INV_H}-
+    wide cells, cells with >= {GRID_MINPTS} points are CORE, 8-adjacent
+    core cells merge into clusters (cluster_id = min cell id in the
+    CONNECTED COMPONENT — converged, so the contract is
+    algorithm-independent), and sparse-cell points report as the noise
+    row (cluster_id = -1).  Density clustering without any pairwise
+    distance join: the Spark side builds cell adjacency by EXPLODING
+    each core cell to its 9 neighbor coordinates and equi-joining back
+    on the cell key — no theta join anywhere (the oracle\'s |core|²
+    abs()-join + recursive min-label closure is the bounded replay,
+    not the plan) — then merges components by driver union-find over the
+    GRID-BOUNDED cell frame (<= (2*OFF)^2 = 4096 cells by construction
+    — the engine\'s bounded-collect class; an unbounded key space would
+    swap in the alternating-star ``connected_components``).
+    All-integer cell ids ((cx+{GRID_OFF})·{GRID_STRIDE}+cy+{GRID_OFF} —
+    normalized vectors keep |coord| < 1 so the encoding is
+    collision-free); the only FP step is the floor to cells, identical
+    double math in both engines.  Scale shape: one grouped count per
+    cell (map-side combined), components over the |core cells| frame —
+    the iterate is grid-bounded, not data-bounded.""",
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pts = emb.select(
+        F.floor(
+            F.element_at("embedding", 1).cast("double") * GRID_INV_H
+        )
+        .cast("long")
+        .alias("cx"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * GRID_INV_H
+        )
+        .cast("long")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("npts")
+    )
+    core = (
+        cells.where(F.col("npts") >= GRID_MINPTS)
+        .withColumn(
+            "cid",
+            (F.col("cx") + GRID_OFF) * GRID_STRIDE + F.col("cy") + GRID_OFF,
+        )
+        .localCheckpoint(eager=True)
+    )
+    offsets = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + ")"
+    )
+    probes = core.select(
+        F.col("cid").alias("y"), F.explode(offsets).alias("o"), "cx", "cy"
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "y",
+    )
+    adj = probes.join(
+        core.select("cx", "cy", F.col("cid").alias("x")), ["cx", "cy"]
+    ).select("x", "y")
+    # The merge runs on the driver over the GRID-BOUNDED cell frame:
+    # |cells| <= (2*GRID_OFF)^2 = 4096 by construction regardless of
+    # data volume, so this collect is in the engine's bounded-summary
+    # class (|buckets| rows, k centroids) — union-find over <= 4096
+    # vertices beats 4-6 alternating-star shuffle rounds (measured
+    # 12 s -> instant at sf0.1).  On an UNBOUNDED key space swap in
+    # operators/dedup.py:connected_components, same contract.
+    edge_rows = adj.where(F.col("x") < F.col("y")).distinct().collect()
+    cid_rows = [r["cid"] for r in core.select("cid").collect()]
+    parent = {c: c for c in cid_rows}
+
+    def _find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in edge_rows:
+        ra, rb = _find(r["x"]), _find(r["y"])
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for c in cid_rows:
+        root = _find(c)
+        comp_min[root] = min(comp_min.get(root, c), c)
+    mapping = spark.createDataFrame(
+        [(c, comp_min[_find(c)]) for c in cid_rows],
+        "cid long, cluster_id long",
+    )
+    clusters = (
+        core.select("cid", "npts")
+        .join(F.broadcast(mapping), "cid")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("npts").cast("long").alias("n_points"),
+        )
+    )
+    noise = cells.where(F.col("npts") < GRID_MINPTS).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum("npts"), F.lit(0)).cast("long").alias("n_points"),
+    )
+    return clusters.unionByName(noise)

@@ -152,6 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     "order_concurrency_peaks",
     "mutual_information_lang_source",
     "markov_stationary_events",
+    "association_rules_triples",
+    "sssp_weighted_copurchase",
+    "grid_density_clusters",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",

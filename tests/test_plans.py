@@ -331,6 +331,7 @@ BNL_ALLOWED = {
     "kaplan_meier_retention",         # 1-row censoring-cutoff date broadcast
     "mutual_information_lang_source", # 1-row corpus-total broadcast
     "markov_stationary_events",       # 1-row |states| count broadcast
+    "association_rules_triples",      # 1-row basket-count total broadcast
 }
 
 
