@@ -1,0 +1,333 @@
+"""Semantic anchors for the round-5 classic-analytics batch.
+
+The driver's hash gate proves Spark and DuckDB agree; these pin that
+the numbers MEAN what the docstrings claim, on constructed inputs with
+closed-form answers:
+
+- Kaplan–Meier: three customers (two events, one censored at the
+  horizon) → the exact product-limit steps in integer micros.
+- HITS: a 2×2 bipartite graph walked by hand through both normalized
+  rounds.
+- Sweep-line concurrency: three overlapping fulfillment windows whose
+  daily concurrency profile is countable on fingers.
+- Markov stationary: the Spark iterate must equal a pure-Python replay
+  of the integer-micros recurrence (per-term flooring).
+- SSSP: a weighted path graph where the two-basket edge is cheaper
+  than the one-basket edge.
+- Grid density: two separated blobs (one spanning two adjacent cells)
+  plus a sparse noise point → exact cluster/cell/point counts and the
+  min-cell-id labels.
+- Mutual information: a perfectly dependent 2×2 table scores
+  MI = H = ln 2; an independent table scores MI = 0.
+- Apriori triples: one frequent triple with hand-computed support,
+  confidence, and lift micros.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+ORDERS = "o_orderkey long, o_custkey long, o_orderdate timestamp"
+LINES = "l_orderkey long, l_partkey long"
+
+
+def _write(spark, path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{name}.parquet")
+
+
+def _d(y, m, d):
+    return datetime.datetime(y, m, d)
+
+
+# ------------------------------------------------------- Kaplan–Meier
+
+
+def test_kaplan_meier_hand_computed_steps(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        kaplan_meier_retention,
+    )
+
+    rows = [
+        # customer 1: single order, duration 0 weeks, event
+        (1, 1, _d(2024, 1, 1)),
+        # customer 2: span 14 days = 2 weeks, event
+        (2, 2, _d(2024, 1, 1)),
+        (3, 2, _d(2024, 1, 15)),
+        # customer 3: last order AT the horizon → censored, 52 weeks
+        (4, 3, _d(2024, 1, 1)),
+        (5, 3, _d(2024, 12, 30)),
+    ]
+    _write(spark, tmp_path, "orders", rows, ORDERS)
+    got = {
+        r["duration_weeks"]: (r["n_risk"], r["n_events"], r["surv_micros"])
+        for r in kaplan_meier_retention(spark, str(tmp_path)).collect()
+    }
+    # t=0: 3 at risk, 1 event → S = floor(1e6·2/3) = 666666
+    assert got[0] == (3, 1, 666_666)
+    # t=2: 2 at risk, 1 event → S = floor(666666·1/2) = 333333
+    assert got[2] == (2, 1, 333_333)
+    # t=52: censored only → S unchanged
+    assert got[52] == (1, 0, 333_333)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_two_by_two_bipartite_hand_walk(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        hits_hubs_authorities,
+    )
+
+    orders = [
+        (1, 1, _d(1995, 3, 1)),
+        (2, 2, _d(1995, 3, 2)),
+    ]
+    lines = [(1, 10), (1, 20), (2, 10)]  # c1 buys {10,20}; c2 buys {10}
+    _write(spark, tmp_path, "orders", orders, ORDERS)
+    _write(spark, tmp_path, "lineitem", lines, LINES)
+    got = {
+        (r["role"], r["node_id"]): r["score_micros"]
+        for r in hits_hubs_authorities(spark, str(tmp_path)).collect()
+    }
+    # round 1: a(10)=1e6, a(20)=5e5; h(c1)=1e6, h(c2)=floor(1e12/1.5e6)
+    # round 2: a(10)=1e6, a(20)=floor(1e12/1666666)=600000
+    #          h(c1)=1e6 (raw 1.6e6), h(c2)=floor(1e12/1.6e6)=625000
+    assert got[("authority", 10)] == 1_000_000
+    assert got[("authority", 20)] == 600_000
+    assert got[("hub", 1)] == 1_000_000
+    assert got[("hub", 2)] == 625_000
+
+
+# --------------------------------------------------- sweep-line peaks
+
+
+def test_concurrency_peaks_hand_profile(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        order_concurrency_peaks,
+    )
+
+    # A: Jan 1 → ships Jan 3; B: Jan 2 → ships Jan 2; C: Jan 2 → Jan 4
+    orders = [(1, 1, _d(2024, 1, 1)), (2, 1, _d(2024, 1, 2)), (3, 1, _d(2024, 1, 2))]
+    lines = [
+        (1, 100, _d(2024, 1, 2)),
+        (1, 101, _d(2024, 1, 3)),
+        (2, 100, _d(2024, 1, 2)),
+        (3, 100, _d(2024, 1, 4)),
+    ]
+    _write(spark, tmp_path, "orders", orders, ORDERS)
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        lines,
+        "l_orderkey long, l_partkey long, l_shipdate timestamp",
+    )
+    got = {
+        str(r["day"]): r["concurrent"]
+        for r in order_concurrency_peaks(spark, str(tmp_path)).collect()
+    }
+    # day1: {A}=1  day2: {A,B,C}=3  day3: {A,C}=2  day4: {C}=1  day5: 0
+    assert got["2024-01-02"] == 3
+    assert got["2024-01-03"] == 2
+    assert got["2024-01-01"] == 1
+    assert got["2024-01-04"] == 1
+
+
+# --------------------------------------------------- Markov stationary
+
+
+def test_markov_stationary_matches_pure_python_replay(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        MARKOV_ROUNDS,
+        markov_stationary_events,
+    )
+
+    base = _d(2024, 5, 1)
+    seqs = {1: ["A", "A", "A", "B"], 2: ["B", "A"], 3: ["A", "C", "A"]}
+    rows, eid = [], 0
+    for uid, seq in seqs.items():
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=i), uid, et)
+            )
+            eid += 1
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    # pure-Python replay of the documented recurrence
+    trans: dict[tuple[str, str], int] = {}
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({e for seq in seqs.values() for e in seq})
+    tot = {s: sum(c for (a, _), c in trans.items() if a == s) for s in states}
+    p = {
+        (a, b): (c * 1_000_000) // tot[a] for (a, b), c in trans.items()
+    }
+    v = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(MARKOV_ROUNDS):
+        nxt = {s: 0 for s in states}
+        for (a, b), pm in p.items():
+            nxt[b] += (v[a] * pm) // 1_000_000
+        v = nxt
+    got = {
+        r["event_type"]: r["stationary_micros"]
+        for r in markov_stationary_events(spark, str(tmp_path)).collect()
+    }
+    assert got == v
+
+
+# ------------------------------------------------------------------ SSSP
+
+
+def test_sssp_weighted_path_graph(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        sssp_weighted_copurchase,
+    )
+
+    # Baskets (1995): {1,2} twice, {2,3} once → w(1,2)=1+1e6//2,
+    # w(2,3)=1+1e6.  Hub = vertex 2 (degree 2).
+    orders = [(k, 1, _d(1995, 2, k)) for k in (1, 2, 3)]
+    lines = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (3, 3)]
+    _write(spark, tmp_path, "orders", orders, ORDERS)
+    _write(spark, tmp_path, "lineitem", lines, LINES)
+    got = {
+        r["vertex"]: r["dist_micros"]
+        for r in sssp_weighted_copurchase(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: 0, 1: 500_001, 3: 1_000_001}
+
+
+# ---------------------------------------------------------- grid density
+
+
+def test_grid_density_blobs_merge_and_noise(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        GRID_OFF,
+        GRID_STRIDE,
+        grid_density_clusters,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = []
+    vid = 0
+    # blob A: 4 pts in cell (1,1) + 4 pts in ADJACENT cell (2,1) → one
+    # cluster, 2 cells, 8 points, label = min cell id
+    for _ in range(4):
+        rows.append((vid, vec(0.05, 0.05)))
+        vid += 1
+    for _ in range(4):
+        rows.append((vid, vec(0.085, 0.05)))
+        vid += 1
+    # blob B: 4 pts in far cell (-8,-8)
+    for _ in range(4):
+        rows.append((vid, vec(-0.31, -0.31)))
+        vid += 1
+    # noise: 1 pt alone in cell (7,7)
+    rows.append((vid, vec(0.3, 0.3)))
+    _write(
+        spark,
+        tmp_path,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cluster_id"]: (r["n_cells"], r["n_points"])
+        for r in grid_density_clusters(spark, str(tmp_path)).collect()
+    }
+    cid_a = (1 + GRID_OFF) * GRID_STRIDE + 1 + GRID_OFF
+    cid_b = (-8 + GRID_OFF) * GRID_STRIDE + (-8 + GRID_OFF)
+    assert got[cid_a] == (2, 8)
+    assert got[cid_b] == (1, 4)
+    assert got[-1] == (1, 1)
+    assert set(got) == {cid_a, cid_b, -1}
+
+
+# ----------------------------------------------------- mutual information
+
+
+def test_mutual_information_dependent_and_independent(spark, tmp_path):
+    import math
+
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        mutual_information_lang_source,
+    )
+
+    def docs(cells):
+        rows, did = [], 0
+        for (lang, source), n in cells.items():
+            for _ in range(n):
+                rows.append((did, lang, source))
+                did += 1
+        return rows
+
+    schema = "doc_id long, lang string, source string"
+    # perfectly dependent: lang determines source
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        docs({("en", "web"): 10, ("de", "book"): 10}),
+        schema,
+    )
+    r = mutual_information_lang_source(spark, str(tmp_path)).collect()[0]
+    ln2 = round(math.log(2), 6)
+    assert r["n_docs"] == 20
+    assert r["mi_nats"] == ln2 == r["h_lang"] == r["h_source"]
+    # independent: uniform 2×2 → MI = 0, entropies stay ln 2
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        docs(
+            {
+                ("en", "web"): 5,
+                ("en", "book"): 5,
+                ("de", "web"): 5,
+                ("de", "book"): 5,
+            }
+        ),
+        schema,
+    )
+    r = mutual_information_lang_source(spark, str(tmp_path)).collect()[0]
+    assert r["mi_nats"] == 0.0
+    assert r["h_lang"] == ln2 == r["h_source"]
+
+
+# ------------------------------------------------------- Apriori triples
+
+
+def test_association_triples_hand_metrics(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        association_rules_triples,
+    )
+
+    # customers 1-3 buy {1,2,3}; customers 4-5 buy {1,2} → the only
+    # frequent triple is (1,2,3) with c_abc=3; c_ab(1,2)=5; c(3)=3;
+    # n_baskets=5.
+    orders, lines, ok = [], [], 0
+    for cust, parts in [(c, [1, 2, 3]) for c in (1, 2, 3)] + [
+        (c, [1, 2]) for c in (4, 5)
+    ]:
+        ok += 1
+        orders.append((ok, cust, _d(1997, 1, ok)))
+        lines.extend((ok, p) for p in parts)
+    _write(spark, tmp_path, "orders", orders, ORDERS)
+    _write(spark, tmp_path, "lineitem", lines, LINES)
+    rows = association_rules_triples(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pk_a"], r["pk_b"], r["pk_c"], r["c_abc"]) == (1, 2, 3, 3)
+    assert r["support_micros"] == (3 * 1_000_000) // 5
+    assert r["confidence_micros"] == (3 * 1_000_000) // 5
+    # lift = 1e6·c_abc·n / (c_ab·c_c) = 1e6·3·5 // (5·3) = 1e6
+    assert r["lift_micros"] == 1_000_000
