@@ -198,6 +198,9 @@ HEADLINE = [
     "association_rules_triples",
     "sssp_weighted_copurchase",
     "grid_density_clusters",
+    "textrank_keywords",
+    "burst_detection_daily",
+    "winnowing_dup_pairs",
 ]
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale

@@ -155,6 +155,9 @@ _PRIORITY: tuple[str, ...] = (
     "association_rules_triples",
     "sssp_weighted_copurchase",
     "grid_density_clusters",
+    "textrank_keywords",
+    "burst_detection_daily",
+    "winnowing_dup_pairs",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -226,3 +229,4 @@ from . import pipeline_queries10  # noqa: E402,F401
 from . import pipeline_queries11  # noqa: E402,F401
 from . import pipeline_queries12  # noqa: E402,F401
 from . import pipeline_queries13  # noqa: E402,F401
+from . import pipeline_queries14  # noqa: E402,F401

@@ -331,3 +331,145 @@ def test_association_triples_hand_metrics(spark, tmp_path):
     assert r["confidence_micros"] == (3 * 1_000_000) // 5
     # lift = 1e6·c_abc·n / (c_ab·c_c) = 1e6·3·5 // (5·3) = 1e6
     assert r["lift_micros"] == 1_000_000
+
+
+# ----------------------------------------------------------- TextRank
+
+
+def test_textrank_replays_rounded_recurrence(spark, tmp_path):
+    from scats_transis_kinesis_spark.plans.pipeline_queries14 import (
+        TR_DAMPING,
+        TR_HH,
+        TR_ITERS,
+        textrank_keywords,
+    )
+
+    texts = ["a b " * 250 + "a", "b c " * 250 + "b"]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        list(enumerate(texts)),
+        "doc_id long, text string",
+    )
+    # pure-Python replay: tokenize, count adjacent heavy-hitter pairs,
+    # run the per-round-rounded recurrence
+    from collections import Counter
+
+    tok_docs = [t.split(" ") for t in texts]
+    counts = Counter(t for d in tok_docs for t in d)
+    vocab = {t for t, c in counts.items() if c >= TR_HH}
+    co: Counter = Counter()
+    for d in tok_docs:
+        for x, y in zip(d, d[1:]):
+            if x in vocab and y in vocab and x != y:
+                co[(min(x, y), max(x, y))] += 1
+    edges: dict[tuple[str, str], float] = {}
+    for (u, v), w in co.items():
+        edges[(u, v)] = edges.get((u, v), 0) + w
+        edges[(v, u)] = edges.get((v, u), 0) + w
+    nodes = sorted({u for u, _ in edges})
+    out = {u: sum(w for (a, _), w in edges.items() if a == u) for u in nodes}
+    base = round((1 - TR_DAMPING) / len(nodes), 6)
+    rank = {u: round(1.0 / len(nodes), 6) for u in nodes}
+    for _ in range(TR_ITERS):
+        nxt = {}
+        for n in nodes:
+            acc = sum(
+                rank[u] * w / out[u] for (u, v), w in edges.items() if v == n
+            )
+            nxt[n] = round(base + TR_DAMPING * acc, 6)
+        rank = nxt
+    got = {
+        r["token"]: r["rank"]
+        for r in textrank_keywords(spark, str(tmp_path)).collect()
+    }
+    assert got == rank
+    # the bridging token must outrank the peripherals
+    assert got["b"] > got["a"] and got["b"] > got["c"]
+
+
+# ------------------------------------------------------ burst detection
+
+
+def test_burst_margin_flags_the_spike(spark, tmp_path):
+    import math
+
+    from scats_transis_kinesis_spark.plans.pipeline_queries14 import (
+        BURST_GAMMA,
+        BURST_RATE_FACTOR,
+        burst_detection_daily,
+    )
+
+    base = datetime.datetime(2024, 6, 1)
+    counts = [1] * 10 + [10] * 5  # quiet spell then a hot spell
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, minutes=k), 1, "X")
+            )
+            eid += 1
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    # replay: identical double math for the cost quantization, then
+    # exact integer min-plus
+    r0 = sum(counts) / len(counts)
+    r1 = BURST_RATE_FACTOR * r0
+
+    def k0(c):
+        return round(1_000_000 * (r0 - c * math.log(r0)))
+
+    def k1(c):
+        return round(1_000_000 * (r1 - c * math.log(r1)))
+
+    v0, v1 = k0(counts[0]), k1(counts[0]) + BURST_GAMMA
+    expect = [(v0 - v1, v0 > v1)]
+    for c in counts[1:]:
+        v0, v1 = (
+            k0(c) + min(v0, v1 + BURST_GAMMA),
+            k1(c) + min(v1, v0 + BURST_GAMMA),
+        )
+        expect.append((v0 - v1, v0 > v1))
+    got = sorted(
+        (r["day"], r["burst_margin_micros"], r["is_burst"])
+        for r in burst_detection_daily(spark, str(tmp_path)).collect()
+    )
+    assert [(m, b) for _, m, b in got] == expect
+    # the hot spell (and only it, after the switch lag) is flagged
+    assert not any(b for _, _, b in got[:10])
+    assert all(b for _, _, b in got[11:])
+
+
+# -------------------------------------------------- winnowing guarantee
+
+
+def test_winnowing_shared_run_guarantee_and_disjoint_silence(
+    spark, tmp_path
+):
+    from scats_transis_kinesis_spark.plans.pipeline_queries14 import (
+        WIN_K,
+        WIN_W,
+        winnowing_dup_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(WIN_W + WIN_K - 1))
+    docs = [
+        (1, "p1 p2 p3 p4 " + shared + " q1 q2 q3 q4"),
+        (2, "r1 r2 r3 r4 " + shared + " t1 t2 t3 t4"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+    ]
+    _write(spark, tmp_path, "documents", docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnowing_dup_pairs(spark, str(tmp_path)).collect()
+    }
+    # a shared run of w+k-1 tokens GUARANTEES a shared fingerprint
+    assert got.get((1, 2), 0) >= 1
+    # doc 3 shares no vocabulary with anyone → no pair rows
+    assert all(3 not in pair for pair in got)

@@ -332,6 +332,7 @@ BNL_ALLOWED = {
     "mutual_information_lang_source", # 1-row corpus-total broadcast
     "markov_stationary_events",       # 1-row |states| count broadcast
     "association_rules_triples",      # 1-row basket-count total broadcast
+    "burst_detection_daily",          # 1-row (d0, d1) day-bounds broadcast
 }
 
 
