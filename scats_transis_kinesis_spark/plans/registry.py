@@ -158,6 +158,12 @@ _PRIORITY: tuple[str, ...] = (
     "textrank_keywords",
     "burst_detection_daily",
     "winnowing_dup_pairs",
+    "welch_t_test_orders",
+    "theil_sen_trend_daily",
+    "forecast_backtest_mase",
+    "degree_assortativity_copurchase",
+    "local_clustering_topk",
+    "event_regex_funnel",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -230,3 +236,4 @@ from . import pipeline_queries11  # noqa: E402,F401
 from . import pipeline_queries12  # noqa: E402,F401
 from . import pipeline_queries13  # noqa: E402,F401
 from . import pipeline_queries14  # noqa: E402,F401
+from . import pipeline_queries15  # noqa: E402,F401

@@ -333,6 +333,11 @@ BNL_ALLOWED = {
     "markov_stationary_events",       # 1-row |states| count broadcast
     "association_rules_triples",      # 1-row basket-count total broadcast
     "burst_detection_daily",          # 1-row (d0, d1) day-bounds broadcast
+    "welch_t_test_orders",            # 2-row group-stats broadcast
+    "theil_sen_trend_daily",          # ≤365-row daily frame pair join + 1-row slope
+    "forecast_backtest_mase",         # 1-row naive-MAE broadcast
+    "degree_assortativity_copurchase",  # three 1-row aggregate broadcasts
+    "event_regex_funnel",             # 1-row all-patterns aggregate stack
 }
 
 
