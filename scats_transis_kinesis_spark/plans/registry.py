@@ -164,6 +164,9 @@ _PRIORITY: tuple[str, ...] = (
     "degree_assortativity_copurchase",
     "local_clustering_topk",
     "event_regex_funnel",
+    "naive_bayes_lang_eval",
+    "jl_projection_distortion_audit",
+    "rle_compression_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -237,3 +240,4 @@ from . import pipeline_queries12  # noqa: E402,F401
 from . import pipeline_queries13  # noqa: E402,F401
 from . import pipeline_queries14  # noqa: E402,F401
 from . import pipeline_queries15  # noqa: E402,F401
+from . import pipeline_queries16  # noqa: E402,F401

@@ -338,6 +338,7 @@ BNL_ALLOWED = {
     "forecast_backtest_mase",         # 1-row naive-MAE broadcast
     "degree_assortativity_copurchase",  # three 1-row aggregate broadcasts
     "event_regex_funnel",             # 1-row all-patterns aggregate stack
+    "naive_bayes_lang_eval",          # |langs|-row prior/default broadcast
 }
 
 
