@@ -167,6 +167,10 @@ _PRIORITY: tuple[str, ...] = (
     "naive_bayes_lang_eval",
     "jl_projection_distortion_audit",
     "rle_compression_audit",
+    "anova_f_priority_spend",
+    "spearman_daily_kpis",
+    "lang_id_agreement_ari",
+    "shard_shuffle_quality",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -241,3 +245,4 @@ from . import pipeline_queries13  # noqa: E402,F401
 from . import pipeline_queries14  # noqa: E402,F401
 from . import pipeline_queries15  # noqa: E402,F401
 from . import pipeline_queries16  # noqa: E402,F401
+from . import pipeline_queries17  # noqa: E402,F401

@@ -339,6 +339,9 @@ BNL_ALLOWED = {
     "degree_assortativity_copurchase",  # three 1-row aggregate broadcasts
     "event_regex_funnel",             # 1-row all-patterns aggregate stack
     "naive_bayes_lang_eval",          # |langs|-row prior/default broadcast
+    "spearman_daily_kpis",            # calendar-bounded distinct-value rank join
+    "lang_id_agreement_ari",          # three 1-row pair-count broadcasts
+    "shard_shuffle_quality",          # two 1-row aggregate broadcasts
 }
 
 
