@@ -171,6 +171,10 @@ _PRIORITY: tuple[str, ...] = (
     "spearman_daily_kpis",
     "lang_id_agreement_ari",
     "shard_shuffle_quality",
+    "pca_top_component",
+    "doc_stitch_overlap",
+    "bloom_filter_sizing",
+    "lsh_parameter_planner",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -246,3 +250,4 @@ from . import pipeline_queries14  # noqa: E402,F401
 from . import pipeline_queries15  # noqa: E402,F401
 from . import pipeline_queries16  # noqa: E402,F401
 from . import pipeline_queries17  # noqa: E402,F401
+from . import pipeline_queries18  # noqa: E402,F401

@@ -342,6 +342,7 @@ BNL_ALLOWED = {
     "spearman_daily_kpis",            # calendar-bounded distinct-value rank join
     "lang_id_agreement_ari",          # three 1-row pair-count broadcasts
     "shard_shuffle_quality",          # two 1-row aggregate broadcasts
+    "pca_top_component",              # 1-row n / max-norm / Rayleigh broadcasts
 }
 
 
