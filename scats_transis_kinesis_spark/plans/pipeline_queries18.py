@@ -131,22 +131,24 @@ def _pca_oracle() -> str:
 )
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    m = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda e: F.round(e.cast("double") * 1000).cast("long"),
-            )
-        ).alias("pos", "v"),
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    mv = emb.select(
+        F.transform(
+            "embedding",
+            lambda e: F.round(e.cast("double") * 1000).cast("long"),
+        ).alias("mv")
+    )
     nn = emb.agg(F.count("*").alias("n"))
-    t = m.groupBy("i").agg(F.sum("v").alias("ti"))
-    a, b = m.alias("a"), m.alias("b")
+    # One narrow pass: row-local outer product via nested posexplode
+    # (no self-join shuffle — the oracle's m⋈m on vec_id is row-local
+    # here, so only the 64²-group partial aggregates ever move).
+    mi = mv.select("mv", F.posexplode("mv").alias("pos", "vi")).select(
+        "mv", (F.col("pos") + 1).alias("i"), "vi"
+    )
+    t = mi.groupBy("i").agg(F.sum("vi").alias("ti"))
     s = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("sij"))
+        mi.select("i", "vi", F.posexplode("mv").alias("pos2", "vj"))
+        .groupBy("i", (F.col("pos2") + 1).alias("j"))
+        .agg(F.sum(F.col("vi") * F.col("vj")).alias("sij"))
     )
     ta = F.broadcast(t.select(F.col("i").alias("ti_i"), F.col("ti").alias("ti_a")))
     tb = F.broadcast(t.select(F.col("i").alias("tj_i"), F.col("ti").alias("ti_b")))
