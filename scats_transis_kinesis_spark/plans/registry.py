@@ -175,6 +175,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_stitch_overlap",
     "bloom_filter_sizing",
     "lsh_parameter_planner",
+    "kruskal_wallis_priority_spend",
+    "compaction_coalesce_plan",
+    "seasonal_strength_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -251,3 +254,4 @@ from . import pipeline_queries15  # noqa: E402,F401
 from . import pipeline_queries16  # noqa: E402,F401
 from . import pipeline_queries17  # noqa: E402,F401
 from . import pipeline_queries18  # noqa: E402,F401
+from . import pipeline_queries19  # noqa: E402,F401

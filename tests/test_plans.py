@@ -343,6 +343,8 @@ BNL_ALLOWED = {
     "lang_id_agreement_ari",          # three 1-row pair-count broadcasts
     "shard_shuffle_quality",          # two 1-row aggregate broadcasts
     "pca_top_component",              # 1-row n / max-norm / Rayleigh broadcasts
+    "kruskal_wallis_priority_spend",  # 32-row bucket-prefix join + 1-row ties
+    "compaction_coalesce_plan",       # 64-row shard-frame cumulative join
 }
 
 
