@@ -178,6 +178,9 @@ _PRIORITY: tuple[str, ...] = (
     "kruskal_wallis_priority_spend",
     "compaction_coalesce_plan",
     "seasonal_strength_audit",
+    "pav_calibration_bins",
+    "conformal_coverage_audit",
+    "decision_stump_split",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -255,3 +258,4 @@ from . import pipeline_queries16  # noqa: E402,F401
 from . import pipeline_queries17  # noqa: E402,F401
 from . import pipeline_queries18  # noqa: E402,F401
 from . import pipeline_queries19  # noqa: E402,F401
+from . import pipeline_queries20  # noqa: E402,F401

@@ -345,6 +345,9 @@ BNL_ALLOWED = {
     "pca_top_component",              # 1-row n / max-norm / Rayleigh broadcasts
     "kruskal_wallis_priority_spend",  # 32-row bucket-prefix join + 1-row ties
     "compaction_coalesce_plan",       # 64-row shard-frame cumulative join
+    "pav_calibration_bins",           # 10-band prefix/interval/minimax joins
+    "conformal_coverage_audit",       # bucket-prefix + 1-row q-hat broadcasts
+    "decision_stump_split",           # 9-row threshold fan-out + 1-row argmax
 }
 
 
