@@ -181,6 +181,9 @@ _PRIORITY: tuple[str, ...] = (
     "pav_calibration_bins",
     "conformal_coverage_audit",
     "decision_stump_split",
+    "curation_decision_log",
+    "equidepth_histogram_stats",
+    "blocking_cost_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -259,3 +262,4 @@ from . import pipeline_queries17  # noqa: E402,F401
 from . import pipeline_queries18  # noqa: E402,F401
 from . import pipeline_queries19  # noqa: E402,F401
 from . import pipeline_queries20  # noqa: E402,F401
+from . import pipeline_queries21  # noqa: E402,F401

@@ -348,6 +348,7 @@ BNL_ALLOWED = {
     "pav_calibration_bins",           # 10-band prefix/interval/minimax joins
     "conformal_coverage_audit",       # bucket-prefix + 1-row q-hat broadcasts
     "decision_stump_split",           # 9-row threshold fan-out + 1-row argmax
+    "equidepth_histogram_stats",      # 32-row prefix + 9-rank bounded fan-out
 }
 
 
