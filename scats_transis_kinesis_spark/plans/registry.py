@@ -184,6 +184,9 @@ _PRIORITY: tuple[str, ...] = (
     "curation_decision_log",
     "equidepth_histogram_stats",
     "blocking_cost_audit",
+    "bandit_replay_evaluation",
+    "feature_hashing_collision_audit",
+    "neyman_allocation_plan",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -263,3 +266,4 @@ from . import pipeline_queries18  # noqa: E402,F401
 from . import pipeline_queries19  # noqa: E402,F401
 from . import pipeline_queries20  # noqa: E402,F401
 from . import pipeline_queries21  # noqa: E402,F401
+from . import pipeline_queries22  # noqa: E402,F401

@@ -349,6 +349,8 @@ BNL_ALLOWED = {
     "conformal_coverage_audit",       # bucket-prefix + 1-row q-hat broadcasts
     "decision_stump_split",           # 9-row threshold fan-out + 1-row argmax
     "equidepth_histogram_stats",      # 32-row prefix + 9-rank bounded fan-out
+    "bandit_replay_evaluation",       # |policies|-row constant fan-out
+    "neyman_allocation_plan",         # 1-row weight-total broadcast
 }
 
 
