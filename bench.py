@@ -201,7 +201,40 @@ HEADLINE = [
     "textrank_keywords",
     "burst_detection_daily",
     "winnowing_dup_pairs",
+    # round-5 classic-analytics batch
+    "welch_t_test_orders",
+    "theil_sen_trend_daily",
+    "forecast_backtest_mase",
+    "degree_assortativity_copurchase",
+    "local_clustering_topk",
+    "event_regex_funnel",
+    # round-5 closing batches: inference, linear algebra, calibration,
+    # explainability, policy evaluation, sampling design
+    "naive_bayes_lang_eval",
+    "jl_projection_distortion_audit",
+    "rle_compression_audit",
+    "anova_f_priority_spend",
+    "spearman_daily_kpis",
+    "lang_id_agreement_ari",
+    "shard_shuffle_quality",
+    "pca_top_component",
+    "doc_stitch_overlap",
+    "bloom_filter_sizing",
+    "kruskal_wallis_priority_spend",
+    "compaction_coalesce_plan",
+    "seasonal_strength_audit",
+    "pav_calibration_bins",
+    "conformal_coverage_audit",
+    "decision_stump_split",
+    "curation_decision_log",
+    "equidepth_histogram_stats",
+    "blocking_cost_audit",
+    "bandit_replay_evaluation",
+    "feature_hashing_collision_audit",
+    "neyman_allocation_plan",
 ]
+# lsh_parameter_planner is correctness-gated but not timed: it is a
+# constant 32-row frame with no table scan — timing it measures nothing.
 # dedup_embedding_cosine (the exact all-pairs baseline) is correctness-
 # gated but not timed: it is O(n²) by construction — the timed scale
 # path over the same threshold is dedup_embedding_lsh.
