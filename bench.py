@@ -232,6 +232,9 @@ HEADLINE = [
     "bandit_replay_evaluation",
     "feature_hashing_collision_audit",
     "neyman_allocation_plan",
+    "fdr_bh_screen",
+    "poisson_bootstrap_se",
+    "cuped_adjusted_ab",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

@@ -187,6 +187,9 @@ _PRIORITY: tuple[str, ...] = (
     "bandit_replay_evaluation",
     "feature_hashing_collision_audit",
     "neyman_allocation_plan",
+    "fdr_bh_screen",
+    "poisson_bootstrap_se",
+    "cuped_adjusted_ab",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -267,3 +270,4 @@ from . import pipeline_queries19  # noqa: E402,F401
 from . import pipeline_queries20  # noqa: E402,F401
 from . import pipeline_queries21  # noqa: E402,F401
 from . import pipeline_queries22  # noqa: E402,F401
+from . import pipeline_queries23  # noqa: E402,F401

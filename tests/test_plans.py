@@ -351,6 +351,9 @@ BNL_ALLOWED = {
     "equidepth_histogram_stats",      # 32-row prefix + 9-rank bounded fan-out
     "bandit_replay_evaluation",       # |policies|-row constant fan-out
     "neyman_allocation_plan",         # 1-row weight-total broadcast
+    "fdr_bh_screen",                  # |nations|-row rank join + 1-row cut
+    "poisson_bootstrap_se",           # bounded 32-replicate fan-out
+    "cuped_adjusted_ab",              # (single 1-row frame, no join)
 }
 
 
