@@ -235,6 +235,9 @@ HEADLINE = [
     "fdr_bh_screen",
     "poisson_bootstrap_se",
     "cuped_adjusted_ab",
+    "modularity_brand_copurchase",
+    "selectivity_estimate_audit",
+    "nearest_centroid_accuracy",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

@@ -190,6 +190,9 @@ _PRIORITY: tuple[str, ...] = (
     "fdr_bh_screen",
     "poisson_bootstrap_se",
     "cuped_adjusted_ab",
+    "modularity_brand_copurchase",
+    "selectivity_estimate_audit",
+    "nearest_centroid_accuracy",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -271,3 +274,4 @@ from . import pipeline_queries20  # noqa: E402,F401
 from . import pipeline_queries21  # noqa: E402,F401
 from . import pipeline_queries22  # noqa: E402,F401
 from . import pipeline_queries23  # noqa: E402,F401
+from . import pipeline_queries24  # noqa: E402,F401

@@ -354,6 +354,9 @@ BNL_ALLOWED = {
     "fdr_bh_screen",                  # |nations|-row rank join + 1-row cut
     "poisson_bootstrap_se",           # bounded 32-replicate fan-out
     "cuped_adjusted_ab",              # (single 1-row frame, no join)
+    "modularity_brand_copurchase",    # four 1-row aggregate broadcasts
+    "selectivity_estimate_audit",     # |preds|-row fan-out + 1-row min/max
+    "nearest_centroid_accuracy",      # 1-row majority-baseline broadcast
 }
 
 
