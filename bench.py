@@ -238,6 +238,7 @@ HEADLINE = [
     "modularity_brand_copurchase",
     "selectivity_estimate_audit",
     "nearest_centroid_accuracy",
+    "dictionary_encoding_audit",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

@@ -193,6 +193,7 @@ _PRIORITY: tuple[str, ...] = (
     "modularity_brand_copurchase",
     "selectivity_estimate_audit",
     "nearest_centroid_accuracy",
+    "dictionary_encoding_audit",
     # --- FP/canon-fragile re-verification fill ---
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
@@ -275,3 +276,4 @@ from . import pipeline_queries21  # noqa: E402,F401
 from . import pipeline_queries22  # noqa: E402,F401
 from . import pipeline_queries23  # noqa: E402,F401
 from . import pipeline_queries24  # noqa: E402,F401
+from . import pipeline_queries25  # noqa: E402,F401
