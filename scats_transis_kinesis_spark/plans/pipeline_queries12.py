@@ -446,35 +446,61 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_distribution_stats",
     oracle="""
+        WITH r AS (
+            SELECT c_custkey, c_nationkey,
+                   row_number() OVER w AS rn,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n,
+                   ntile(10) OVER w AS balance_decile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey)
+        )
         SELECT c_custkey, c_nationkey,
-               round(percent_rank() OVER w, 6) AS balance_pct_rank,
-               round(cume_dist() OVER w, 6) AS balance_cume_dist,
-               ntile(10) OVER w AS balance_decile
-        FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey
-                     ORDER BY c_acctbal, c_custkey)
+               CASE WHEN n > 1 THEN (((rn - 1) * 1000000) // (n - 1))
+                    ELSE 0 END AS balance_pct_rank_micros,
+               ((rn * 1000000) // n) AS balance_cume_micros,
+               balance_decile
+        FROM r
     """,
     doc="""The distribution window functions (percent_rank, cume_dist,
     ntile) over customer balances within each nation — the remaining
     members of the ANSI window surface after window_order_ranks
     (row_number/rank/dense_rank/lag/lead) and window_frames_running
-    (frames).  percent_rank = (rank-1)/(n-1) and cume_dist = |rows <=
-    current|/n are exact integer ratios (the custkey tiebreak removes
-    ties), so round-6 agrees across engines.  Every window is
-    PARTITIONED by nation — the engine-wide no-unpartitioned-window
-    invariant; at 100 TB each partition computes independently after
-    one keyed shuffle.""",
+    (frames).  The custkey tiebreak makes the order TOTAL, so
+    percent_rank = (rn−1)/(n−1) and cume_dist = rn/n reduce to exact
+    integer floor-micros ratios — round-6 doubles flipped one ulp at
+    sf0.1 when the exact rational landed on the decimal half boundary
+    (Spark's BigDecimal HALF_UP vs DuckDB's binary-double rounding),
+    the same class the Holt fix closed; the integer contract removes
+    the boundary entirely.  Every window is PARTITIONED by nation —
+    the engine-wide no-unpartitioned-window invariant; at 100 TB each
+    partition computes independently after one keyed shuffle.""",
 )
 def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from .pipeline_queries13 import _idiv
+
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, "customer", sf_dir).select(
+    nw = W.partitionBy("c_nationkey")
+    base = load_table(spark, "customer", sf_dir).select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(nw).alias("n"),
         F.ntile(10).over(w).alias("balance_decile"),
+    )
+    return base.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.col("n") > 1,
+            _idiv((F.col("rn") - 1) * 1_000_000, F.col("n") - 1),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("balance_pct_rank_micros"),
+        _idiv(F.col("rn") * 1_000_000, F.col("n")).alias("balance_cume_micros"),
+        "balance_decile",
     )
 
 
