@@ -117,7 +117,10 @@ _PRIORITY: tuple[str, ...] = (
     "quality_auc_en",
     "chi2_lang_source_independence",
     "quality_gains_by_band",
-    "jackknife_ci_order_total",
+    # values changed late in round 5 (floor-micros contract) -> must be
+    # re-verified by the driver THIS round, so it takes the last window
+    # slot from the multiply-green jackknife fill row.
+    "window_distribution_stats",
     # --- round-5 late additions, past the 50-query window: these lead
     # the ROUND-6 rotation (local-gate green this round) ---
     "acf_hourly_traffic",
@@ -141,7 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_native",
     "sql_pipe_surface",
     "udtf_chunk_spans",
-    "window_distribution_stats",
+    "jackknife_ci_order_total",
     "map_hof_surface",
     "ann_recall_audit",
     "holt_linear_daily",
