@@ -572,9 +572,13 @@ _CUST_LINES_CTE = """lines AS (
             SELECT count(DISTINCT ok)::BIGINT AS n_baskets FROM lines
         ), item AS (
             SELECT pk, count(*)::BIGINT AS c FROM lines GROUP BY pk
+        ), f1 AS (
+            SELECT pk FROM item WHERE c >= {ASSOC3_MIN}
+        ), linesf AS (
+            SELECT l.ok, l.pk FROM lines l JOIN f1 USING (pk)
         ), bp AS (
             SELECT a.ok, a.pk AS u, b.pk AS v
-            FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+            FROM linesf a JOIN linesf b ON a.ok = b.ok AND a.pk < b.pk
         ), pc AS (
             SELECT u, v, count(*)::BIGINT AS c_ab FROM bp GROUP BY u, v
         ), f2 AS (
@@ -585,7 +589,7 @@ _CUST_LINES_CTE = """lines AS (
             SELECT cand.u AS pk_a, cand.v AS pk_b, l.pk AS pk_c,
                    count(*)::BIGINT AS c_abc
             FROM cand
-            JOIN lines l ON l.ok = cand.ok AND l.pk > cand.v
+            JOIN linesf l ON l.ok = cand.ok AND l.pk > cand.v
             JOIN f2 f23 ON f23.u = cand.v AND f23.v = l.pk
             JOIN f2 f13 ON f13.u = cand.u AND f13.v = l.pk
             GROUP BY cand.u, cand.v, l.pk
@@ -636,7 +640,23 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
     item = lines.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    a, b = lines.alias("a"), lines.alias("b")
+    # L1 projection (standard Apriori, lossless by downward closure): a
+    # triple with support >= ASSOC3_MIN can only contain items whose own
+    # basket count is >= ASSOC3_MIN, so infrequent items drop out BEFORE
+    # any within-basket pair join.  This is also the whale-basket guard:
+    # the pair frame is Σ|frequent items in basket|², not Σ|basket|² —
+    # a 1e5-part one-off basket contributes pairs only over its items
+    # that are frequent CORPUS-wide.  (A lossy per-basket width cap on
+    # top of this would change mined supports, so it stays out; at real
+    # 100 TB retail shape, raise ASSOC3_MIN with the data like any
+    # min-support knob and the projection does the capping.)
+    f1 = item.where(F.col("c") >= ASSOC3_MIN).select("pk")
+    lines_f = (
+        lines.join(f1, "pk", "left_semi")
+        .repartition(32, "ok")
+        .localCheckpoint(eager=True)
+    )
+    a, b = lines_f.alias("a"), lines_f.alias("b")
     bp = a.join(
         b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
     ).select(
@@ -659,14 +679,14 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows (≈3·|f2|), orders of magnitude under the raw pair frame.
     # This is the true Apriori shape: ONE L2 counting pass (bp→pc),
     # then frequent-pair-driven candidate generation.
-    c1 = lines.join(
-        F.broadcast(f2), lines.pk == f2.u, "inner"
+    c1 = lines_f.join(
+        F.broadcast(f2), lines_f.pk == f2.u, "inner"
     ).select("ok", "u", "v")
     cand = c1.join(
-        lines.select("ok", F.col("pk").alias("v")), ["ok", "v"], "left_semi"
+        lines_f.select("ok", F.col("pk").alias("v")), ["ok", "v"], "left_semi"
     )
     ext = cand.join(
-        lines.select(F.col("ok"), F.col("pk").alias("w")), "ok"
+        lines_f.select(F.col("ok"), F.col("pk").alias("w")), "ok"
     ).where(F.col("w") > F.col("v"))
     ext = ext.join(
         F.broadcast(f2.select(F.col("u").alias("v"), F.col("v").alias("w"))),
@@ -696,10 +716,10 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join; the L2 pass already ran once to produce f2).
     tp = top.select("pk_a", "pk_b").distinct()
     cab = (
-        lines.join(F.broadcast(tp), lines.pk == tp.pk_a)
+        lines_f.join(F.broadcast(tp), lines_f.pk == tp.pk_a)
         .select("ok", "pk_a", "pk_b")
         .join(
-            lines.select("ok", F.col("pk").alias("pk_b")),
+            lines_f.select("ok", F.col("pk").alias("pk_b")),
             ["ok", "pk_b"],
             "left_semi",
         )

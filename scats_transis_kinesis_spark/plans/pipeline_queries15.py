@@ -312,7 +312,9 @@ _MASE_WARMUP = 7  # evaluation starts once every baseline has history
             JOIN ma m ON m.d = y.d AND m.n_src = 7
             WHERE y.d >= {_MASE_WARMUP}
         ), mae AS (
-            SELECT method, (se // ne) AS mae_micros, naive_mae
+            SELECT method,
+                   CASE WHEN ne > 0 THEN (se // ne) END AS mae_micros,
+                   naive_mae
             FROM (
                 SELECT count(*)::BIGINT AS ne,
                        sum(e_naive)::BIGINT AS s_naive,
@@ -321,14 +323,19 @@ _MASE_WARMUP = 7  # evaluation starts once every baseline has history
                 FROM err
             ) t, LATERAL (
                 SELECT * FROM (VALUES
-                    ('naive', t.s_naive, (t.s_naive // t.ne)),
-                    ('seasonal_naive_7', t.s_snaive, (t.s_naive // t.ne)),
-                    ('trailing_mean_7', t.s_ma7, (t.s_naive // t.ne))
+                    ('naive', t.s_naive,
+                     CASE WHEN t.ne > 0 THEN (t.s_naive // t.ne) END),
+                    ('seasonal_naive_7', t.s_snaive,
+                     CASE WHEN t.ne > 0 THEN (t.s_naive // t.ne) END),
+                    ('trailing_mean_7', t.s_ma7,
+                     CASE WHEN t.ne > 0 THEN (t.s_naive // t.ne) END)
                 ) v(method, se, naive_mae)
             )
         )
         SELECT method, mae_micros,
-               ((mae_micros * 1000000) // naive_mae) AS mase_micros
+               CASE WHEN naive_mae > 0
+                    THEN ((mae_micros * 1000000) // naive_mae)
+               END AS mase_micros
         FROM mae
         ORDER BY method
     """,
@@ -396,20 +403,26 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e_snaive").alias("s_snaive"),
         F.sum("e_ma7").alias("s_ma7"),
     )
+    # Degenerate-series guards: an empty backtest window (ne = 0) or a
+    # constant series (naive_mae = 0) reports NULL cleanly instead of
+    # an engine-dependent divide-by-zero; mirrored by the oracle CASEs.
     rows = t.select(
         F.expr(
             "stack(3, 'naive', s_naive, 'seasonal_naive_7', s_snaive, "
             "'trailing_mean_7', s_ma7) AS (method, se)"
         ),
         "ne",
-        _idiv(F.col("s_naive"), F.col("ne")).alias("naive_mae"),
+        F.when(
+            F.col("ne") > 0, _idiv(F.col("s_naive"), F.col("ne"))
+        ).alias("naive_mae"),
     )
+    mae = F.when(F.col("ne") > 0, _idiv(F.col("se"), F.col("ne")))
     return rows.select(
         "method",
-        _idiv(F.col("se"), F.col("ne")).alias("mae_micros"),
-        _idiv(
-            _idiv(F.col("se"), F.col("ne")) * F.lit(1_000_000),
-            F.col("naive_mae"),
+        mae.alias("mae_micros"),
+        F.when(
+            F.col("naive_mae") > 0,
+            _idiv(mae * F.lit(1_000_000), F.col("naive_mae")),
         ).alias("mase_micros"),
     ).orderBy("method")
 

@@ -224,11 +224,22 @@ def anova_f_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily
             JOIN rx ON daily.rev_c = rx.v
             JOIN ry ON daily.n_orders = ry.v
+        ), st AS (
+            SELECT count(*)::BIGINT AS n_days,
+                   round(corr(r2x, r2y), 6) AS spearman_rho,
+                   sum(rev_c::HUGEINT) AS sx,
+                   sum(n_orders::HUGEINT) AS sy,
+                   sum(rev_c::HUGEINT * n_orders) AS sxy,
+                   sum(rev_c::HUGEINT * rev_c) AS sxx,
+                   sum(n_orders::HUGEINT * n_orders) AS syy
+            FROM j
         )
-        SELECT count(*)::BIGINT AS n_days,
-               round(corr(r2x, r2y), 6) AS spearman_rho,
-               round(corr(rev_c, n_orders), 6) AS pearson_r
-        FROM j
+        SELECT n_days, spearman_rho,
+               round((n_days::HUGEINT * sxy - sx * sy)::DOUBLE
+                     / sqrt((n_days::HUGEINT * sxx - sx * sx)::DOUBLE)
+                     / sqrt((n_days::HUGEINT * syy - sy * sy)::DOUBLE),
+                     6) AS pearson_r
+        FROM st
     """,
     doc="""Spearman rank correlation between the daily-revenue and
     daily-order-count series, with exact average-tie midranks, next to
@@ -239,8 +250,12 @@ def anova_f_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·|values below| + |ties| + 1), built from a per-distinct-value
     count frame, so no floating rank ever exists; Spearman is Pearson
     on those integer ranks (affine-invariant, so the ×2 cancels), and
-    ``corr`` over small-integer pairs is pinned cross-engine at
-    round-6.  Scale shape: the fact table collapses to the
+    ``corr`` over small-integer pairs is pinned cross-engine; the raw
+    Pearson r over ~1e9-magnitude cent values is computed from EXACT
+    integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² in
+    decimal(38)/HUGEINT) through one fixed-order double expression, so
+    no decimal-boundary flip can appear at any scale.  Scale shape:
+    the fact table collapses to the
     calendar-bounded daily frame first (≤ |days| rows at ANY data
     scale); the rank computation is a non-equi self-join of the
     distinct-VALUE frame, also calendar-bounded, declared in the plan
@@ -274,10 +289,32 @@ def spearman_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = daily.join(
         F.broadcast(rx), daily.rev_c == rx.v
     ).join(F.broadcast(ry), daily.n_orders == ry.v)
-    return j.agg(
+    # Pearson over ~1e9-magnitude cent values would be one-ulp fragile
+    # through the builtin ``corr`` (partial-aggregation order varies),
+    # so it is computed from EXACT integer sufficient statistics —
+    # decimal(38,0) sums here, HUGEINT in the oracle — folded through
+    # ONE fixed-order double expression, the welch_t/anova pattern.
+    # Spearman stays on ``corr``: its inputs are small integer ranks,
+    # pinned cross-engine.
+    xd = F.col("rev_c").cast("decimal(19,0)")
+    yd = F.col("n_orders").cast("decimal(19,0)")
+    st = j.agg(
         F.count("*").alias("n_days"),
         F.round(F.corr("r2x", "r2y"), 6).alias("spearman_rho"),
-        F.round(F.corr("rev_c", "n_orders"), 6).alias("pearson_r"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return st.select(
+        "n_days",
+        "spearman_rho",
+        F.round(cxy / F.sqrt(cxx) / F.sqrt(cyy), 6).alias("pearson_r"),
     )
 
 
@@ -315,15 +352,29 @@ def spearman_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mt, ta, tb
         )
         SELECT n_docs, matched AS matched_pairs, true_pairs, pred_pairs,
-               ((matched * 1000000) // pred_pairs) AS precision_micros,
-               ((matched * 1000000) // true_pairs) AS recall_micros,
-               ((2 * matched * 1000000) // (true_pairs + pred_pairs))
-                   AS f1_micros,
-               (((matched + tot - true_pairs - pred_pairs + matched)
-                 * 1000000) // tot) AS rand_index_micros,
-               round((matched - true_pairs::DOUBLE * pred_pairs / tot)
-                     / ((true_pairs + pred_pairs) / 2.0
-                        - true_pairs::DOUBLE * pred_pairs / tot), 6) AS ari
+               CASE WHEN pred_pairs > 0
+                    THEN ((matched * 1000000) // pred_pairs)
+               END AS precision_micros,
+               CASE WHEN true_pairs > 0
+                    THEN ((matched * 1000000) // true_pairs)
+               END AS recall_micros,
+               CASE WHEN true_pairs + pred_pairs > 0
+                    THEN ((2 * matched * 1000000)
+                          // (true_pairs + pred_pairs))
+               END AS f1_micros,
+               CASE WHEN tot > 0
+                    THEN (((matched + tot - true_pairs - pred_pairs
+                            + matched) * 1000000) // tot)
+               END AS rand_index_micros,
+               CASE WHEN tot > 0
+                     AND ((true_pairs + pred_pairs) / 2.0
+                          - true_pairs::DOUBLE * pred_pairs / tot) > 0
+                    THEN round((matched
+                                - true_pairs::DOUBLE * pred_pairs / tot)
+                               / ((true_pairs + pred_pairs) / 2.0
+                                  - true_pairs::DOUBLE * pred_pairs / tot),
+                               6)
+               END AS ari
         FROM z
     """,
     doc="""Pair-counting agreement between the labeled languages and
@@ -380,28 +431,43 @@ def lang_id_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col
     exp_idx = d("true_pairs").cast("double") * d("pred_pairs") / d("tot")
+    ari_den = (d("true_pairs") + d("pred_pairs")) / F.lit(2.0) - exp_idx
+    # Degenerate-partition guards (mirrored by the oracle CASEs): a
+    # single-cluster or single-doc input zeroes pred_pairs /
+    # true_pairs / tot / the ARI denominator — report NULL cleanly
+    # rather than an engine-dependent divide-by-zero.
     return z.select(
         "n_docs",
         d("matched").alias("matched_pairs"),
         "true_pairs",
         "pred_pairs",
-        _idiv(d("matched") * 1_000_000, d("pred_pairs")).alias(
-            "precision_micros"
-        ),
-        _idiv(d("matched") * 1_000_000, d("true_pairs")).alias("recall_micros"),
-        _idiv(
-            2 * d("matched") * 1_000_000, d("true_pairs") + d("pred_pairs")
+        F.when(
+            d("pred_pairs") > 0,
+            _idiv(d("matched") * 1_000_000, d("pred_pairs")),
+        ).alias("precision_micros"),
+        F.when(
+            d("true_pairs") > 0,
+            _idiv(d("matched") * 1_000_000, d("true_pairs")),
+        ).alias("recall_micros"),
+        F.when(
+            d("true_pairs") + d("pred_pairs") > 0,
+            _idiv(
+                2 * d("matched") * 1_000_000,
+                d("true_pairs") + d("pred_pairs"),
+            ),
         ).alias("f1_micros"),
-        _idiv(
-            (d("matched") + d("tot") - d("true_pairs") - d("pred_pairs")
-             + d("matched"))
-            * 1_000_000,
-            d("tot"),
+        F.when(
+            d("tot") > 0,
+            _idiv(
+                (d("matched") + d("tot") - d("true_pairs") - d("pred_pairs")
+                 + d("matched"))
+                * 1_000_000,
+                d("tot"),
+            ),
         ).alias("rand_index_micros"),
-        F.round(
-            (d("matched") - exp_idx)
-            / ((d("true_pairs") + d("pred_pairs")) / F.lit(2.0) - exp_idx),
-            6,
+        F.when(
+            (d("tot") > 0) & (ari_den > 0),
+            F.round((d("matched") - exp_idx) / ari_den, 6),
         ).alias("ari"),
     )
 

@@ -38,6 +38,7 @@ from ..sources.loaders import load_table
 from .pipeline_queries7 import trend_seasonal_decompose
 from .pipeline_queries13 import _idiv
 from .pipeline_queries17 import _PRIO_SHORT, _PRIORITIES
+from .probes import probe_min_max
 from .registry import register
 
 # --- Kruskal–Wallis --------------------------------------------------------
@@ -133,10 +134,10 @@ def kruskal_wallis_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("o_totalprice").cast("long").alias("xd"),
     )
     vals = x.groupBy("xd").agg(F.count("*").alias("c"))
-    lo, hi = vals.agg(
-        F.min("xd").cast("double"), F.max("xd").cast("double")
-    ).first()
-    width = max((float(hi) - float(lo)) / _KW_BUCKETS, 1e-9)
+    lo, hi = probe_min_max(
+        vals, "xd", query="kruskal_wallis_priority_spend", sf_dir=sf_dir
+    )
+    width = max((hi - lo) / _KW_BUCKETS, 1e-9)
     bucket = F.least(
         F.lit(_KW_BUCKETS - 1),
         F.floor((F.col("xd") - F.lit(float(lo))) / F.lit(width)),

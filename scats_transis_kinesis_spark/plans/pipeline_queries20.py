@@ -37,6 +37,7 @@ from pyspark.sql import Window as W
 
 from ..sources.loaders import load_table
 from .pipeline_queries13 import _idiv
+from .probes import probe_min_max
 from .registry import register
 
 # --- isotonic calibration (PAV via minimax) ---------------------------------
@@ -279,10 +280,10 @@ def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Hierarchical k-th order statistic: bucket by range, prefix-count,
     # rank only inside the bucket that contains rank k.
-    lo, hi = cal.agg(
-        F.min("score").cast("double"), F.max("score").cast("double")
-    ).first()
-    width = max((float(hi) - float(lo)) / _CONF_BUCKETS, 1e-9)
+    lo, hi = probe_min_max(
+        cal, "score", query="conformal_coverage_audit", sf_dir=sf_dir
+    )
+    width = max((hi - lo) / _CONF_BUCKETS, 1e-9)
     bucket = F.least(
         F.lit(_CONF_BUCKETS - 1),
         F.floor((F.col("score") - F.lit(float(lo))) / F.lit(width)),

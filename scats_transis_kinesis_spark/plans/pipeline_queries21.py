@@ -38,6 +38,7 @@ from ..sources.loaders import load_table
 from .analytics_queries import QUALITY_MIN
 from .extension_queries import _H64, _STOPLIST_SQL
 from .pipeline_queries13 import _idiv
+from .probes import probe_min_max
 from .registry import register
 
 # --- curation decision log ---------------------------------------------------
@@ -164,10 +165,10 @@ def equidepth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
     vals = x.groupBy("v").agg(F.count("*").alias("c"))
-    lo, hi = vals.agg(
-        F.min("v").cast("double"), F.max("v").cast("double")
-    ).first()
-    width = max((float(hi) - float(lo)) / _HIST_BUCKETS, 1e-9)
+    lo, hi = probe_min_max(
+        vals, "v", query="equidepth_histogram_stats", sf_dir=sf_dir
+    )
+    width = max((hi - lo) / _HIST_BUCKETS, 1e-9)
     bucket = F.least(
         F.lit(_HIST_BUCKETS - 1),
         F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),

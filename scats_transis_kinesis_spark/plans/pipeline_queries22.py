@@ -75,10 +75,11 @@ def _policy_sql(arm_expr: str) -> str:
                    AS n_matched,
                ((sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) * 1000000)
                 // count(*)) AS match_rate_micros,
-               ((sum(CASE WHEN arm = chosen THEN reward_c ELSE 0 END)
-                 * 1000)
-                // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END))
-                   AS mean_reward_cents_milli
+               CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
+                    THEN ((sum(CASE WHEN arm = chosen THEN reward_c
+                               ELSE 0 END) * 1000)
+                          // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END))
+               END AS mean_reward_cents_milli
         FROM choice
         GROUP BY policy
         ORDER BY policy
@@ -132,14 +133,20 @@ def bandit_replay_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
             _idiv(F.sum(matched) * 1_000_000, F.count("*")).alias(
                 "match_rate_micros"
             ),
-            _idiv(
-                F.sum(
-                    F.when(
-                        F.col("arm") == F.col("chosen"), F.col("reward_c")
-                    ).otherwise(0)
-                )
-                * 1000,
-                F.sum(matched),
+            # A policy that matches zero logged events has no defined
+            # mean reward: report NULL cleanly (both engines) instead
+            # of leaking an engine-dependent divide-by-zero.
+            F.when(
+                F.sum(matched) > 0,
+                _idiv(
+                    F.sum(
+                        F.when(
+                            F.col("arm") == F.col("chosen"), F.col("reward_c")
+                        ).otherwise(0)
+                    )
+                    * 1000,
+                    F.sum(matched),
+                ),
             ).alias("mean_reward_cents_milli"),
         )
         .orderBy("policy")

@@ -102,16 +102,21 @@ _BH_ALPHA_MICROS = 50_000  # alpha = 0.05
     statistics through one fixed double expression; p quantizes to
     micros; the BH comparison p·m ≤ α_micros·rank and the step-up cut
     are PURE INTEGER arithmetic; rank ties break on the nation key.
-    Scale shape: one fact-dim equi-join (dim broadcast), one grouped
-    aggregate, then everything lives on the |nations|-row frame
-    (bounded rank self-join and 1-row cut broadcast, declared).""",
+    Scale shape: one fact-dim equi-join (customer is SF-scaled, so the
+    join carries no broadcast hint — AQE broadcasts while it fits and
+    shuffles on the key past that), one grouped aggregate, then
+    everything lives on the |nations|-row frame (bounded rank
+    self-join and 1-row cut broadcast, declared).""",
 )
 def fdr_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
+    # customer grows with scale factor, so no broadcast HINT here: AQE
+    # broadcasts it while it fits and falls back to a key-partitioned
+    # shuffle join past that — the only join shape that survives 100 TB.
     x = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_nationkey").alias("nk"),
