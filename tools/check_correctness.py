@@ -24,9 +24,48 @@ from decimal import Decimal
 sys.path.insert(0, ".")
 
 SF_DIR = "/root/testdata/sf0.01"
+SF01_DIR = "/root/testdata/sf0.1"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# The decimal-boundary-flip watchlist (the round-5 Holt / percent_rank
+# class): queries whose contract still carries a ``round(double, 6)`` of
+# a small-denominator exact rational or an iterative/cancellation-heavy
+# double expression — exactly the shape that passes at one scale factor
+# and flips one ulp at another because a value lands ON the 6-decimal
+# half boundary.  ``--fp-sweep`` runs this list (default sf0.1, the SF
+# that historically exposed the flips) so a regression in the class
+# surfaces locally before the driver sees it.  Queries whose outputs
+# are pure integers/micros are deliberately absent — they cannot flip.
+FP_SENSITIVE = [
+    "spearman_daily_kpis",       # corr over ranks + sufficient-stat pearson
+    "stats_correlation",         # corr/covar/regr_slope family
+    "welch_t_test_orders",       # fixed-order t / df doubles
+    "anova_f_priority_spend",    # F statistic double
+    "kruskal_wallis_priority_spend",  # H statistic double
+    "chi2_lang_source_independence",  # chi2 double
+    "mutual_information_lang_source", # log-ratio doubles
+    "lang_id_agreement_ari",     # ARI fixed-order double
+    "ks_drift_orders",           # max-gap over ECDF ratios
+    "quality_auc_en",            # rank-sum AUC ratio
+    "trend_seasonal_decompose",  # regression slope doubles
+    "seasonal_strength_audit",   # variance-ratio doubles
+    "theil_sen_trend_daily",     # median-of-slopes rationals
+    "acf_hourly_traffic",        # autocorrelation ratios
+    "holt_linear_daily",         # the original boundary-flip query
+    "burst_detection_daily",     # Viterbi log-likelihood doubles
+    "markov_stationary_events",  # power-iteration micros + doubles
+    "hits_hubs_authorities",     # iterative normalization
+    "pca_top_component",         # power iteration on Gram doubles
+    "jl_projection_distortion_audit",  # distortion ratio doubles
+    "embedding_anisotropy_audit",      # cosine-moment doubles
+    "zipf_law_fit",              # log-log regression doubles
+    "heaps_law_fit",             # log-log regression doubles
+    "domain_shift_kl",           # KL log-ratio doubles
+    "window_distribution_stats", # percent_rank/cume_dist contract
+    "dsir_importance_weights",   # log-importance doubles
+]
 
 
 def canon(v):
@@ -71,7 +110,17 @@ def main() -> int:
         help="also write per-query results as a JSON artifact "
         "(checked in per round so the local rerun is auditable)",
     )
+    ap.add_argument(
+        "--fp-sweep",
+        action="store_true",
+        help="run the FP_SENSITIVE decimal-boundary watchlist at sf0.1 "
+        "(names/--sf-dir still override)",
+    )
     args = ap.parse_args()
+    if args.fp_sweep:
+        args.names = args.names or list(FP_SENSITIVE)
+        if args.sf_dir == SF_DIR and "--sf-dir" not in sys.argv:
+            args.sf_dir = SF01_DIR
     results: dict[str, dict] = {}
 
     import duckdb
