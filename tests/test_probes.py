@@ -1,0 +1,40 @@
+"""plans/probes.py — the guarded, memoised plan-construction probe."""
+
+from __future__ import annotations
+
+import pytest
+
+from scats_transis_kinesis_spark.plans import probes
+
+
+def test_probe_returns_float_bounds(spark):
+    df = spark.createDataFrame([(3,), (9,), (5,)], "v long")
+    lo, hi = probes.probe_min_max(df, "v", query="t1", sf_dir="mem://a")
+    assert (lo, hi) == (3.0, 9.0)
+    assert isinstance(lo, float) and isinstance(hi, float)
+
+
+def test_probe_empty_input_raises_cleanly(spark):
+    df = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="empty/all-null"):
+        probes.probe_min_max(df, "v", query="t2", sf_dir="mem://a")
+
+
+def test_probe_all_null_raises_cleanly(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v long")
+    with pytest.raises(ValueError, match="empty/all-null"):
+        probes.probe_min_max(df, "v", query="t3", sf_dir="mem://a")
+
+
+def test_probe_memoises_per_query_sfdir_col(spark):
+    df = spark.createDataFrame([(1,), (7,)], "v long")
+    first = probes.probe_min_max(df, "v", query="t4", sf_dir="mem://a")
+    assert first == (1.0, 7.0)
+    # A DIFFERENT frame under the same key must hit the cache (the
+    # contract: bounds of a static input don't change per process).
+    other = spark.createDataFrame([(100,), (200,)], "v long")
+    assert probes.probe_min_max(other, "v", query="t4", sf_dir="mem://a") == first
+    # A different key re-probes.
+    assert probes.probe_min_max(
+        other, "v", query="t4", sf_dir="mem://b"
+    ) == (100.0, 200.0)
