@@ -266,6 +266,17 @@ HEADLINE = [
 # slower than that host did".
 CALIB_REFERENCE_SEC = 0.722
 
+# Second calibration axis (round 6): the pure-CPU query above misses
+# memory-bandwidth/shuffle steal — round 6 measured cpu factor 1.02 on
+# a host whose untouched scan-agg control (q1_pricing_summary isolated
+# min-of-3) ran 1.8x slower than round 5's, with the untouched-query
+# suite median at 1.35x.  This fixed shuffle-heavy aggregate (100M rows
+# into 10M groups: hash-table build + exchange, no I/O, no data
+# dependence) is memory-bound, so `mem_instance_factor` captures that
+# axis.  Reference constant = min measured on the round-6 bench host
+# (steady state after JIT warm-up; the suite's q1 warm pass runs first).
+MEM_CALIB_REFERENCE_SEC = 5.54
+
 
 def _calibrate(spark) -> float:
     best = None
@@ -274,6 +285,18 @@ def _calibrate(spark) -> float:
         spark.range(0, 400_000_000, 1, 32).selectExpr(
             "sum(sin(id * 1e-7) + cos(id * 1e-7)) as s"
         ).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _calibrate_mem(spark) -> float:
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "id % 10000000 as k"
+        ).groupBy("k").count().write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best
@@ -292,6 +315,7 @@ def main() -> None:
         "noop"
     ).save()
     calib_sec = _calibrate(spark)
+    mem_calib_sec = _calibrate_mem(spark)
 
     # Each query is timed over PASSES runs and reports the MINIMUM —
     # this host shows bursty multi-tenant CPU steal (measured: the same
@@ -345,6 +369,10 @@ def main() -> None:
                 "sf": sf,
                 "calibration_sec": round(calib_sec, 3),
                 "instance_factor": round(calib_sec / CALIB_REFERENCE_SEC, 3),
+                "mem_calibration_sec": round(mem_calib_sec, 3),
+                "mem_instance_factor": round(
+                    mem_calib_sec / MEM_CALIB_REFERENCE_SEC, 3
+                ),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
             }
