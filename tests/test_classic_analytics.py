@@ -333,6 +333,45 @@ def test_association_triples_hand_metrics(spark, tmp_path):
     assert r["lift_micros"] == 1_000_000
 
 
+def test_association_triples_whale_basket_is_projected_losslessly(
+    spark, tmp_path
+):
+    """The round-6 L1 frequent-item projection (SCALE.md §6.18) must be
+    LOSSLESS: a whale basket full of one-off parts contributes nothing
+    to any frequent itemset (every one-off part has count 1 < min
+    support), so the mined triples are identical to the no-whale case —
+    but the whale still counts in the support denominator (n_baskets is
+    over ALL baskets, not the projected ones).  The oracle mirror can't
+    catch a wrong projection applied to both engines; this hand anchor
+    can."""
+    from scats_transis_kinesis_spark.plans.pipeline_queries13 import (
+        association_rules_triples,
+    )
+
+    orders, lines, ok = [], [], 0
+    baskets = [(c, [1, 2, 3]) for c in (1, 2, 3)] + [
+        (c, [1, 2]) for c in (4, 5)
+    ]
+    # Customer 6 is the whale: 200 distinct parts bought once each
+    # (part ids 1000+ never repeat across baskets -> all infrequent).
+    baskets.append((6, list(range(1000, 1200))))
+    for cust, parts in baskets:
+        ok += 1
+        orders.append((ok, cust, _d(1997, 1, min(ok, 28))))
+        lines.extend((ok, p) for p in parts)
+    _write(spark, tmp_path, "orders", orders, ORDERS)
+    _write(spark, tmp_path, "lineitem", lines, LINES)
+    rows = association_rules_triples(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pk_a"], r["pk_b"], r["pk_c"], r["c_abc"]) == (1, 2, 3, 3)
+    # n_baskets = 6 now (the whale counts), so support shifts 3/5 -> 3/6.
+    assert r["support_micros"] == (3 * 1_000_000) // 6
+    assert r["confidence_micros"] == (3 * 1_000_000) // 5
+    # lift = 1e6·c_abc·n / (c_ab·c_c) = 1e6·3·6 // (5·3) = 1.2e6
+    assert r["lift_micros"] == (3 * 1_000_000 * 6) // (5 * 3)
+
+
 # ----------------------------------------------------------- TextRank
 
 
