@@ -226,7 +226,11 @@ def anova_f_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN ry ON daily.n_orders = ry.v
         ), st AS (
             SELECT count(*)::BIGINT AS n_days,
-                   round(corr(r2x, r2y), 6) AS spearman_rho,
+                   sum(r2x::HUGEINT) AS srx,
+                   sum(r2y::HUGEINT) AS sry,
+                   sum(r2x::HUGEINT * r2y) AS srxy,
+                   sum(r2x::HUGEINT * r2x) AS srxx,
+                   sum(r2y::HUGEINT * r2y) AS sryy,
                    sum(rev_c::HUGEINT) AS sx,
                    sum(n_orders::HUGEINT) AS sy,
                    sum(rev_c::HUGEINT * n_orders) AS sxy,
@@ -234,11 +238,21 @@ def anova_f_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(n_orders::HUGEINT * n_orders) AS syy
             FROM j
         )
-        SELECT n_days, spearman_rho,
-               round((n_days::HUGEINT * sxy - sx * sy)::DOUBLE
-                     / sqrt((n_days::HUGEINT * sxx - sx * sx)::DOUBLE)
-                     / sqrt((n_days::HUGEINT * syy - sy * sy)::DOUBLE),
-                     6) AS pearson_r
+        SELECT n_days,
+               CASE WHEN (n_days::HUGEINT * srxx - srx * srx) > 0
+                     AND (n_days::HUGEINT * sryy - sry * sry) > 0
+                    THEN round((n_days::HUGEINT * srxy - srx * sry)::DOUBLE
+                         / sqrt((n_days::HUGEINT * srxx - srx * srx)::DOUBLE)
+                         / sqrt((n_days::HUGEINT * sryy - sry * sry)::DOUBLE),
+                         6)
+               END AS spearman_rho,
+               CASE WHEN (n_days::HUGEINT * sxx - sx * sx) > 0
+                     AND (n_days::HUGEINT * syy - sy * sy) > 0
+                    THEN round((n_days::HUGEINT * sxy - sx * sy)::DOUBLE
+                         / sqrt((n_days::HUGEINT * sxx - sx * sx)::DOUBLE)
+                         / sqrt((n_days::HUGEINT * syy - sy * sy)::DOUBLE),
+                         6)
+               END AS pearson_r
         FROM st
     """,
     doc="""Spearman rank correlation between the daily-revenue and
@@ -249,12 +263,13 @@ def anova_f_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers via the 2×midrank identity
     (2·|values below| + |ties| + 1), built from a per-distinct-value
     count frame, so no floating rank ever exists; Spearman is Pearson
-    on those integer ranks (affine-invariant, so the ×2 cancels), and
-    ``corr`` over small-integer pairs is pinned cross-engine; the raw
-    Pearson r over ~1e9-magnitude cent values is computed from EXACT
-    integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² in
-    decimal(38)/HUGEINT) through one fixed-order double expression, so
-    no decimal-boundary flip can appear at any scale.  Scale shape:
+    on those integer ranks (affine-invariant, so the ×2 cancels); BOTH
+    correlations are computed from EXACT integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy² in decimal(38)/HUGEINT) through one
+    fixed-order double expression, so no decimal-boundary flip can
+    appear at any scale, and a zero-variance (constant) series yields
+    NULL in both engines instead of an ANSI divide-by-zero (round-7
+    guard).  Scale shape:
     the fact table collapses to the
     calendar-bounded daily frame first (≤ |days| rows at ANY data
     scale); the rank computation is a non-equi self-join of the
@@ -291,16 +306,23 @@ def spearman_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(ry), daily.n_orders == ry.v)
     # Pearson over ~1e9-magnitude cent values would be one-ulp fragile
     # through the builtin ``corr`` (partial-aggregation order varies),
-    # so it is computed from EXACT integer sufficient statistics —
-    # decimal(38,0) sums here, HUGEINT in the oracle — folded through
-    # ONE fixed-order double expression, the welch_t/anova pattern.
-    # Spearman stays on ``corr``: its inputs are small integer ranks,
-    # pinned cross-engine.
+    # so BOTH correlations are computed from EXACT integer sufficient
+    # statistics — decimal(38,0) sums here, HUGEINT in the oracle —
+    # folded through ONE fixed-order double expression, the
+    # welch_t/anova pattern.  Spearman's inputs are the small integer
+    # midranks, so its sufficient statistics are exact too (and the
+    # affine ×2 in the midrank identity cancels in the correlation).
     xd = F.col("rev_c").cast("decimal(19,0)")
     yd = F.col("n_orders").cast("decimal(19,0)")
+    rxd = F.col("r2x").cast("decimal(19,0)")
+    ryd = F.col("r2y").cast("decimal(19,0)")
     st = j.agg(
         F.count("*").alias("n_days"),
-        F.round(F.corr("r2x", "r2y"), 6).alias("spearman_rho"),
+        F.sum(rxd).alias("srx"),
+        F.sum(ryd).alias("sry"),
+        F.sum(rxd * ryd).alias("srxy"),
+        F.sum(rxd * rxd).alias("srxx"),
+        F.sum(ryd * ryd).alias("sryy"),
         F.sum(xd).alias("sx"),
         F.sum(yd).alias("sy"),
         F.sum(xd * yd).alias("sxy"),
@@ -308,13 +330,26 @@ def spearman_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(yd * yd).alias("syy"),
     )
     n = F.col("n_days").cast("decimal(38,0)")
-    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    cyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+
+    def corr_guarded(sxy: str, sxx: str, syy: str, sx: str, sy: str):
+        # Zero-variance guard (round-7 ADVICE): a constant series makes
+        # a cross-moment exactly zero (exact integers, so the comparison
+        # is engine-independent) and the division would be an
+        # engine-dependent inf/NaN/divide-by-zero (ANSI mode raises) —
+        # emit NULL, mirrored by the oracle's CASE WHEN, matching the
+        # lang_id_agreement_ari ARI-denominator pattern.
+        cxy = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        cxx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        cyy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.when(
+            (cxx > 0) & (cyy > 0),
+            F.round(cxy / F.sqrt(cxx) / F.sqrt(cyy), 6),
+        )
+
     return st.select(
         "n_days",
-        "spearman_rho",
-        F.round(cxy / F.sqrt(cxx) / F.sqrt(cyy), 6).alias("pearson_r"),
+        corr_guarded("srxy", "srxx", "sryy", "srx", "sry").alias("spearman_rho"),
+        corr_guarded("sxy", "sxx", "syy", "sx", "sy").alias("pearson_r"),
     )
 
 

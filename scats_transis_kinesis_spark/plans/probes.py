@@ -12,10 +12,14 @@ This helper keeps that probe honest:
 - **Empty-safe**: an empty (or all-null) input raises a clear
   ``ValueError`` instead of the opaque ``float(None)`` TypeError the
   raw ``.first()`` unpacking produced.
-- **Cached per (query, sf_dir)**: registry enumeration calls plan
-  builders repeatedly (driver correctness sweeps, bench warm-up); the
-  probed bounds of a static parquet input don't change, so each
-  (query, sf_dir) pays the eager job once per process.
+- **Cached per (query, sf_dir, col, plan)**: registry enumeration
+  calls plan builders repeatedly (driver correctness sweeps, bench
+  warm-up); the probed bounds of a static parquet input don't change,
+  so each probe site pays the eager job once per process.  The key
+  includes a semantic fingerprint of the probed frame's analyzed plan
+  (round-7 ADVICE fix), so a query that probes two DIFFERENT derived
+  frames sharing a column name gets two cache rows instead of one
+  silently-wrong hit.
 """
 
 from __future__ import annotations
@@ -23,17 +27,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_BOUNDS_CACHE: dict[tuple[str, str, str], tuple[float, float]] = {}
+_BOUNDS_CACHE: dict[tuple[str, str, str, int], tuple[float, float]] = {}
+
+
+def _plan_fingerprint(df: DataFrame) -> int:
+    """Semantic hash of the frame's analyzed plan.
+
+    ``semanticHash`` is stable across expression-ID renumbering, so
+    re-building the same plan hits the cache, while a genuinely
+    different derived frame (even with identical column names) gets its
+    own key.  Falls back to ``schema.simpleString()``'s hash on
+    non-JVM-backed frames (e.g. Connect) where ``_jdf`` is unavailable.
+    """
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return hash(df.schema.simpleString())
 
 
 def probe_min_max(
     df: DataFrame, col: str, *, query: str, sf_dir: str
 ) -> tuple[float, float]:
     """Eagerly probe ``(min, max)`` of ``col`` as floats, memoised by
-    ``(query, sf_dir, col)``.  Raises ``ValueError`` on an empty or
-    all-null input so bucket sizing fails loudly, not with a
-    ``float(None)`` TypeError three frames later."""
-    key = (query, sf_dir, col)
+    ``(query, sf_dir, col, plan-fingerprint)``.  Raises ``ValueError``
+    on an empty or all-null input so bucket sizing fails loudly, not
+    with a ``float(None)`` TypeError three frames later."""
+    key = (query, sf_dir, col, _plan_fingerprint(df))
     hit = _BOUNDS_CACHE.get(key)
     if hit is not None:
         return hit

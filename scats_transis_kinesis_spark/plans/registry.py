@@ -46,80 +46,30 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 # The driver's correctness sample covers the FIRST 50 registry entries,
-# so the surface order is curated and ROTATES per round: rounds 1-5
-# drove 195 distinct queries green (zero reds anywhere in r1..r5).
-# Round 6 is the verification round the round-5 verdict ordered: the 74
-# round-5 queries that have never appeared in a driver artifact lead,
-# in the order pinned last round — the first 50 are THIS round's
-# window (acf_hourly_traffic .. lang_id_agreement_ari, including the
-# FP-sensitive holt/markov/burst family and the four queries whose
-# implementation changed this round: association_rules_triples gained
-# the lossless frequent-item projection, forecast_backtest_mase and
-# lang_id_agreement_ari gained zero-denominator guards, and
-# spearman_daily_kpis's pearson_r moved to exact int sufficient
-# statistics).  The remaining 24 dark queries sit at positions 51-74
-# and lead the ROUND-7 window, closing the union at 269/269.  The
-# round-6 ADVICE fixes touching queries past the window
-# (bandit_replay_evaluation's and fdr_bh_screen's guards, the probe
-# hardening in kruskal/conformal/equidepth) are value-neutral on
-# non-degenerate data — re-verified by the local three-SF sweep this
-# round and driver-verified when they rotate in next round.
+# so the surface order is curated and ROTATES per round.  Rounds 1-6
+# drove 245 distinct queries green (zero reds in r2..r6; the union is
+# tracked in BACKLOG.md).  Round 7 is the union-closing round the
+# round-6 verdict ordered: the window head is the 24 queries that have
+# never appeared in any driver artifact (shard_shuffle_quality ..
+# dictionary_encoding_audit, pinned in round 6 at positions 51-74 and
+# all green on the judge's independent oracle rerun).  If they go
+# green in CORRECTNESS_r07 the driver-green union closes at 269/269.
+# The other 26 slots are the FP-boundary watchlist
+# (tools/check_correctness.py::FP_SENSITIVE) minus the three already
+# in the dark-24 block (kruskal_wallis_priority_spend,
+# seasonal_strength_audit, pca_top_component), plus three
+# oldest-green r1/r2-only fill rows (TPC-H spine, setops, window
+# surface) -- the queries most likely to flip at the driver's SF.
+# Note: bandit_replay_evaluation and fdr_bh_screen carry the round-6
+# ADVICE fixes (zero guards / dropped broadcast hint, value-neutral on
+# non-degenerate data); spearman_daily_kpis carries the round-7
+# zero-variance pearson guard -- all three sit inside this window, so
+# the driver verifies them this round.
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 driver window: first 50 never-driver-sampled ---
-    "acf_hourly_traffic",
-    "ks_drift_orders",
-    "cusum_changepoint_daily",
-    "robust_outliers_mad",
-    "link_prediction_scores",
-    "zipf_law_fit",
-    "heaps_law_fit",
-    "bloom_runtime_filter_audit",
-    "copurchase_item_similarity",
-    "bfs_hops_from_hub",
-    "semdedup_semantic_prune",
-    "mmr_diversified_topk",
-    "k_anonymity_audit",
-    "erasure_cascade_audit",
-    "quantile_normalize_by_source",
-    "ppr_nation_trade_seeds",
-    "countmin_error_audit",
-    "ndcg_quality_ranking",
-    "session_window_native",
-    "sql_pipe_surface",
-    "udtf_chunk_spans",
-    "jackknife_ci_order_total",
-    "map_hof_surface",
-    "ann_recall_audit",
-    "holt_linear_daily",
-    "kcore_peel_copurchase",
-    "mrr_quality_by_source",
-    "hits_hubs_authorities",
-    "kaplan_meier_retention",
-    "order_concurrency_peaks",
-    "mutual_information_lang_source",
-    "markov_stationary_events",
-    "association_rules_triples",
-    "sssp_weighted_copurchase",
-    "grid_density_clusters",
-    "textrank_keywords",
-    "burst_detection_daily",
-    "winnowing_dup_pairs",
-    "welch_t_test_orders",
-    "theil_sen_trend_daily",
-    "forecast_backtest_mase",
-    "degree_assortativity_copurchase",
-    "local_clustering_topk",
-    "event_regex_funnel",
-    "naive_bayes_lang_eval",
-    "jl_projection_distortion_audit",
-    "rle_compression_audit",
-    "anova_f_priority_spend",
-    "spearman_daily_kpis",
-    "lang_id_agreement_ari",
-    # --- remaining 24 never-driver-sampled: round-7 window head ---
+    # --- round-7 driver window: 24 never-driver-sampled (union close) ---
     "shard_shuffle_quality",
     "pca_top_component",
     "doc_stitch_overlap",
@@ -144,8 +94,70 @@ _PRIORITY: tuple[str, ...] = (
     "selectivity_estimate_audit",
     "nearest_centroid_accuracy",
     "dictionary_encoding_audit",
-    # --- prior driver-green queries (r5 window + FP/canon-fragile
-    # re-verification fill), kept pinned for deterministic order ---
+    # --- FP-boundary watchlist (decimal/double-fragile re-verification) ---
+    "spearman_daily_kpis",
+    "stats_correlation",
+    "welch_t_test_orders",
+    "anova_f_priority_spend",
+    "chi2_lang_source_independence",
+    "mutual_information_lang_source",
+    "lang_id_agreement_ari",
+    "ks_drift_orders",
+    "quality_auc_en",
+    "trend_seasonal_decompose",
+    "theil_sen_trend_daily",
+    "acf_hourly_traffic",
+    "holt_linear_daily",
+    "burst_detection_daily",
+    "markov_stationary_events",
+    "hits_hubs_authorities",
+    "jl_projection_distortion_audit",
+    "embedding_anisotropy_audit",
+    "zipf_law_fit",
+    "heaps_law_fit",
+    "domain_shift_kl",
+    "window_distribution_stats",
+    "dsir_importance_weights",
+    # --- oldest-green fill (r1/r2-only cohort) ---
+    "q1_pricing_summary",
+    "setops_users",
+    "window_order_ranks",
+    # --- prior driver-green queries, kept pinned for deterministic order ---
+    "cusum_changepoint_daily",
+    "robust_outliers_mad",
+    "link_prediction_scores",
+    "bloom_runtime_filter_audit",
+    "copurchase_item_similarity",
+    "bfs_hops_from_hub",
+    "semdedup_semantic_prune",
+    "mmr_diversified_topk",
+    "k_anonymity_audit",
+    "erasure_cascade_audit",
+    "quantile_normalize_by_source",
+    "ppr_nation_trade_seeds",
+    "countmin_error_audit",
+    "ndcg_quality_ranking",
+    "session_window_native",
+    "sql_pipe_surface",
+    "udtf_chunk_spans",
+    "jackknife_ci_order_total",
+    "map_hof_surface",
+    "ann_recall_audit",
+    "kcore_peel_copurchase",
+    "mrr_quality_by_source",
+    "kaplan_meier_retention",
+    "order_concurrency_peaks",
+    "association_rules_triples",
+    "sssp_weighted_copurchase",
+    "grid_density_clusters",
+    "textrank_keywords",
+    "winnowing_dup_pairs",
+    "forecast_backtest_mase",
+    "degree_assortativity_copurchase",
+    "local_clustering_topk",
+    "event_regex_funnel",
+    "naive_bayes_lang_eval",
+    "rle_compression_audit",
     "decayed_hourly_traffic",
     "triangle_count_copurchase",
     "token_entropy_quality",
@@ -180,28 +192,20 @@ _PRIORITY: tuple[str, ...] = (
     "approx_top_k_users",
     "benford_digit_audit",
     "revenue_concentration_gini",
-    "dsir_importance_weights",
     "packing_efficiency_audit",
-    "embedding_anisotropy_audit",
     "token_fertility_by_lang",
     "cross_source_duplication_matrix",
     "vocab_coverage_curve",
     "embedding_contamination_check",
-    "trend_seasonal_decompose",
     "multitouch_attribution",
     "referential_integrity_audit",
     "lang_id_confusion",
     "quality_precision_at_k",
-    "quality_auc_en",
-    "chi2_lang_source_independence",
     "quality_gains_by_band",
-    "window_distribution_stats",
     "unigram_perplexity_score",
     "grouped_percentiles_approx",
     "quantiles_exact",
-    "stats_correlation",
     "kmeans_embedding_clusters",
-    "domain_shift_kl",
     "timeseries_similarity_topk",
     "text_tfidf_top_terms",
     "quality_logreg_score",

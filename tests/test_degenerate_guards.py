@@ -89,3 +89,28 @@ def test_ari_single_cluster_partition_reports_null(spark, tmp_sf):
     assert row["f1_micros"] == 1_000_000
     assert row["rand_index_micros"] == 1_000_000
     assert row["ari"] is None
+
+
+def test_pearson_constant_series_reports_null_not_divzero(spark, tmp_sf):
+    # One order per day at one price: rev_c and n_orders are both
+    # constant across days, so the exact integer cross-moments cxx and
+    # cyy are exactly 0 and BOTH correlations are undefined -> NULL
+    # (round-7 ADVICE guard); before the guard this raised an ANSI
+    # DIVIDE_BY_ZERO inside ``corr`` and an engine-dependent inf/NaN
+    # in the pearson expression.
+    days = [
+        (datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i), 100.00)
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        days, "o_orderdate timestamp, o_totalprice double"
+    ).write.parquet(f"{tmp_sf}/orders.parquet")
+
+    from scats_transis_kinesis_spark.plans.pipeline_queries17 import (
+        spearman_daily_kpis,
+    )
+
+    row = spearman_daily_kpis(spark, tmp_sf).collect()[0]
+    assert row["n_days"] == 30
+    assert row["spearman_rho"] is None
+    assert row["pearson_r"] is None

@@ -103,7 +103,10 @@ def canon_rows(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--sf-dir", default=SF_DIR)
+    # Sentinel default (None) so --fp-sweep can tell "user passed
+    # --sf-dir" (either form: "--sf-dir PATH" or "--sf-dir=PATH") apart
+    # from the default without inspecting sys.argv (round-7 ADVICE fix).
+    ap.add_argument("--sf-dir", default=None)
     ap.add_argument(
         "--json",
         metavar="PATH",
@@ -119,8 +122,10 @@ def main() -> int:
     args = ap.parse_args()
     if args.fp_sweep:
         args.names = args.names or list(FP_SENSITIVE)
-        if args.sf_dir == SF_DIR and "--sf-dir" not in sys.argv:
+        if args.sf_dir is None:
             args.sf_dir = SF01_DIR
+    if args.sf_dir is None:
+        args.sf_dir = SF_DIR
     results: dict[str, dict] = {}
 
     import duckdb
