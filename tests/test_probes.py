@@ -26,15 +26,31 @@ def test_probe_all_null_raises_cleanly(spark):
         probes.probe_min_max(df, "v", query="t3", sf_dir="mem://a")
 
 
-def test_probe_memoises_per_query_sfdir_col(spark):
+def test_probe_memoises_per_query_sfdir_col_plan(spark):
     df = spark.createDataFrame([(1,), (7,)], "v long")
     first = probes.probe_min_max(df, "v", query="t4", sf_dir="mem://a")
     assert first == (1.0, 7.0)
-    # A DIFFERENT frame under the same key must hit the cache (the
-    # contract: bounds of a static input don't change per process).
+    # Re-probing the SAME frame hits the cache: prime a poisoned value
+    # under this frame's key and observe it comes back verbatim.
+    key = ("t4", "mem://a", "v", probes._plan_fingerprint(df))
+    assert probes._BOUNDS_CACHE[key] == first
+    probes._BOUNDS_CACHE[key] = (-1.0, -1.0)
+    try:
+        assert probes.probe_min_max(df, "v", query="t4", sf_dir="mem://a") == (
+            -1.0,
+            -1.0,
+        )
+    finally:
+        probes._BOUNDS_CACHE[key] = first
+    # A DIFFERENT frame under the same (query, sf_dir, col) must NOT
+    # collide (round-7 ADVICE fix): its plan fingerprint differs, so it
+    # re-probes and returns its own bounds.
     other = spark.createDataFrame([(100,), (200,)], "v long")
-    assert probes.probe_min_max(other, "v", query="t4", sf_dir="mem://a") == first
-    # A different key re-probes.
+    assert probes.probe_min_max(other, "v", query="t4", sf_dir="mem://a") == (
+        100.0,
+        200.0,
+    )
+    # A different sf_dir also re-probes.
     assert probes.probe_min_max(
         other, "v", query="t4", sf_dir="mem://b"
     ) == (100.0, 200.0)
