@@ -143,6 +143,9 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
+    # Auditability: the fp-sweep default redirect makes the effective
+    # data directory non-obvious from the command line alone.
+    print(f"== checking {len(names)} queries against {args.sf_dir}")
     n_pass = n_fail = n_rowsonly = 0
     t_all = time.time()
     for name in names:
