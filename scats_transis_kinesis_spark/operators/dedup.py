@@ -160,7 +160,17 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, distinct n-word shingle ARRAY) — the set representation used
     by minhash and Jaccard verification.  Docs shorter than n words are
-    excluded (no shingle — and Spark's sequence() would go descending)."""
+    excluded (no shingle exists for them).
+
+    The sequence upper bound is clamped to 0 even though the filter
+    already excludes short docs: when a consumer explodes the shingle
+    array, the optimizer pushes the explode's implicit ``size > 0``
+    guard down into the SAME Filter, and codegen's common-subexpression
+    elimination then evaluates the transform on pre-filter rows — a
+    2-word document would build the descending sequence ``[0, -1]`` and
+    crash ``slice(start=0)``.  The clamp makes the expression total
+    (short docs yield one garbage window the filter then drops); found
+    by the round-7 novelty anchor on a corpus with a sub-n-word doc."""
     from ..sources.loaders import ensure_parallelism
 
     toks = F.split(F.col(text_col), " ")
@@ -170,7 +180,9 @@ def shingle_sets(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                 )
             ).alias("shingles"),

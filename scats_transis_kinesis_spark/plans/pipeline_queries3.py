@@ -226,7 +226,17 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.col("n_toks") - (SPAN_N - 1)),
+                    # Upper bound clamped to 1 (shingle_sets rationale):
+                    # the explode's pushed-down size guard plus codegen
+                    # CSE can evaluate this on rows the n_toks filter
+                    # excludes, and a short doc's descending sequence
+                    # would crash slice(start=0).
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.col("n_toks") - (SPAN_N - 1), F.lit(1)
+                        ),
+                    ),
                     lambda i: F.struct(
                         i.alias("pos"),
                         F.concat_ws(" ", F.slice("w", i, SPAN_N)).alias("g"),
