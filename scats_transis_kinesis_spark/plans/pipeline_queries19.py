@@ -240,7 +240,8 @@ _COMPACT_GROUPS = 8
                (sum(bytes))::BIGINT AS group_bytes,
                min(shard)::BIGINT AS first_shard,
                max(shard)::BIGINT AS last_shard,
-               ((sum(bytes) * 1000000) // any_value(target)) AS fill_micros
+               ((sum(bytes) * 1000000) // any_value(target))::BIGINT
+                   AS fill_micros
         FROM assigned GROUP BY group_id
         ORDER BY group_id
     """,

@@ -74,12 +74,12 @@ def _policy_sql(arm_expr: str) -> str:
                (sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END))::BIGINT
                    AS n_matched,
                ((sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) * 1000000)
-                // count(*)) AS match_rate_micros,
-               CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
-                    THEN ((sum(CASE WHEN arm = chosen THEN reward_c
-                               ELSE 0 END) * 1000)
-                          // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END))
-               END AS mean_reward_cents_milli
+                // count(*))::BIGINT AS match_rate_micros,
+               (CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
+                     THEN ((sum(CASE WHEN arm = chosen THEN reward_c
+                                ELSE 0 END) * 1000)
+                           // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END))
+                END)::BIGINT AS mean_reward_cents_milli
         FROM choice
         GROUP BY policy
         ORDER BY policy

@@ -334,7 +334,7 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                (sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END))
                    ::BIGINT AS n_correct,
                ((sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
-                 * 1000000) // count(*)) AS accuracy_micros,
+                 * 1000000) // count(*))::BIGINT AS accuracy_micros,
                ((maj.majority * 1000000) // count(*))
                    AS majority_baseline_micros
         FROM best, maj

@@ -78,40 +78,33 @@ def spark_family(t: str) -> str:
     return "other:" + u
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=SF_DIR)
-    args = ap.parse_args()
-
-    import duckdb
-
+def collect_mismatches(spark, con, sf_dir, names=None):
+    """Return {query_name: [issue, ...]} for every registered oracle whose
+    output type family disagrees with the Spark query's schema (or whose
+    either side fails to even build).  Pure analysis — neither engine
+    executes the query, so the sweep is cheap enough to gate every round
+    (the round-7 HUGEINT reds shipped precisely because this was not in
+    the gate; VERDICT r7 §What's wrong #2).
+    """
     import __spark_entry__ as entrymod
-    from scats_transis_kinesis_spark.session import get_session
-
-    spark = get_session(extra_conf={"spark.ui.showConsoleProgress": "false"})
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_bad = 0
+    bad: dict[str, list[str]] = {}
     for name, fn in qs.items():
-        if name not in oracles:
+        if name not in oracles or (names and name not in names):
             continue
         try:
-            sdf = fn(spark, args.sf_dir)
+            sdf = fn(spark, sf_dir)
             stypes = dict(sdf.dtypes)
         except Exception as e:
-            print(f"ERR {name}: spark {str(e)[:160]}")
-            n_bad += 1
+            bad[name] = [f"spark build error: {str(e)[:160]}"]
             continue
         try:
             rel = con.sql(oracles[name])
             otypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
         except Exception as e:
-            print(f"ERR {name}: duckdb {str(e)[:160]}")
-            n_bad += 1
+            bad[name] = [f"duckdb build error: {str(e)[:160]}"]
             continue
         issues = []
         for col in stypes:
@@ -125,9 +118,28 @@ def main() -> int:
             elif sf_ != of_:
                 issues.append(f"{col}: spark {stypes[col]}({sf_}) vs duck {otypes[col]}({of_})")
         if issues:
-            n_bad += 1
-            print(f"MISMATCH {name}: " + "; ".join(issues))
-    print(f"== {n_bad} queries with type-family mismatches")
+            bad[name] = issues
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from scats_transis_kinesis_spark.session import get_session
+
+    spark = get_session(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    bad = collect_mismatches(spark, con, args.sf_dir)
+    for name, issues in bad.items():
+        print(f"MISMATCH {name}: " + "; ".join(issues))
+    print(f"== {len(bad)} queries with type-family mismatches")
     spark.stop()
     return 0
 
