@@ -36,11 +36,22 @@ def _plan_fingerprint(df: DataFrame) -> int:
     ``semanticHash`` is stable across expression-ID renumbering, so
     re-building the same plan hits the cache, while a genuinely
     different derived frame (even with identical column names) gets its
-    own key.  Falls back to ``schema.simpleString()``'s hash on
-    non-JVM-backed frames (e.g. Connect) where ``_jdf`` is unavailable.
+    own key.  On non-JVM-backed frames (Spark Connect, no ``_jdf``) the
+    fallback hashes the Connect proto plan (``df._plan``) — two derived
+    frames that merely share a schema still get distinct keys (round-8
+    ADVICE fix; the schema string alone collided exactly the frames the
+    round-7 fix targeted).  Only a frame exposing neither handle
+    degrades to the schema-string hash.
     """
     try:
         return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        pass
+    try:
+        # Connect: LogicalPlan proto repr is a plan-level identity (not
+        # normalized across expr-id renumbering like semanticHash, so it
+        # may under-cache — never wrongly share).
+        return hash(str(df._plan.to_proto(df._session.client)))
     except Exception:
         return hash(df.schema.simpleString())
 

@@ -54,3 +54,48 @@ def test_probe_memoises_per_query_sfdir_col_plan(spark):
     assert probes.probe_min_max(
         other, "v", query="t4", sf_dir="mem://b"
     ) == (100.0, 200.0)
+
+
+class _FakeSchema:
+    def simpleString(self):  # noqa: N802 (PySpark casing)
+        return "struct<v:bigint>"
+
+
+class _FakeConnectPlan:
+    """Mimics pyspark.sql.connect.plan.LogicalPlan's to_proto surface."""
+
+    def __init__(self, ident: str):
+        self._ident = ident
+
+    def to_proto(self, client):
+        return f"proto[{self._ident}] via {client}"
+
+
+class _FakeConnectDF:
+    """No _jdf (like a Connect frame); exposes _plan/_session instead."""
+
+    def __init__(self, ident: str):
+        self._plan = _FakeConnectPlan(ident)
+        self._session = type("S", (), {"client": "client0"})()
+        self.schema = _FakeSchema()
+
+
+class _FakeBareDF:
+    """Neither _jdf nor _plan: the terminal schema-string fallback."""
+
+    def __init__(self):
+        self.schema = _FakeSchema()
+
+
+def test_fingerprint_connect_fallback_distinguishes_same_schema_plans():
+    # Round-8 ADVICE fix: on Connect-like frames (no _jdf) two different
+    # derived plans sharing one schema must NOT collide to one cache key.
+    a = probes._plan_fingerprint(_FakeConnectDF("scan->filter"))
+    b = probes._plan_fingerprint(_FakeConnectDF("scan->project"))
+    assert a != b
+    # Deterministic for the same plan.
+    assert a == probes._plan_fingerprint(_FakeConnectDF("scan->filter"))
+    # Only a frame exposing neither handle degrades to the schema hash —
+    # where the documented collision is accepted.
+    bare = probes._plan_fingerprint(_FakeBareDF())
+    assert bare == hash("struct<v:bigint>")
