@@ -239,6 +239,10 @@ HEADLINE = [
     "selectivity_estimate_audit",
     "nearest_centroid_accuracy",
     "dictionary_encoding_audit",
+    # round-8 additions: LSH banding twins, exact-substring islands
+    "dedup_embedding_lsh_recall",
+    "lsh_banding_tradeoff_audit",
+    "repeated_span_islands",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

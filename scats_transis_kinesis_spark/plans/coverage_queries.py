@@ -135,12 +135,14 @@ LSH_BITS = 8  # sign bits per band → 4×8 = first 32 of 64 dims
 LSH_DUP_THRESHOLD = 0.4  # same threshold as dedup_embedding_cosine
 
 
-def _sign_bucket(vec, band: int):
-    """Pack the sign bits of dims [band*LSH_BITS, (band+1)*LSH_BITS) into
-    one int — a sign-random-projection bucket with basis hyperplanes."""
+def _sign_bucket(vec, band: int, bits: int = LSH_BITS):
+    """Pack the sign bits of dims [band*bits, (band+1)*bits) into one
+    int — a sign-random-projection bucket with basis hyperplanes.
+    ``bits`` defaults to the precision-oriented 4x8 banding; the round-8
+    recall twin (pipeline_queries26) passes 4 for its 8x4 layout."""
     bucket = F.lit(0)
-    for d in range(LSH_BITS):
-        bit = F.when(F.element_at(vec, band * LSH_BITS + d + 1) > 0, F.lit(1 << d)).otherwise(0)
+    for d in range(bits):
+        bit = F.when(F.element_at(vec, band * bits + d + 1) > 0, F.lit(1 << d)).otherwise(0)
         bucket = bucket + bit
     return bucket
 

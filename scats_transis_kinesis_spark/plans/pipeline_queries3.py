@@ -163,11 +163,11 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Span length for cross-document repeated-substring coverage.
 SPAN_N = 5
 
-
-@register(
-    "repeated_span_coverage",
-    oracle=f"""
-        WITH t AS (
+# Shared oracle CTEs for the repeated-span family (coverage + the
+# round-8 islands extension): t/sh/flat enumerate every SPAN_N-token
+# span with its 1-based position; rep keeps spans in >= 2 documents.
+_SPAN_FLAT_CTES = f"""
+        t AS (
             SELECT doc_id, string_split(text, ' ') AS w,
                    len(string_split(text, ' ')) AS n_toks
             FROM documents
@@ -184,37 +184,17 @@ SPAN_N = 5
         ), rep AS (
             SELECT g FROM flat GROUP BY g
             HAVING count(DISTINCT doc_id) >= 2
-        ), covered AS (
-            SELECT DISTINCT f.doc_id, f.n_toks, cp.cp
-            FROM flat f
-            JOIN rep r ON f.g = r.g,
-            LATERAL (SELECT unnest(generate_series(f.pos,
-                                    f.pos + {SPAN_N - 1})) AS cp) cp
-        ), cov AS (
-            SELECT doc_id, n_toks, count(*) AS n_covered
-            FROM covered GROUP BY doc_id, n_toks
         )
-        SELECT t.doc_id,
-               t.n_toks::BIGINT AS n_toks,
-               coalesce(c.n_covered, 0)::BIGINT AS n_covered,
-               round(coalesce(c.n_covered, 0)::DOUBLE / t.n_toks, 6)
-                   AS coverage
-        FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
-    """,
-    doc=f"""Cross-document repeated-substring coverage (the statistic
-    behind exact-substring dedup, Lee et al. 2022 "Deduplicating
-    Training Data Makes Language Models Better"): every {SPAN_N}-token
-    span occurring in ≥ 2 distinct documents marks its token positions
-    as duplicated text; each document reports the fraction of its
-    tokens covered by the union of such spans.  Scale shape: one
-    span-keyed groupBy finds repeated spans (the same vocabulary-keyed
-    shuffle as the dedup family — bounded two-pass pruning applies the
-    same way as heavy_hitters_twopass), a semi-join keeps repeated
-    occurrences, and coverage is a per-document distinct-position
-    count — no all-pairs stage, no window.""",
-)
-def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+"""
+
+
+def _repeated_span_flat(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared span machinery for the repeated-substring family: returns
+    ``(flat, rep)`` where ``flat`` is one (doc_id, n_toks, pos, g) row
+    per {SPAN_N}-token span and ``rep`` is the set of span texts seen in
+    >= 2 distinct documents.  Extracted verbatim from
+    ``repeated_span_coverage`` (value-neutral) so the round-8 span-merge
+    extension (``repeated_span_islands``) reuses one definition."""
     toks = tokens("text")
     base = docs.select(
         "doc_id", F.size(toks).alias("n_toks"), toks.alias("w")
@@ -252,6 +232,44 @@ def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ndocs") >= 2)
         .select("g")
     )
+    return flat, rep
+
+
+@register(
+    "repeated_span_coverage",
+    oracle=f"""
+        WITH {_SPAN_FLAT_CTES}, covered AS (
+            SELECT DISTINCT f.doc_id, f.n_toks, cp.cp
+            FROM flat f
+            JOIN rep r ON f.g = r.g,
+            LATERAL (SELECT unnest(generate_series(f.pos,
+                                    f.pos + {SPAN_N - 1})) AS cp) cp
+        ), cov AS (
+            SELECT doc_id, n_toks, count(*) AS n_covered
+            FROM covered GROUP BY doc_id, n_toks
+        )
+        SELECT t.doc_id,
+               t.n_toks::BIGINT AS n_toks,
+               coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+               round(coalesce(c.n_covered, 0)::DOUBLE / t.n_toks, 6)
+                   AS coverage
+        FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+    doc=f"""Cross-document repeated-substring coverage (the statistic
+    behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every {SPAN_N}-token
+    span occurring in ≥ 2 distinct documents marks its token positions
+    as duplicated text; each document reports the fraction of its
+    tokens covered by the union of such spans.  Scale shape: one
+    span-keyed groupBy finds repeated spans (the same vocabulary-keyed
+    shuffle as the dedup family — bounded two-pass pruning applies the
+    same way as heavy_hitters_twopass), a semi-join keeps repeated
+    occurrences, and coverage is a per-document distinct-position
+    count — no all-pairs stage, no window.""",
+)
+def repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    flat, rep = _repeated_span_flat(docs)
     cov = (
         flat.join(rep, "g", "left_semi")
         .select(

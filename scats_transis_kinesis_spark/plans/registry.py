@@ -46,37 +46,96 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 # The driver's correctness sample covers the FIRST 50 registry entries,
-# so the surface order is curated and ROTATES per round.  Rounds 1-6
-# drove 245 distinct queries green (zero reds in r2..r6; the union is
-# tracked in BACKLOG.md).  Round 7 is the union-closing round the
-# round-6 verdict ordered: the window head is the 24 queries that have
-# never appeared in any driver artifact (shard_shuffle_quality ..
-# dictionary_encoding_audit, pinned in round 6 at positions 51-74 and
-# all green on the judge's independent oracle rerun).  If they go
-# green in CORRECTNESS_r07 the driver-green union closes at 269/269.
-# The other 26 slots are the FP-boundary watchlist
-# (tools/check_correctness.py::FP_SENSITIVE) minus the three already
-# in the dark-24 block (kruskal_wallis_priority_spend,
-# seasonal_strength_audit, pca_top_component), plus three
-# oldest-green r1/r2-only fill rows (TPC-H spine, setops, window
-# surface) -- the queries most likely to flip at the driver's SF.
-# Note: bandit_replay_evaluation and fdr_bh_screen carry the round-6
-# ADVICE fixes (zero guards / dropped broadcast hint, value-neutral on
-# non-degenerate data); spearman_daily_kpis carries the round-7
-# zero-variance pearson guard -- all three sit inside this window, so
-# the driver verifies them this round.
+# so the surface order is curated and ROTATES per round.  Rounds 1-7
+# drove 266 distinct queries green; round 7's only 3 reds were the
+# HUGEINT-oracle-column hash mismatches (values bit-identical, fixed
+# this round by ::BIGINT casts and gated forever by
+# tests/test_oracle_type_families.py).  The round-8 window:
+# 1-3   the three re-landed reds (oracle cast fix — must re-verify),
+# 4-6   the round-8 additions (each with oracle + replay anchor +
+#       type-sweep clean, per the growth contract),
+# 7-9   the LSH/span families the round-8 refactors touched
+#       (value-neutral extractions: _sign_bucket bits param,
+#       _repeated_span_flat helper — re-verified anyway),
+# 10-50 the 41 oldest-green r1/r2-only queries (TPC-H spine, joins,
+#       window surface, set ops, dedup/text pipeline) — last
+#       driver-checked 6+ rounds ago, before the FP-contract and guard
+#       sweeps touched shared helpers.  The 18 r1/r2-only queries that
+#       don't fit (a1/a2, f3, flagship, incremental_agg, k2/k4,
+#       multimodal_payload_stats, p1/p4/p7/p8, s3/s5,
+#       sample_hash_bucket, time_range_typed_scan,
+#       upsert_snapshot_changes, zorder_layout_audit) lead round 9's
+#       fill.
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 driver window: 24 never-driver-sampled (union close) ---
+    # --- re-landed round-7 reds (oracle ::BIGINT cast fix) ---
+    "compaction_coalesce_plan",
+    "bandit_replay_evaluation",
+    "nearest_centroid_accuracy",
+    # --- round-8 additions ---
+    "dedup_embedding_lsh_recall",
+    "lsh_banding_tradeoff_audit",
+    "repeated_span_islands",
+    # --- families touched by round-8 value-neutral refactors ---
+    "dedup_embedding_lsh",
+    "dedup_clusters_embedding",
+    "repeated_span_coverage",
+    # --- oldest-green fill: TPC-H spine ---
+    "q2_min_per_group_suppliers",
+    "q3_top_revenue",
+    "q4_priority_exists",
+    "q5_nation_revenue",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue_top20",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q15_top_supplier_by_revenue",
+    "q16_supplier_count_excluding",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicate_join",
+    "q21_waiting_orders_multi_exists",
+    "q22_idle_customers_not_exists",
+    # --- oldest-green fill: join surface ---
+    "join_anti",
+    "join_outer_counts",
+    "join_semi",
+    "asof_purchase_last_click",
+    "range_join_ship_lag",
+    "salted_join_skew",
+    # --- oldest-green fill: window surface ---
+    "window_frames_running",
+    "topk_orders_per_customer",
+    "orderby_limit_global",
+    "user_daily_streaks",
+    "sessionize_users",
+    # --- oldest-green fill: set ops / reshaping ---
+    "union_type_pairs",
+    "cube_status_priority",
+    "rollup_status_priority",
+    "pivot_event_counts",
+    "unpivot_user_metrics",
+    "correlated_subquery_orders",
+    "histogram_order_totals",
+    # --- oldest-green fill: dedup/text pipeline ---
+    "dedup_exact",
+    "distinct_exact",
+    "approx_distinct",
+    "corpus_clean_pipeline",
+    "text_lang_id",
+    "text_quality",
+    "text_bpe_tokens",
+    "source_cap_sample",
+    # === end of the round-8 driver window (50) ===
+    # --- round-7 window, kept pinned for deterministic order ---
     "shard_shuffle_quality",
     "pca_top_component",
     "doc_stitch_overlap",
     "bloom_filter_sizing",
     "lsh_parameter_planner",
     "kruskal_wallis_priority_spend",
-    "compaction_coalesce_plan",
     "seasonal_strength_audit",
     "pav_calibration_bins",
     "conformal_coverage_audit",
@@ -84,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "curation_decision_log",
     "equidepth_histogram_stats",
     "blocking_cost_audit",
-    "bandit_replay_evaluation",
     "feature_hashing_collision_audit",
     "neyman_allocation_plan",
     "fdr_bh_screen",
@@ -92,9 +150,7 @@ _PRIORITY: tuple[str, ...] = (
     "cuped_adjusted_ab",
     "modularity_brand_copurchase",
     "selectivity_estimate_audit",
-    "nearest_centroid_accuracy",
     "dictionary_encoding_audit",
-    # --- FP-boundary watchlist (decimal/double-fragile re-verification) ---
     "spearman_daily_kpis",
     "stats_correlation",
     "welch_t_test_orders",
@@ -118,7 +174,6 @@ _PRIORITY: tuple[str, ...] = (
     "domain_shift_kl",
     "window_distribution_stats",
     "dsir_importance_weights",
-    # --- oldest-green fill (r1/r2-only cohort) ---
     "q1_pricing_summary",
     "setops_users",
     "window_order_ranks",
@@ -180,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "dedup_containment_banded",
     "dedup_clusters_minhash",
-    "dedup_clusters_embedding",
     "dedup_cluster_canonical",
     "dedup_minhash_lsh",
     "stratified_kfold_split",
@@ -213,7 +267,6 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_induction",
     "sim_topk_ivf",
     "sim_topk_vectorized",
-    "dedup_embedding_lsh",
     "pagerank_nation_trade",
     "anomaly_zscore_hours",
     "embedding_int8_quantization",
@@ -224,7 +277,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "fuzzy_match_blocked",
-    "repeated_span_coverage",
     "boilerplate_shingle_prune",
     "phrase_search_positional",
     "bm25_topk",
@@ -282,3 +334,4 @@ from . import pipeline_queries22  # noqa: E402,F401
 from . import pipeline_queries23  # noqa: E402,F401
 from . import pipeline_queries24  # noqa: E402,F401
 from . import pipeline_queries25  # noqa: E402,F401
+from . import pipeline_queries26  # noqa: E402,F401
