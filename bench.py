@@ -243,6 +243,9 @@ HEADLINE = [
     "dedup_embedding_lsh_recall",
     "lsh_banding_tradeoff_audit",
     "repeated_span_islands",
+    # round-8 batch B: mixture smoothing, greedy max-coverage selection
+    "temperature_sampling_plan",
+    "greedy_source_coverage",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

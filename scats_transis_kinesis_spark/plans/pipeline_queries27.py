@@ -1,0 +1,262 @@
+"""Round-8 batch B: mixture temperature smoothing and greedy coverage.
+
+- ``temperature_sampling_plan`` — alpha-smoothed multilingual sampling
+  (the mT5/XLM-R recipe, Xue et al. 2021 §3.2, alpha = 0.5): language
+  sampling rates proportional to ``p_lang^alpha`` flatten the natural
+  token distribution so low-resource languages are up-sampled without
+  drowning the head.  alpha = 0.5 is sqrt — chosen deliberately because
+  IEEE-754 requires sqrt to be correctly rounded, so Spark's JVM and
+  DuckDB's C++ produce the SAME double bit-for-bit (a libm ``pow(x,
+  0.7)`` carries no such guarantee), and the plan's micros columns stay
+  hash-comparable across engines.
+- ``greedy_source_coverage`` — greedy weighted max-coverage source
+  selection (Nemhauser/Wolsey/Fisher '78 (1-1/e)-approximation; the
+  facility-location shape of diversity-driven data selection): sources
+  are picked one at a time to maximize NEW hashed-3-gram buckets, so a
+  source whose n-grams a prior pick already covers is skipped in favor
+  of a smaller-but-novel one — the overlap-aware behavior a raw
+  per-source distinct-count ranking cannot express.
+
+Determinism: all report columns are integers (floor-micros via the
+``_idiv`` exact-long contract / HUGEINT``::BIGINT`` on the oracle side);
+greedy ties break lexicographically on source; sqrt is IEEE-exact and
+its single ``* 1e6`` scaling is one deterministic rounding in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash64_sql, portable_hash64
+from ..operators.dedup import shingle_sets
+from ..operators.text import tokens
+from ..sources.loaders import load_table
+from .pipeline_queries13 import _idiv
+from .registry import register
+
+# Plain int (not F.lit): module import must not require an active
+# SparkContext; Column arithmetic lifts it.
+_M = 1_000_000
+
+# Greedy max-coverage knobs.  The hashed-bucket universe coarsens the
+# n-gram space to a FIXED size: the cover relation is at most
+# |sources| x COVER_BUCKETS rows no matter how large the corpus — that
+# bound (not the corpus) is what the greedy rounds iterate over, which
+# is the whole 100 TB story of this query.  3-grams match the corpus's
+# ~40-word synthetic vocabulary (ngram_contamination_check's CONTAM_NGRAM
+# rationale); production exact-substring selection would raise both.
+COVER_NGRAM = 3
+COVER_BUCKETS = 4096
+GREEDY_ROUNDS = 4
+
+
+@register(
+    "temperature_sampling_plan",
+    oracle="""
+        WITH inv AS (
+            SELECT lang,
+                   sum(len(string_split(text, ' ')))::BIGINT AS lang_tokens
+            FROM documents GROUP BY lang
+        ), w AS (
+            SELECT lang, lang_tokens,
+                   floor(sqrt(lang_tokens) * 1000000)::BIGINT AS w
+            FROM inv
+        ), t AS (
+            SELECT sum(lang_tokens)::BIGINT AS total,
+                   sum(w)::BIGINT AS sw
+            FROM w
+        ), shares AS (
+            SELECT lang, lang_tokens,
+                   ((lang_tokens::HUGEINT * 1000000) // total)::BIGINT
+                       AS natural_micros,
+                   ((w::HUGEINT * 1000000) // sw)::BIGINT AS sample_micros
+            FROM w CROSS JOIN t
+        )
+        SELECT lang, lang_tokens, natural_micros, sample_micros,
+               CASE WHEN natural_micros > 0
+                    THEN ((sample_micros::HUGEINT * 1000000)
+                          // natural_micros)::BIGINT
+                    END AS boost_micros
+        FROM shares
+    """,
+    doc="""Alpha-smoothed multilingual sampling plan (mT5 recipe,
+    alpha = 0.5): per-language token inventory, natural share, the
+    sqrt-temperature sampling rate q_lang proportional to
+    sqrt(lang_tokens), and the up/down-sampling boost q/p — all in
+    floor micros.  Unlike mixture_epoch_plan (whose weights are GIVEN),
+    the weights here are DERIVED from the inventory by the smoothing
+    exponent.  sqrt (not pow) keeps the doubles bit-identical across
+    engines: IEEE-754 mandates correctly-rounded sqrt; libm pow does
+    not.  Scale shape: one keyed aggregate over the corpus for the
+    inventory, then |langs| rows of scalar math against a broadcast
+    1-row totals frame.  The integer weight w = floor(sqrt(tokens)*1e6)
+    keeps the normalizing sum ORDER-FREE (integer addition is
+    associative; a sum of raw doubles is not), and w*1e6 stays below
+    int64 through ~10^13 tokens per language.""",
+)
+def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    inv = (
+        docs.select("lang", F.size(tokens("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("lang_tokens"))
+    )
+    w = inv.withColumn(
+        "w", F.floor(F.sqrt(F.col("lang_tokens")) * 1_000_000.0).cast("long")
+    )
+    totals = w.agg(
+        F.sum("lang_tokens").cast("long").alias("total"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    natural = _idiv(F.col("lang_tokens") * _M, F.col("total"))
+    sample = _idiv(F.col("w") * _M, F.col("sw"))
+    return w.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "lang_tokens",
+        natural.alias("natural_micros"),
+        sample.alias("sample_micros"),
+        F.when(natural > 0, _idiv(sample * _M, natural)).alias(
+            "boost_micros"
+        ),
+    )
+
+
+def _greedy_oracle() -> str:
+    """Unrolled GREEDY_ROUNDS-round max-coverage CTE chain (the house
+    fixed-iteration oracle pattern, like the k-means/HITS unrolls).
+    Round r: gains over sources not yet picked (zero-gain sources kept
+    via the CASE inside count DISTINCT), argmax with lexicographic
+    tiebreak, covered-set union."""
+    bucket = f"({duckdb_hash64_sql('shingle')} % {COVER_BUCKETS})"
+    ctes = [
+        f"""shingled AS (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' '))
+                                          - {COVER_NGRAM - 1}),
+                       i -> array_to_string(
+                           array_slice(string_split(text, ' '),
+                                       i, i + {COVER_NGRAM - 1}), ' '))))
+                       AS shingle
+            FROM documents
+        )""",
+        f"""cov AS (
+            SELECT DISTINCT source, {bucket} AS bucket FROM shingled
+        )""",
+        "u AS (SELECT count(DISTINCT bucket) AS nu FROM cov)",
+        "c0 AS (SELECT bucket FROM cov WHERE false)",
+        "p0 AS (SELECT source FROM cov WHERE false)",
+    ]
+    picks = []
+    for r in range(1, GREEDY_ROUNDS + 1):
+        ctes.append(
+            f"""g{r} AS (
+            SELECT source,
+                   count(DISTINCT CASE WHEN bucket NOT IN
+                           (SELECT bucket FROM c{r - 1})
+                       THEN bucket END)::BIGINT AS gain
+            FROM cov
+            WHERE source NOT IN (SELECT source FROM p{r - 1})
+            GROUP BY source
+        )"""
+        )
+        ctes.append(
+            f"s{r} AS (SELECT source, gain FROM g{r} "
+            f"ORDER BY gain DESC, source LIMIT 1)"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT source FROM p{r - 1} "
+            f"UNION SELECT source FROM s{r})"
+        )
+        ctes.append(
+            f"""c{r} AS (
+            SELECT bucket FROM c{r - 1}
+            UNION
+            SELECT DISTINCT bucket FROM cov
+            WHERE source IN (SELECT source FROM s{r})
+        )"""
+        )
+        picks.append(
+            f"""SELECT {r}::BIGINT AS sel_round, source,
+                   gain AS gain_buckets,
+                   (SELECT count(*) FROM c{r})::BIGINT AS covered_buckets,
+                   (((SELECT count(*) FROM c{r})::HUGEINT * 1000000)
+                        // (SELECT nu FROM u))::BIGINT AS coverage_micros
+            FROM s{r}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picks)
+
+
+@register(
+    "greedy_source_coverage",
+    oracle=_greedy_oracle(),
+    doc=f"""Greedy weighted max-coverage source selection over hashed
+    {COVER_NGRAM}-gram buckets: {GREEDY_ROUNDS} rounds, each picking the
+    source that adds the most NOT-YET-COVERED of the {COVER_BUCKETS}
+    hash buckets (ties break on source name), reporting per-round gain,
+    cumulative coverage, and coverage share in floor micros.  This is
+    the (1-1/e) greedy for submodular coverage — the diversity-driven
+    data-selection shape where a big-but-redundant source loses to a
+    small-but-novel one.  Scale shape: the corpus is shingled ONCE into
+    a distinct (source, bucket) cover relation bounded by |sources| x
+    {COVER_BUCKETS} rows regardless of corpus size (the bucket universe
+    is the coarsening knob); every greedy round is one aggregate + one
+    anti-join over that bounded, locally-checkpointed relation, and the
+    per-round driver traffic is the 1-row argmax (bounded-summary
+    contract, same as the k-means centroid collect).""",
+)
+def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cov = (
+        shingle_sets(docs, id_col="source", n=COVER_NGRAM)
+        .select("source", F.explode("shingles").alias("shingle"))
+        .select(
+            "source",
+            (portable_hash64("shingle") % COVER_BUCKETS).alias("bucket"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_universe = cov.select("bucket").distinct().count()
+    sources = cov.select("source").distinct()
+    picked: list[str] = []
+    covered: DataFrame | None = None
+    report: list[tuple[int, str, int, int]] = []
+    for r in range(1, GREEDY_ROUNDS + 1):
+        uncov = (
+            cov if covered is None else cov.join(covered, "bucket", "left_anti")
+        )
+        gains = (
+            sources.where(~F.col("source").isin(picked))
+            .join(
+                uncov.groupBy("source").agg(
+                    F.countDistinct("bucket").alias("gain")
+                ),
+                "source",
+                "left",
+            )
+            .na.fill(0, ["gain"])
+        )
+        # 1-row bounded collect per round: the greedy argmax itself.
+        top = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()[0]
+        picked.append(top["source"])
+        sel = cov.where(F.col("source") == top["source"]).select("bucket")
+        covered = (
+            sel if covered is None else covered.union(sel).distinct()
+        ).localCheckpoint(eager=True)  # bounded: <= COVER_BUCKETS rows
+        report.append((r, top["source"], int(top["gain"]), covered.count()))
+    rep = spark.createDataFrame(
+        report,
+        "sel_round long, source string, gain_buckets long, covered_buckets long",
+    )
+    return rep.select(
+        "sel_round",
+        "source",
+        "gain_buckets",
+        "covered_buckets",
+        _idiv(F.col("covered_buckets") * _M, F.lit(n_universe)).alias(
+            "coverage_micros"
+        ),
+    )

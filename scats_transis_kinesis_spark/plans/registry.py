@@ -52,20 +52,23 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # this round by ::BIGINT casts and gated forever by
 # tests/test_oracle_type_families.py).  The round-8 window:
 # 1-3   the three re-landed reds (oracle cast fix — must re-verify),
-# 4-6   the round-8 additions (each with oracle + replay anchor +
+# 4-8   the round-8 additions (batch A: LSH-recall/banding-audit/span-
+#       islands; batch B: temperature_sampling_plan +
+#       greedy_source_coverage — each with oracle + replay anchor +
 #       type-sweep clean, per the growth contract),
-# 7-9   the LSH/span families the round-8 refactors touched
+# 9-11  the LSH/span families the round-8 refactors touched
 #       (value-neutral extractions: _sign_bucket bits param,
 #       _repeated_span_flat helper — re-verified anyway),
-# 10-50 the 41 oldest-green r1/r2-only queries (TPC-H spine, joins,
+# 12-50 the 39 oldest-green r1/r2-only queries (TPC-H spine, joins,
 #       window surface, set ops, dedup/text pipeline) — last
 #       driver-checked 6+ rounds ago, before the FP-contract and guard
-#       sweeps touched shared helpers.  The 18 r1/r2-only queries that
+#       sweeps touched shared helpers.  The 20 r1/r2-only queries that
 #       don't fit (a1/a2, f3, flagship, incremental_agg, k2/k4,
 #       multimodal_payload_stats, p1/p4/p7/p8, s3/s5,
 #       sample_hash_bucket, time_range_typed_scan,
-#       upsert_snapshot_changes, zorder_layout_audit) lead round 9's
-#       fill.
+#       upsert_snapshot_changes, zorder_layout_audit, plus the two
+#       batch-B-displaced fills text_bpe_tokens and source_cap_sample)
+#       lead round 9's fill.
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
@@ -78,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh_recall",
     "lsh_banding_tradeoff_audit",
     "repeated_span_islands",
+    "temperature_sampling_plan",
+    "greedy_source_coverage",
     # --- families touched by round-8 value-neutral refactors ---
     "dedup_embedding_lsh",
     "dedup_clusters_embedding",
@@ -126,9 +131,12 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_clean_pipeline",
     "text_lang_id",
     "text_quality",
+    # === end of the round-8 driver window (50) ===
+    # (text_bpe_tokens and source_cap_sample were displaced past 50 by
+    # the two batch-B additions; they lead round 9's fill with the 18
+    # listed above.)
     "text_bpe_tokens",
     "source_cap_sample",
-    # === end of the round-8 driver window (50) ===
     # --- round-7 window, kept pinned for deterministic order ---
     "shard_shuffle_quality",
     "pca_top_component",
@@ -335,3 +343,4 @@ from . import pipeline_queries23  # noqa: E402,F401
 from . import pipeline_queries24  # noqa: E402,F401
 from . import pipeline_queries25  # noqa: E402,F401
 from . import pipeline_queries26  # noqa: E402,F401
+from . import pipeline_queries27  # noqa: E402,F401
