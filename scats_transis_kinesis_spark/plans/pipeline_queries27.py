@@ -103,9 +103,13 @@ def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.sum("n").cast("long").alias("lang_tokens"))
     )
+    # Pin the |langs|-row inventory: both the report rows and the
+    # totals frame hang off it, and without the checkpoint Catalyst
+    # plans the totals branch as a SECOND full corpus scan+aggregate
+    # (verified via explain; the banding-audit persist fix's lesson).
     w = inv.withColumn(
         "w", F.floor(F.sqrt(F.col("lang_tokens")) * 1_000_000.0).cast("long")
-    )
+    ).localCheckpoint(eager=True)
     totals = w.agg(
         F.sum("lang_tokens").cast("long").alias("total"),
         F.sum("w").cast("long").alias("sw"),
