@@ -147,6 +147,17 @@ def test_dedup_pair_generator_plans_pre_checkpoint(spark):
     )
 
 
+def test_temperature_plan_scans_corpus_once(spark):
+    """temperature_sampling_plan pins its |langs|-row inventory with an
+    eager localCheckpoint: without it Catalyst plans the broadcast
+    totals branch as a SECOND full corpus scan+aggregate.  Post-pin,
+    the final plan must read ONLY the checkpoint — zero parquet scans
+    (the one real scan ran inside the checkpoint job)."""
+    plan = plan_of(spark, "temperature_sampling_plan")
+    assert "Scan parquet" not in plan, plan
+    assert "Broadcast" in plan  # totals ride a broadcast, not a shuffle
+
+
 def test_no_rowwise_python_udf_anywhere(spark):
     # The engine-wide invariant: no registered query may use
     # row-at-a-time Python (BatchEvalPython). Arrow-batched pandas
