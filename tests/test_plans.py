@@ -339,6 +339,7 @@ BNL_ALLOWED = {
     "ndcg_quality_ranking",           # 1-row IDCG aggregate crossJoin
     "ann_recall_audit",               # |query set| = 5 broadcast rows (exact side)
     "lsh_banding_tradeoff_audit",     # two count rows × 1-row union scalar
+    "temperature_sampling_plan",      # 1-row (total, sw) totals broadcast
     "hits_hubs_authorities",          # 1-row max-score normalizer per half-round
     "kaplan_meier_retention",         # 1-row censoring-cutoff date broadcast
     "mutual_information_lang_source", # 1-row corpus-total broadcast
