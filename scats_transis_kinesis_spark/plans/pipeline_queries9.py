@@ -465,9 +465,22 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only on the center — to the EDGE-sized adjacency before the
     # self-join, so the wedge set (the largest intermediate, Σ deg²)
     # never enters another join: wedges inherit the term from side a.
+    # The division is guarded even though degree-1 centers never reach
+    # the wedge set (one adjacency row cannot self-join under n < n):
+    # whether their rows EVALUATE aa_term before the join prunes them
+    # is a plan-shape accident — under local[7]/AQE the projection
+    # lands before the wedge join and ln(1) = 0 raised ANSI
+    # DIVIDE_BY_ZERO at sf0.01, while local[32] deferred it past the
+    # join and passed.  CASE WHEN evaluates lazily in codegen, so the
+    # doomed division never runs; degree-1 rows carry NULL, which no
+    # surviving wedge ever reads.  (The shingle_sets clamp lesson:
+    # expressions must be TOTAL on every row the plan might evaluate,
+    # not just the rows the query semantics keep.)
     adjd = adj.join(deg.withColumnRenamed("vertex", "w"), "w").withColumn(
         "aa_term",
-        F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long"),
+        F.when(
+            F.col("d") > 1, F.round(F.lit(1e6) / F.log(F.col("d")))
+        ).cast("long"),
     )
     # Explicit repartition before the wedge self-join: the adjacency
     # rows are a few longs each (tiny shuffle bytes) but the join emits

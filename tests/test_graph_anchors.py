@@ -217,3 +217,43 @@ def test_burst_viterbi_matches_minplus_replay(spark, tmp_path):
     assert [b for _, b in want] == [
         False, False, False, False, False, True, True, False, False,
     ]
+
+
+def test_link_prediction_survives_degree_one_vertex(spark, tmp_path):
+    """Regression: the Adamic-Adar term 1e6/ln(deg(w)) is attached to
+    the FULL adjacency before the wedge join, so a degree-1 vertex
+    (ln 1 = 0) must not crash even when the plan evaluates the
+    projection before the join prunes it — under local[7]/AQE at
+    sf0.01 the unguarded form raised ANSI DIVIDE_BY_ZERO while
+    local[32] happened to defer the projection and passed.  Part 104
+    below is bought exactly once: degree 1, never a wedge center."""
+    baskets = {1: [101, 102, 103], 2: [101, 102], 3: [103, 104]}
+    orders = [
+        (ck * 10, ck, datetime.datetime(1995, 6, 1)) for ck in baskets
+    ]
+    lines = [(ck * 10, p) for ck, parts in baskets.items() for p in parts]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    from scats_transis_kinesis_spark.plans.pipeline_queries9 import (
+        link_prediction_scores,
+    )
+
+    rows = link_prediction_scores(spark, str(tmp_path)).collect()
+    got = [
+        (r["u"], r["v"], r["common_n"], r["aa_micros"], r["jaccard"])
+        for r in rows
+    ]
+    # Plain-Python replay.  Edges: 101-102, 101-103, 102-103 (c1/c2),
+    # 103-104 (c3).  Non-adjacent pairs sharing a neighbor: (101,104)
+    # and (102,104), both through center 103 (degree 3).  Jaccard =
+    # 1 / (2 + 1 - 1) = 0.5 for both; ties break on u.
+    aa = math.floor(1e6 / math.log(3) + 0.5)  # F.round is HALF_UP
+    assert got == [
+        (101, 104, 1, aa, 0.5),
+        (102, 104, 1, aa, 0.5),
+    ]
