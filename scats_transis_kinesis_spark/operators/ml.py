@@ -35,6 +35,7 @@ def kmeans_assign(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    tol: float | None = None,
 ) -> DataFrame:
     """Run ``iters`` assignment rounds of Lloyd's k-means (centroids
     update between rounds) and return the final assignment
@@ -42,6 +43,15 @@ def kmeans_assign(
 
     Init: the ``k`` rows with the smallest ids, in id order (cid =
     rank), the deterministic seed both engines can reproduce.
+
+    ``tol`` (BACKLOG "k-means beyond fixed iterations"): when set,
+    ``iters`` becomes a CAP and the loop stops early once the maximum
+    squared centroid movement of a round is <= tol.  The movement
+    check is plain Python over the k·dim scalars the update already
+    collects — zero extra cluster work per round.  With ``tol=None``
+    (the registry contract) behavior is bit-identical to the fixed
+    unrolled oracle; a converged run is oracle-able only per its
+    realized round count, so the registry keeps the fixed form.
     """
     from ..sources.loaders import ensure_parallelism
 
@@ -117,9 +127,24 @@ def kmeans_assign(
             )
             .collect()
         )
+        prev = dict(cents)
         cents = sorted(
             (r["cid"], [r[f"d{i}"] for i in range(dim)]) for r in new_cents
         )
+        if tol is not None:
+            # Max squared movement over clusters alive in BOTH rounds
+            # (a dropped cluster has no successor to move).  Driver-side
+            # math over k·dim already-collected scalars.
+            movement = max(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(prev[cid], c))
+                    for cid, c in cents
+                    if cid in prev
+                ),
+                default=0.0,
+            )
+            if movement <= tol:
+                break
     return assigned.select(
         id_col, F.col("cid").alias("cluster"), "dist"
     )

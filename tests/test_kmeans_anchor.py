@@ -103,3 +103,39 @@ def test_kmeans_assign_matches_lloyd_replay(spark):
     want1 = _replay_lloyd(vecs, k=3, iters=1)
     assert got1 == want1
     assert want1[9][0] == 0 and want1[9][1] == 4.0
+
+
+def test_kmeans_tol_stops_early_and_converges(spark):
+    """The convergence knob (BACKLOG "k-means beyond fixed
+    iterations"): with tol set, iters becomes a cap and the loop stops
+    once max squared centroid movement <= tol.
+
+    - tol=1e18 (everything "converged"): stops after round 0's update,
+      so the assignment must equal the fixed iters=1 run — the
+      observable proof the early-stop path actually fires.
+    - tol=0.0 on a well-separated corpus: centroids freeze within the
+      cap, and the result must equal the long fixed run.
+    - tol=None: untouched registry contract (equals the fixed run of
+      the same iters)."""
+    from scats_transis_kinesis_spark.operators.ml import kmeans_assign
+
+    # Two tight, far-apart clusters in 2-D; ids 0 and 1 (the seeds)
+    # land one in each cluster so Lloyd's separates them in one round
+    # and freezes.
+    pts = [
+        (0, [0.0, 0.0]), (2, [0.5, 0.0]), (4, [0.0, 0.5]), (6, [0.5, 0.5]),
+        (1, [100.0, 100.0]), (3, [100.5, 100.0]), (5, [100.0, 100.5]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+
+    def run(**kw):
+        return {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assign(df, k=2, dim=2, **kw).collect()
+        }
+
+    assert run(iters=10, tol=1e18) == run(iters=1)
+    converged = run(iters=10, tol=0.0)
+    assert converged == run(iters=10)
+    assert {i for i, c in converged.items() if c == converged[0]} == {0, 2, 4, 6}
+    assert {i for i, c in converged.items() if c == converged[1]} == {1, 3, 5}
