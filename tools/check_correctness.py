@@ -119,7 +119,23 @@ def main() -> int:
         help="run the FP_SENSITIVE decimal-boundary watchlist at sf0.1 "
         "(names/--sf-dir still override)",
     )
+    ap.add_argument(
+        "--cpus",
+        type=int,
+        metavar="N",
+        help="run under local[N] with N shuffle partitions (the "
+        "partition-invariance sweep: a different layout reshapes every "
+        "AQE stage, catching expressions that are only total on the "
+        "rows a later join keeps — the round-8 Adamic-Adar degree-1 "
+        "lesson).  Equivalent to SPARK_GRAFT_CPUS=N.",
+    )
     args = ap.parse_args()
+    if args.cpus:
+        # Must land before the session module is imported: it reads
+        # SPARK_GRAFT_CPUS at import time.
+        import os
+
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
     if args.fp_sweep:
         args.names = args.names or list(FP_SENSITIVE)
         if args.sf_dir is None:
