@@ -68,15 +68,20 @@ GREEDY_ROUNDS = 4
                    sum(w)::BIGINT AS sw
             FROM w
         ), shares AS (
+            -- BIGINT (not HUGEINT) pre-multiply ON PURPOSE: Spark
+            -- computes lang_tokens * 1e6 and w * 1e6 in int64, so the
+            -- oracle must carry the SAME ~9.2e12-tokens-per-language
+            -- overflow bound — both engines fail symmetrically above
+            -- it instead of silently diverging (round-8 ADVICE).
             SELECT lang, lang_tokens,
-                   ((lang_tokens::HUGEINT * 1000000) // total)::BIGINT
+                   ((lang_tokens::BIGINT * 1000000) // total)::BIGINT
                        AS natural_micros,
-                   ((w::HUGEINT * 1000000) // sw)::BIGINT AS sample_micros
+                   ((w::BIGINT * 1000000) // sw)::BIGINT AS sample_micros
             FROM w CROSS JOIN t
         )
         SELECT lang, lang_tokens, natural_micros, sample_micros,
                CASE WHEN natural_micros > 0
-                    THEN ((sample_micros::HUGEINT * 1000000)
+                    THEN ((sample_micros::BIGINT * 1000000)
                           // natural_micros)::BIGINT
                     END AS boost_micros
         FROM shares
@@ -94,7 +99,12 @@ GREEDY_ROUNDS = 4
     1-row totals frame.  The integer weight w = floor(sqrt(tokens)*1e6)
     keeps the normalizing sum ORDER-FREE (integer addition is
     associative; a sum of raw doubles is not), and w*1e6 stays below
-    int64 through ~10^13 tokens per language.""",
+    int64 through ~10^13 tokens per language.  Overflow contract: the
+    micros pre-multiplies run in int64 on BOTH engines (the oracle
+    deliberately avoids HUGEINT promotion), so above ~9.2e12 tokens in
+    one language both sides raise an overflow error SYMMETRICALLY
+    rather than diverging — at that inventory you re-scale _M, you
+    don't paper over it.""",
 )
 def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -223,7 +233,18 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rep_schema = (
+        "sel_round long, source string, gain_buckets long, covered_buckets long"
+    )
     n_universe = cov.select("bucket").distinct().count()
+    if n_universe == 0:
+        # Degenerate corpus (no doc reaches COVER_NGRAM tokens): the
+        # oracle's per-round picks are empty SELECTs, so emit the same
+        # empty report instead of dividing by a zero universe
+        # (round-8 ADVICE guard).
+        return spark.createDataFrame([], rep_schema).withColumn(
+            "coverage_micros", F.lit(None).cast("long")
+        )
     sources = cov.select("source").distinct()
     picked: list[str] = []
     covered: DataFrame | None = None
@@ -244,17 +265,21 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .na.fill(0, ["gain"])
         )
         # 1-row bounded collect per round: the greedy argmax itself.
-        top = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()[0]
+        rows = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()
+        if not rows:
+            # Fewer sources than GREEDY_ROUNDS: the oracle's round-r
+            # pick is an empty SELECT, so stop and emit the shorter
+            # report instead of indexing into nothing (round-8 ADVICE
+            # guard).
+            break
+        top = rows[0]
         picked.append(top["source"])
         sel = cov.where(F.col("source") == top["source"]).select("bucket")
         covered = (
             sel if covered is None else covered.union(sel).distinct()
         ).localCheckpoint(eager=True)  # bounded: <= COVER_BUCKETS rows
         report.append((r, top["source"], int(top["gain"]), covered.count()))
-    rep = spark.createDataFrame(
-        report,
-        "sel_round long, source string, gain_buckets long, covered_buckets long",
-    )
+    rep = spark.createDataFrame(report, rep_schema)
     return rep.select(
         "sel_round",
         "source",

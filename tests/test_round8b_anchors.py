@@ -164,3 +164,53 @@ def test_greedy_source_coverage_replay(spark, tmp_path):
     assert [w[1] for w in want] == ["s_big", "s_novel", "s_tiny", "s_reda"]
     assert [w[2] for w in want] == [6, 3, 1, 0]
     assert want[-1][3:] == (10, 1_000_000)
+
+
+def test_greedy_fewer_sources_than_rounds_emits_short_report(spark, tmp_path):
+    """Round-8 ADVICE guard: with fewer eligible sources than
+    GREEDY_ROUNDS the oracle's later picks are empty SELECTs, so the
+    Spark loop must break (not IndexError) and emit the shorter report."""
+    from scats_transis_kinesis_spark.plans.pipeline_queries27 import (
+        greedy_source_coverage,
+    )
+
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            (0, "alpha beta gamma delta", "en", "s_one", 22),
+            (1, "epsilon zeta eta", "en", "s_two", 16),
+        ],
+    )
+    got = (
+        greedy_source_coverage(spark, str(tmp_path))
+        .orderBy("sel_round")
+        .collect()
+    )
+    assert [r["sel_round"] for r in got] == [1, 2]
+    assert {r["source"] for r in got} == {"s_one", "s_two"}
+    # Both sources together cover the whole universe.
+    assert got[-1]["coverage_micros"] == 1_000_000
+
+
+def test_greedy_empty_shingle_universe_emits_empty_report(spark, tmp_path):
+    """Round-8 ADVICE guard: no doc reaches COVER_NGRAM tokens ->
+    empty report with the full 5-column schema, no divide-by-zero."""
+    from scats_transis_kinesis_spark.plans.pipeline_queries27 import (
+        greedy_source_coverage,
+    )
+
+    _write_documents(
+        spark,
+        tmp_path,
+        [(0, "one two", "en", "s_one", 7), (1, "x", "en", "s_two", 1)],
+    )
+    out = greedy_source_coverage(spark, str(tmp_path))
+    assert out.columns == [
+        "sel_round",
+        "source",
+        "gain_buckets",
+        "covered_buckets",
+        "coverage_micros",
+    ]
+    assert out.count() == 0

@@ -130,7 +130,11 @@ def main() -> int:
         "lesson).  Equivalent to SPARK_GRAFT_CPUS=N.",
     )
     args = ap.parse_args()
-    if args.cpus:
+    # `is not None`, not truthiness: `--cpus 0` must be rejected, not
+    # silently ignored (round-8 ADVICE).
+    if args.cpus is not None and args.cpus < 1:
+        ap.error("--cpus must be >= 1")
+    if args.cpus is not None:
         # Must land before the session module is imported: it reads
         # SPARK_GRAFT_CPUS at import time.
         import os
