@@ -46,48 +46,99 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 # The driver's correctness sample covers the FIRST 50 registry entries,
-# so the surface order is curated and ROTATES per round.  Rounds 1-7
-# drove 266 distinct queries green; round 7's only 3 reds were the
-# HUGEINT-oracle-column hash mismatches (values bit-identical, fixed
-# this round by ::BIGINT casts and gated forever by
-# tests/test_oracle_type_families.py).  The round-8 window:
-# 1-3   the three re-landed reds (oracle cast fix — must re-verify),
-# 4-8   the round-8 additions (batch A: LSH-recall/banding-audit/span-
-#       islands; batch B: temperature_sampling_plan +
-#       greedy_source_coverage — each with oracle + replay anchor +
-#       type-sweep clean, per the growth contract),
-# 9-11  the LSH/span families the round-8 refactors touched
-#       (value-neutral extractions: _sign_bucket bits param,
-#       _repeated_span_flat helper — re-verified anyway),
-# 12-50 the 39 oldest-green r1/r2-only queries (TPC-H spine, joins,
-#       window surface, set ops, dedup/text pipeline) — last
-#       driver-checked 6+ rounds ago, before the FP-contract and guard
-#       sweeps touched shared helpers.  The 20 r1/r2-only queries that
-#       don't fit (a1/a2, f3, flagship, incremental_agg, k2/k4,
-#       multimodal_payload_stats, p1/p4/p7/p8, s3/s5,
-#       sample_hash_bucket, time_range_typed_scan,
-#       upsert_snapshot_changes, zorder_layout_audit, plus the two
-#       batch-B-displaced fills text_bpe_tokens and source_cap_sample)
-#       lead round 9's fill.
+# so the surface order is curated and ROTATES per round.  Round 8
+# closed the cross-round driver-green union at 274/274 (every query had
+# a green driver row in some round); from round 9 on the window rotates
+# the STALEST-sampled cohort first so the hard signal stays fresh on a
+# moving tree.  The round-9 window:
+# 1-4   the round-9 additions (exact-substring cut pass + savings
+#       report, IVF probe recall/cost audit, incremental span-coverage
+#       maintenance — each with oracle + replay anchor + type-sweep
+#       clean, per the growth contract),
+# 5-24  the 20 queries last driver-checked in rounds 1-2 (the §2 parity
+#       spine and the window-ahead-anchored fill cohort of
+#       test_round9_window_anchors.py — five rounds of shared-helper
+#       changes since their last driver row),
+# 25-50 the oldest round-3 cohort in registration order (26 of 38; the
+#       remaining 12 lead round 10's fill, listed below).
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
 _PRIORITY: tuple[str, ...] = (
-    # --- re-landed round-7 reds (oracle ::BIGINT cast fix) ---
+    # --- round-9 additions (oracle + replay anchor each) ---
+    "exact_substring_cut",
+    "exact_substring_cut_savings",
+    "ivf_probe_recall_audit",
+    "incremental_span_coverage",
+    # --- stalest cohort: last driver-green ROUND 1 ---
+    "a2_first_value",
+    "p7_filter_nonempty",
+    "upsert_snapshot_changes",
+    # --- stalest cohort: last driver-green ROUND 2 ---
+    "a1_count_per_group",
+    "f3_unnest_words",
+    "flagship_window_traffic",
+    "incremental_agg_maintenance",
+    "k2_envelope",
+    "k4_failed_subset",
+    "multimodal_payload_stats",
+    "p1_project_rename",
+    "p4_format_ts_sydney",
+    "p8_kv_lookup",
+    "s3_xml_roundtrip",
+    "s5_time_range_scan",
+    "sample_hash_bucket",
+    "source_cap_sample",
+    "text_bpe_tokens",
+    "time_range_typed_scan",
+    "zorder_layout_audit",
+    # --- fill: oldest round-3 cohort, registration order (26 of 38) ---
+    "q11_important_stock_share",
+    "q20_nested_in_chain",
+    "listagg_order_priorities",
+    "date_arithmetic_orders",
+    "q9_product_profit",
+    "f4_double_unnest",
+    "grouping_sets_orders",
+    "string_functions",
+    "array_functions",
+    "setops_bag_semantics",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_chunking",
+    "text_sentiment_lexicon",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sql_interface_orders",
+    "fuzzy_match_levenshtein",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "resample_gapfill_daily",
+    "sliding_window_traffic",
+    "seasonality_dow_hour",
+    "event_transition_matrix",
+    # === end of the round-9 driver window (50) ===
+    # (the 12 remaining round-3 queries lead round 10's fill:
+    #  regex_extract_long_words, resample_locf_fill, try_cast_dirty_data,
+    #  quality_repetition_signals, pii_redact_blocklist,
+    #  stratified_sample_by_lang, ngram_contamination_check,
+    #  scd2_customer_orders, corpus_shard_assignment,
+    #  inverted_index_postings, dq_constraint_audit,
+    #  curriculum_mixture_sample.)
+    # --- prior windows, kept pinned for deterministic order ---
     "compaction_coalesce_plan",
     "bandit_replay_evaluation",
     "nearest_centroid_accuracy",
-    # --- round-8 additions ---
     "dedup_embedding_lsh_recall",
     "lsh_banding_tradeoff_audit",
     "repeated_span_islands",
     "temperature_sampling_plan",
     "greedy_source_coverage",
-    # --- families touched by round-8 value-neutral refactors ---
     "dedup_embedding_lsh",
     "dedup_clusters_embedding",
     "repeated_span_coverage",
-    # --- oldest-green fill: TPC-H spine ---
     "q2_min_per_group_suppliers",
     "q3_top_revenue",
     "q4_priority_exists",
@@ -103,20 +154,17 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicate_join",
     "q21_waiting_orders_multi_exists",
     "q22_idle_customers_not_exists",
-    # --- oldest-green fill: join surface ---
     "join_anti",
     "join_outer_counts",
     "join_semi",
     "asof_purchase_last_click",
     "range_join_ship_lag",
     "salted_join_skew",
-    # --- oldest-green fill: window surface ---
     "window_frames_running",
     "topk_orders_per_customer",
     "orderby_limit_global",
     "user_daily_streaks",
     "sessionize_users",
-    # --- oldest-green fill: set ops / reshaping ---
     "union_type_pairs",
     "cube_status_priority",
     "rollup_status_priority",
@@ -124,20 +172,12 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_user_metrics",
     "correlated_subquery_orders",
     "histogram_order_totals",
-    # --- oldest-green fill: dedup/text pipeline ---
     "dedup_exact",
     "distinct_exact",
     "approx_distinct",
     "corpus_clean_pipeline",
     "text_lang_id",
     "text_quality",
-    # === end of the round-8 driver window (50) ===
-    # (text_bpe_tokens and source_cap_sample were displaced past 50 by
-    # the two batch-B additions; they lead round 9's fill with the 18
-    # listed above.)
-    "text_bpe_tokens",
-    "source_cap_sample",
-    # --- round-7 window, kept pinned for deterministic order ---
     "shard_shuffle_quality",
     "pca_top_component",
     "doc_stitch_overlap",
@@ -185,7 +225,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "setops_users",
     "window_order_ranks",
-    # --- prior driver-green queries, kept pinned for deterministic order ---
     "cusum_changepoint_daily",
     "robust_outliers_mad",
     "link_prediction_scores",
@@ -344,3 +383,4 @@ from . import pipeline_queries24  # noqa: E402,F401
 from . import pipeline_queries25  # noqa: E402,F401
 from . import pipeline_queries26  # noqa: E402,F401
 from . import pipeline_queries27  # noqa: E402,F401
+from . import pipeline_queries28  # noqa: E402,F401
