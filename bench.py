@@ -246,6 +246,14 @@ HEADLINE = [
     # round-8 batch B: mixture smoothing, greedy max-coverage selection
     "temperature_sampling_plan",
     "greedy_source_coverage",
+    # round-9 additions: the exact-substring CUT deliverable + savings,
+    # the IVF probe design table, incremental span maintenance (all
+    # measured 2.1-3.0 s at sf0.1 on the round-9 host — over the 0.3 s
+    # HEADLINE line)
+    "exact_substring_cut",
+    "exact_substring_cut_savings",
+    "ivf_probe_recall_audit",
+    "incremental_span_coverage",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

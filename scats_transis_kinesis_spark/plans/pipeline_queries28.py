@@ -61,8 +61,20 @@ _COVERED_CTE = f"""cov AS (
 def _covered_positions(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, cp) duplicated-token positions: every
     {SPAN_N}-token span occurring in >= 2 documents covers
-    [pos, pos+{SPAN_N - 1}] (the repeated_span_coverage definition)."""
-    flat, rep = _repeated_span_flat(docs)
+    [pos, pos+{SPAN_N - 1}] (the repeated_span_coverage definition).
+
+    The slim span frame is eagerly checkpointed because BOTH the
+    repeated-span inventory and the occurrence semi-join consume it —
+    without the pin Catalyst shingles the corpus twice (the banding
+    audit persist lesson; measured 1.8 -> 1.0 s isolated at sf0.1)."""
+    flat, _ = _repeated_span_flat(docs)
+    flat = flat.localCheckpoint(eager=True)
+    rep = (
+        flat.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("g")
+    )
     return (
         flat.join(rep, "g", "left_semi")
         .select(

@@ -308,6 +308,7 @@ BNL_ALLOWED = {
     "timeseries_similarity_topk",     # fixed query-series vector
     "sim_topk_bruteforce",            # |query set| = 5 broadcast rows
     "sim_topk_ivf",                   # |query set| = 5 broadcast rows
+    "ivf_probe_recall_audit",         # 16-row centroid + 4-row probe dims
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
     "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
     "unigram_perplexity_score",       # 1-row corpus token total
