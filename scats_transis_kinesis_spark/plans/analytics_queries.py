@@ -629,20 +629,37 @@ def resample_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "try_cast_dirty_data",
+    # The integer-literal regexp guard aligns DuckDB with Spark's
+    # stricter string->INT semantics: DuckDB's try_cast parses '3.5'
+    # (->4), '3.0' and '1e2' where Spark's try_cast yields NULL — a
+    # latent divergence the synthetic corpus never exposed (found by
+    # the round-9 anchor sweep).  Overflow stays symmetric: both
+    # engines NULL an out-of-range integer literal.
     oracle="""
+        WITH leads AS (
+            SELECT source,
+                   CASE WHEN regexp_matches(split_part(text, ' ', 1),
+                                            '^[+-]?[0-9]+$')
+                        THEN try_cast(split_part(text, ' ', 1) AS INTEGER)
+                   END AS lead_int
+            FROM documents
+        )
         SELECT source,
                count(*) AS n_docs,
-               count(try_cast(split_part(text, ' ', 1) AS INTEGER))
-                   AS n_numeric_leads,
-               count(*) - count(try_cast(split_part(text, ' ', 1) AS INTEGER))
-                   AS n_unparseable
-        FROM documents GROUP BY source
+               count(lead_int) AS n_numeric_leads,
+               count(*) - count(lead_int) AS n_unparseable
+        FROM leads GROUP BY source
     """,
     doc="""Error-safe casting surface (dirty-data ingestion): TRY_CAST
     turns unparseable values into NULLs instead of failing the job, and
     count(expr) skips them — the fail-soft twin of the engine's
     fail-stop error assert (P6).  Here: how many documents lead with a
-    numeric token, per source.""",
+    numeric token, per source.  "Numeric" means an INTEGER literal
+    (optional sign + digits): Spark's try_cast rejects decimal and
+    scientific forms ('3.5', '1e2') that DuckDB's would coerce, so the
+    oracle carries an explicit integer-literal guard to keep the two
+    engines' NULL sets identical (pinned by
+    test_round10_window_anchors.py).""",
 )
 def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
