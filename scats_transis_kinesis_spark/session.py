@@ -65,6 +65,17 @@ def get_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Invariance-sweep hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overrides
+    # ANY conf above.  PYSPARK_SUBMIT_ARGS --conf cannot: builder
+    # .config() pins (e.g. arrow.pyspark.enabled) win over submit-time
+    # flags, which round 9 found was silently turning the Arrow-off
+    # correctness axis into a no-op.  An env var (not a function arg)
+    # because the sweep drives stock tools/check_correctness.py.
+    for pair in filter(
+        None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")
+    ):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
