@@ -629,17 +629,21 @@ def resample_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "try_cast_dirty_data",
-    # The integer-literal regexp guard aligns DuckDB with Spark's
-    # stricter string->INT semantics: DuckDB's try_cast parses '3.5'
-    # (->4), '3.0' and '1e2' where Spark's try_cast yields NULL — a
-    # latent divergence the synthetic corpus never exposed (found by
-    # the round-9 anchor sweep).  Overflow stays symmetric: both
-    # engines NULL an out-of-range integer literal.
-    oracle="""
+    # The integer-literal regexp guard is SYMMETRIC since round 10: the
+    # SAME anchored pattern gates the cast in BOTH engines, so neither
+    # engine's cast-trim quirks can diverge.  History: round 9 added
+    # the guard oracle-side only (DuckDB's try_cast parses '3.5'/'1e2'
+    # where Spark NULLs); round-10 ADVICE found the residual hole —
+    # Spark's try_cast trims adjacent whitespace ('12\n' -> 12) that
+    # the oracle guard rejects.  \A/\z anchors because Java's '$'
+    # matches BEFORE a trailing newline while DuckDB/RE2's does not.
+    # Overflow stays symmetric: both engines NULL an out-of-range
+    # integer literal under try_cast.
+    oracle=r"""
         WITH leads AS (
             SELECT source,
                    CASE WHEN regexp_matches(split_part(text, ' ', 1),
-                                            '^[+-]?[0-9]+$')
+                                            '\A[+-]?[0-9]+\z')
                         THEN try_cast(split_part(text, ' ', 1) AS INTEGER)
                    END AS lead_int
             FROM documents
@@ -655,10 +659,11 @@ def resample_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(expr) skips them — the fail-soft twin of the engine's
     fail-stop error assert (P6).  Here: how many documents lead with a
     numeric token, per source.  "Numeric" means an INTEGER literal
-    (optional sign + digits): Spark's try_cast rejects decimal and
-    scientific forms ('3.5', '1e2') that DuckDB's would coerce, so the
-    oracle carries an explicit integer-literal guard to keep the two
-    engines' NULL sets identical (pinned by
+    (optional sign + digits, no adjacent whitespace): the same anchored
+    regexp gates the cast in the Spark plan AND the DuckDB oracle, so
+    the two engines' NULL sets are identical by construction — neither
+    DuckDB's decimal/scientific coercion ('3.5', '1e2') nor Spark's
+    whitespace-trimming cast ('12\\n') can leak through (pinned by
     test_round10_window_anchors.py).""",
 )
 def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +672,7 @@ def try_cast_dirty_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.try_cast(lead, "int") if hasattr(F, "try_cast") else F.expr(
         "try_cast(split(text, ' ')[0] AS INT)"
     )
+    parsed = F.when(lead.rlike(r"\A[+-]?[0-9]+\z"), parsed)
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count(parsed).alias("n_numeric_leads"),

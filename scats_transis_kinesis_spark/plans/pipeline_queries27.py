@@ -104,7 +104,11 @@ GREEDY_ROUNDS = 4
     deliberately avoids HUGEINT promotion), so above ~9.2e12 tokens in
     one language both sides raise an overflow error SYMMETRICALLY
     rather than diverging — at that inventory you re-scale _M, you
-    don't paper over it.""",
+    don't paper over it.  The Spark half of that symmetry requires
+    spark.sql.ansi.enabled=true (with ANSI off, Spark WRAPS int64
+    silently while DuckDB raises); session.py pins it explicitly since
+    round 10 so the contract survives a default flip or a deliberate
+    SPARK_GRAFT_EXTRA_CONF sweep being left in place.""",
 )
 def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

@@ -39,6 +39,14 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI mode is Spark 4.x's default, but several oracle contracts
+        # depend on it (the int64 overflow symmetry documented at
+        # plans/pipeline_queries27.py: with ANSI off Spark wraps int64
+        # silently while DuckDB raises).  Pin it explicitly so a future
+        # default flip — or a stray submit-time conf — cannot silently
+        # change cast/overflow semantics; the SPARK_GRAFT_EXTRA_CONF
+        # hook below still overrides it for deliberate sweeps.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Cost-based join estimates and reordering activate wherever
@@ -74,7 +82,13 @@ def get_session(
     for pair in filter(
         None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")
     ):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep:
+            # A pair without '=' (e.g. 'spark.sql.adaptive.enabled',
+            # missing '=false') would set the conf to empty string and
+            # the invariance axis the hook drives would silently no-op
+            # — the exact failure class the hook was added to fix.
+            raise ValueError(f"malformed SPARK_GRAFT_EXTRA_CONF pair: {pair!r}")
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

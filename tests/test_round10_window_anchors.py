@@ -119,10 +119,14 @@ def test_resample_locf_null_lead_carry_and_override(spark, tmp_path):
 
 
 def test_try_cast_integer_literal_semantics_match_duckdb(spark, tmp_path):
-    """Round-9 fix pin: DuckDB's bare try_cast coerces '3.5'->4,
-    '3.0'->3 and '1e2'->100 where Spark's try_cast yields NULL; the
-    oracle's integer-literal guard must keep both engines' NULL sets
-    identical on exactly these divergent literals."""
+    """Round-9 fix pin + round-10 ADVICE extension: DuckDB's bare
+    try_cast coerces '3.5'->4, '3.0'->3 and '1e2'->100 where Spark's
+    try_cast yields NULL, and Spark's try_cast TRIMS adjacent
+    whitespace ('12\\n' -> 12) where the oracle guard rejects it.  The
+    round-10 symmetric guard (same \\A..\\z-anchored regexp gating the
+    cast in BOTH engines) must keep the NULL sets identical on exactly
+    these divergent literals — including the Java-regex '$'-before-
+    trailing-newline trap the \\z anchor exists for."""
     import duckdb
 
     from scats_transis_kinesis_spark.plans.registry import REGISTRY
@@ -135,6 +139,10 @@ def test_try_cast_integer_literal_semantics_match_duckdb(spark, tmp_path):
         "007", "-5", "+3",            # integer literals: both parse
         "12abc", "hello", "",         # both NULL
         "99999999999",                # int32 overflow: both NULL
+        "12\n", "3\t", "\t7",         # whitespace-adjacent: Spark's cast
+                                      # would trim+parse; the symmetric
+                                      # guard NULLs them in both engines
+                                      # ('12\n' also traps Java's '$')
     ]
     _write_documents(
         spark,
@@ -148,7 +156,7 @@ def test_try_cast_integer_literal_semantics_match_duckdb(spark, tmp_path):
         r["source"]: (r["n_docs"], r["n_numeric_leads"], r["n_unparseable"])
         for r in try_cast_dirty_data(spark, str(tmp_path)).collect()
     }
-    assert got == {"s": (10, 3, 7)}  # only 007/-5/+3 count as numeric
+    assert got == {"s": (13, 3, 10)}  # only 007/-5/+3 count as numeric
 
     con = duckdb.connect()
     con.execute(

@@ -49,3 +49,21 @@ def test_extra_conf_env_overrides_pinned_defaults():
     # overridden by the env hook.
     assert "ARROW=false" in out.stdout
     assert "AQE=false" in out.stdout
+
+
+def test_malformed_extra_conf_pair_fails_loud(monkeypatch):
+    """Round-10 ADVICE: a pair without '=' (e.g. a typo'd
+    'spark.sql.adaptive.enabled', missing '=false') must raise instead
+    of silently setting the conf to empty string — otherwise the
+    invariance axis the hook drives no-ops, the exact failure class
+    the hook was added to fix.  Raises during env parsing, before
+    getOrCreate, so this is safe in-process."""
+    import pytest
+
+    from scats_transis_kinesis_spark.session import get_session
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF", "spark.sql.adaptive.enabled"
+    )
+    with pytest.raises(ValueError, match="malformed SPARK_GRAFT_EXTRA_CONF"):
+        get_session()
