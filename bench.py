@@ -254,6 +254,20 @@ HEADLINE = [
     "exact_substring_cut_savings",
     "ivf_probe_recall_audit",
     "incremental_span_coverage",
+    # round-10 additions: trained-IVF quantizer arc, streaming span twin
+    "ivf_kmeans_recall_audit",
+    "sim_topk_ivf_kmeans",
+    "ivf_quantizer_balance_audit",
+    "incremental_span_coverage_stream",
+    # round-10 membership audit (round-9 VERDICT): previously-untimed
+    # non-trivial shapes whose plan machinery (expand, unrolled merge
+    # iteration, theta-join baseline, decorrelation) the timed set did
+    # not isolate
+    "cube_status_priority",
+    "grouping_sets_orders",
+    "bpe_merge_induction",
+    "fuzzy_match_levenshtein",
+    "correlated_subquery_orders",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

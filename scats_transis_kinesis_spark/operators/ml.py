@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def kmeans_assign(
+def _kmeans_final_assignment(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 3,
@@ -37,22 +37,10 @@ def kmeans_assign(
     vec_col: str = "v",
     tol: float | None = None,
 ) -> DataFrame:
-    """Run ``iters`` assignment rounds of Lloyd's k-means (centroids
-    update between rounds) and return the final assignment
-    ``(id, cluster, dist)``.
-
-    Init: the ``k`` rows with the smallest ids, in id order (cid =
-    rank), the deterministic seed both engines can reproduce.
-
-    ``tol`` (BACKLOG "k-means beyond fixed iterations"): when set,
-    ``iters`` becomes a CAP and the loop stops early once the maximum
-    squared centroid movement of a round is <= tol.  The movement
-    check is plain Python over the k·dim scalars the update already
-    collects — zero extra cluster work per round.  With ``tol=None``
-    (the registry contract) behavior is bit-identical to the fixed
-    unrolled oracle; a converged run is oracle-able only per its
-    realized round count, so the registry keeps the fixed form.
-    """
+    """The Lloyd loop shared by :func:`kmeans_assign` (which projects
+    the assignment) and :func:`kmeans_centroids` (which exports the
+    trained quantizer): returns the final-round assignment WITH the
+    vector column, ``(id, vec, cid, dist)``."""
     from ..sources.loaders import ensure_parallelism
 
     # Fanned out + cached: a small parquet table scans as one split,
@@ -145,6 +133,75 @@ def kmeans_assign(
             )
             if movement <= tol:
                 break
+    return assigned
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    tol: float | None = None,
+) -> DataFrame:
+    """Run ``iters`` assignment rounds of Lloyd's k-means (centroids
+    update between rounds) and return the final assignment
+    ``(id, cluster, dist)``.
+
+    Init: the ``k`` rows with the smallest ids, in id order (cid =
+    rank), the deterministic seed both engines can reproduce.
+
+    ``tol`` (BACKLOG "k-means beyond fixed iterations"): when set,
+    ``iters`` becomes a CAP and the loop stops early once the maximum
+    squared centroid movement of a round is <= tol.  The movement
+    check is plain Python over the k·dim scalars the update already
+    collects — zero extra cluster work per round.  With ``tol=None``
+    (the registry contract) behavior is bit-identical to the fixed
+    unrolled oracle; a converged run is oracle-able only per its
+    realized round count, so the registry keeps the fixed form.
+    """
+    assigned = _kmeans_final_assignment(
+        vectors, k, iters, dim, id_col, vec_col, tol
+    )
     return assigned.select(
         id_col, F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Export the TRAINED quantizer: the per-cluster rounded-6 means of
+    the final k-means assignment, as a ``(centroid_id, cvec)`` frame —
+    the shape :func:`..operators.similarity.cosine_topk_bucketed` and
+    the IVF audits take as an external coarse quantizer.
+
+    This is one more centroid UPDATE after the last assignment round
+    (the oracle unrolls it as CTE ``c{iters}`` via
+    ``_kmeans_ctes(final_update=True)``), so the exported centroids use
+    the full information of the final assignment.  Same determinism
+    contract as the loop: every mean rounds to 6 before export.
+    Clusters that lost all members drop out — the quantizer can be
+    narrower than ``k`` and both engines agree.  Scale shape: the loop's
+    per-iteration broadcast scan + k-group aggregate, then one more
+    k-group aggregate; the result is k·dim scalars, broadcast-sized by
+    construction."""
+    assigned = _kmeans_final_assignment(
+        vectors, k, iters, dim, id_col, vec_col, tol=None
+    )
+    means = assigned.groupBy("cid").agg(
+        *[
+            F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
+            for i in range(dim)
+        ]
+    )
+    return means.select(
+        F.col("cid").cast("long").alias("centroid_id"),
+        F.array(*[f"d{i}" for i in range(dim)]).alias("cvec"),
     )

@@ -119,6 +119,33 @@ def hard_negative_topk(
     ).select("query_id", "negative_id", "negative_label", "cosine_sim")
 
 
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by rounded-6
+    cosine with a centroid-id tiebreak — the one assignment definition
+    shared by the seed and trained (k-means) quantizers, so a recall
+    comparison between them isolates centroid QUALITY.  ``centroids``
+    is a small ``(centroid_id, cvec)`` frame, broadcast."""
+    from pyspark.sql import Window as W
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
 def assign_centroids(
     embeddings: DataFrame,
     num_centroids: int = 16,
@@ -135,21 +162,7 @@ def assign_centroids(
         .limit(num_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
-    return cents, assigned
+    return cents, assign_to_centroids(embeddings, cents, id_col, vec_col)
 
 
 def cosine_topk_bucketed(
@@ -160,13 +173,26 @@ def cosine_topk_bucketed(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned approximate top-k: scan only the ``nprobe`` clusters
     closest to each query.  Recall < 1 by design; the brute-force
-    operator is the correctness baseline."""
+    operator is the correctness baseline.
+
+    ``centroids`` (round 10): an externally TRAINED coarse quantizer as
+    a ``(centroid_id, cvec)`` frame (e.g. k-means means) replaces the
+    default smallest-id seed sample; assignment/probing semantics are
+    unchanged, so recall improves exactly as much as the quantizer
+    does (measured by ivf_kmeans_recall_audit)."""
     from pyspark.sql import Window as W
 
-    cents, assigned = assign_centroids(embeddings, num_centroids, id_col, vec_col)
+    if centroids is None:
+        cents, assigned = assign_centroids(
+            embeddings, num_centroids, id_col, vec_col
+        )
+    else:
+        cents = centroids
+        assigned = assign_to_centroids(embeddings, cents, id_col, vec_col)
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

@@ -625,28 +625,38 @@ def domain_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K, KM_ITERS, KM_DIM = 8, 3, 64
 
 
-def _kmeans_ctes() -> tuple[list[str], str]:
+def _kmeans_ctes(
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    dim: int = KM_DIM,
+    final_update: bool = False,
+) -> tuple[list[str], str]:
     """Exactly-unrolled Lloyd iterations as chained CTEs: assignment
     d{t}/a{t}/s{t}, centroid update c{t+1} — every FP intermediate
     rounded to 6 in lockstep with the Spark loop.  Returns the CTE
     list and the name of the final-assignment CTE (vec_id, v, cid,
     dist) so downstream oracles (semantic dedup) can extend the same
-    chain."""
+    chain.  Parameterized since round 10 so the trained-IVF quantizer
+    oracle can unroll its own (k, iters); the defaults keep this
+    query's oracle byte-identical.  ``final_update=True`` appends one
+    more centroid-update CTE ``c{iters}`` computed FROM the final
+    assignment (the trained-centroid export, unused by the assignment
+    contract itself) and returns its name instead."""
     dist = (
-        f"round(list_reduce(list_transform(generate_series(1, {KM_DIM}),"
+        f"round(list_reduce(list_transform(generate_series(1, {dim}),"
         " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),"
         " (x, y) -> x + y), 6)"
     )
-    mean_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(KM_DIM))
+    mean_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim))
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (
             SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
                    v AS c
-            FROM e ORDER BY vec_id LIMIT {KM_K}
+            FROM e ORDER BY vec_id LIMIT {k}
         )""",
     ]
-    for t in range(KM_ITERS):
+    for t in range(iters):
         ctes.append(
             f"""d{t} AS (
                 SELECT e.vec_id, e.v, c.cid, {dist} AS dist
@@ -664,14 +674,14 @@ def _kmeans_ctes() -> tuple[list[str], str]:
         ctes.append(
             f"s{t} AS (SELECT vec_id, v, cid, dist FROM a{t} WHERE rn = 1)"
         )
-        if t + 1 < KM_ITERS:
+        if t + 1 < iters or final_update:
             ctes.append(
                 f"""c{t + 1} AS (
                     SELECT cid, [{mean_list}] AS c
                     FROM s{t} GROUP BY cid
                 )"""
             )
-    return ctes, f"s{KM_ITERS - 1}"
+    return ctes, (f"c{iters}" if final_update else f"s{iters - 1}")
 
 
 def _kmeans_oracle() -> str:

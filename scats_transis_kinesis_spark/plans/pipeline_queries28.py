@@ -356,10 +356,36 @@ def _ivf_audit_oracle() -> str:
 )
 def ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    cents, assigned = S.assign_centroids(emb, IVF_CENTROIDS)
-    q = emb.where(F.col("vec_id").isin(list(_SIM_QUERY_IDS))).select(
+    cents, _ = S.assign_centroids(emb, IVF_CENTROIDS)
+    exact = S.cosine_topk_bruteforce(
+        emb, query_ids=list(_SIM_QUERY_IDS), k=IVF_K
+    ).select("query_id", "neighbor_id")
+    return _ivf_audit_frame(spark, emb, cents, exact)
+
+
+def _ivf_audit_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    cents: DataFrame,
+    exact: DataFrame,
+    quantizer: str | None = None,
+    query_ids: tuple[int, ...] | list[int] = tuple(_SIM_QUERY_IDS),
+) -> DataFrame:
+    """The probe-sweep audit body shared by the seed-quantizer audit
+    above and the round-10 trained-quantizer audit
+    (pipeline_queries29.ivf_kmeans_recall_audit): one scored-candidate
+    frame at max-probe with the centroid rank attached, each probe row
+    a FILTER over it.  ``cents`` is any ``(centroid_id, cvec)`` coarse
+    quantizer; ``quantizer`` (when set) prepends a literal tag column
+    so two quantizers' reports can union into one design table;
+    ``query_ids`` lets that comparison pick queries DISJOINT from the
+    seed sample (a query that IS a centroid gets its own
+    perfectly-centered cluster — a structural recall bias)."""
+    assigned = S.assign_to_centroids(emb, cents)
+    q = emb.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
+    nq = len(query_ids)
     cranks = (
         q.crossJoin(F.broadcast(cents))
         .select(
@@ -416,9 +442,6 @@ def ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVF_K)
         .select("nprobe", "query_id", "neighbor_id")
     )
-    exact = S.cosine_topk_bruteforce(
-        emb, query_ids=list(_SIM_QUERY_IDS), k=IVF_K
-    ).select("query_id", "neighbor_id")
     hits = (
         topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
@@ -428,8 +451,7 @@ def ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_candidates")
     )
     corp = emb.agg(F.count("*").cast("long").alias("n"))
-    nq = len(_SIM_QUERY_IDS)
-    return (
+    report = (
         nc.join(hits, "nprobe", "left")
         .na.fill(0, ["n_hits"])
         .crossJoin(F.broadcast(corp))
@@ -445,6 +467,11 @@ def ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand_share_micros"),
         )
     )
+    if quantizer is not None:
+        report = report.select(
+            F.lit(quantizer).alias("quantizer"), "*"
+        )
+    return report
 
 
 # --- incremental span coverage --------------------------------------------
@@ -454,9 +481,10 @@ def ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_DELTA_MOD = 5
 
 
-@register(
-    "incremental_span_coverage",
-    oracle=f"""
+# The full-recompute-restricted-to-delta oracle, shared with the
+# round-10 streaming twin (pipeline_queries29): the batch merge and the
+# foreachBatch-maintained state table answer to the SAME contract.
+SPAN_INCR_ORACLE = f"""
         WITH {_SPAN_FLAT_CTES}, covered AS (
             SELECT DISTINCT f.doc_id, f.n_toks, cp.cp
             FROM flat f
@@ -474,7 +502,12 @@ SPAN_DELTA_MOD = 5
                    AS coverage
         FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id
         WHERE t.doc_id % {SPAN_DELTA_MOD} = 0
-    """,
+    """
+
+
+@register(
+    "incremental_span_coverage",
+    oracle=SPAN_INCR_ORACLE,
     doc=f"""Incremental span-coverage maintenance (the
     incremental_agg_maintenance merge contract applied to the
     repeated-span family): docs with doc_id % {SPAN_DELTA_MOD} == 0

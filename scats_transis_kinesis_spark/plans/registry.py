@@ -50,31 +50,92 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # closed the cross-round driver-green union at 274/274 (every query had
 # a green driver row in some round); from round 9 on the window rotates
 # the STALEST-sampled cohort first so the hard signal stays fresh on a
-# moving tree.  The round-9 window:
-# 1-4   the round-9 additions (exact-substring cut pass + savings
-#       report, IVF probe recall/cost audit, incremental span-coverage
-#       maintenance — each with oracle + replay anchor + type-sweep
-#       clean, per the growth contract),
-# 5-24  the 20 queries last driver-checked in rounds 1-2 (the §2 parity
-#       spine and the window-ahead-anchored fill cohort of
-#       test_round9_window_anchors.py — five rounds of shared-helper
-#       changes since their last driver row),
-# 25-50 the oldest round-3 cohort in registration order (26 of 38; the
-#       remaining 12 lead round 10's fill, listed below).
+# moving tree.  The round-10 window:
+# 1-12  the 12 round-3-stale queries that did not fit round 9's slots
+#       (the cohort pinned window-ahead in round 9's registry comment
+#       and BACKLOG), try_cast_dirty_data FIRST — its oracle gained the
+#       symmetric integer-literal guard in rounds 9-10, so its driver
+#       row re-verifies the cross-engine cast fix on the driver's own
+#       compare,
+# 13-16 the round-10 additions (trained-vs-seed IVF recall audit, the
+#       trained-quantizer search path, the quantizer balance audit, the
+#       streaming span-coverage twin — each with oracle + replay anchor
+#       + property test, per the growth contract),
+# 17    ivf_probe_recall_audit — its body was refactored into the
+#       shared audit helper this round, so it re-verifies the refactor,
+# 18-50 the oldest round-4-stale cohort in registration order (33 of
+#       41; the remaining 8 lead round 11's fill, listed below).
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-9 additions (oracle + replay anchor each) ---
+    # --- re-verify first: the round-9/10 oracle-guard fix ---
+    "try_cast_dirty_data",
+    # --- stalest cohort: last driver-green ROUND 3 (pinned fill) ---
+    "regex_extract_long_words",
+    "resample_locf_fill",
+    "quality_repetition_signals",
+    "pii_redact_blocklist",
+    "stratified_sample_by_lang",
+    "ngram_contamination_check",
+    "scd2_customer_orders",
+    "corpus_shard_assignment",
+    "inverted_index_postings",
+    "dq_constraint_audit",
+    "curriculum_mixture_sample",
+    # --- round-10 additions (oracle + replay anchor each) ---
+    "ivf_kmeans_recall_audit",
+    "sim_topk_ivf_kmeans",
+    "ivf_quantizer_balance_audit",
+    "incremental_span_coverage_stream",
+    # --- refactor-touched this round ---
+    "ivf_probe_recall_audit",
+    # --- fill: oldest round-4 cohort, registration order (33 of 41) ---
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "grouped_percentiles",
+    "grouped_percentiles_approx",
+    "q8_market_share",
+    "quantiles_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "sim_topk_ivf",
+    "dedup_embedding_cosine",
+    "text_tfidf_top_terms",
+    "sim_topk_vectorized",
+    "pack_context_windows",
+    "dataset_split_train_test",
+    "fuzzy_match_blocked",
+    "rfm_customer_segments",
+    "timeseries_similarity_topk",
+    "anomaly_zscore_hours",
+    "pagerank_nation_trade",
+    "embedding_int8_quantization",
+    "heavy_hitters_twopass",
+    "bpe_merge_induction",
+    "collocation_pmi",
+    "kmeans_embedding_clusters",
+    "boilerplate_shingle_prune",
+    "weighted_sample_ares",
+    "phrase_search_positional",
+    "table_profile",
+    "quality_logreg_score",
+    "time_decay_user_scores",
+    "unigram_perplexity_score",
+    "asof_click_next_purchase",
+    "bm25_topk",
+    # === end of the round-10 driver window (50) ===
+    # (the 8 remaining round-4 queries lead round 11's fill:
+    #  ngram_novelty_decay, emb_hard_negatives, embedding_label_margin,
+    #  length_bucketed_batches, mixture_epoch_plan,
+    #  quality_calibrate_by_source, mixture_materialize, vocab_oov_rate.)
+    # --- prior windows, kept pinned for deterministic order ---
     "exact_substring_cut",
     "exact_substring_cut_savings",
-    "ivf_probe_recall_audit",
     "incremental_span_coverage",
-    # --- stalest cohort: last driver-green ROUND 1 ---
     "a2_first_value",
     "p7_filter_nonempty",
     "upsert_snapshot_changes",
-    # --- stalest cohort: last driver-green ROUND 2 ---
     "a1_count_per_group",
     "f3_unnest_words",
     "flagship_window_traffic",
@@ -92,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_tokens",
     "time_range_typed_scan",
     "zorder_layout_audit",
-    # --- fill: oldest round-3 cohort, registration order (26 of 38) ---
     "q11_important_stock_share",
     "q20_nested_in_chain",
     "listagg_order_priorities",
@@ -119,15 +179,6 @@ _PRIORITY: tuple[str, ...] = (
     "sliding_window_traffic",
     "seasonality_dow_hour",
     "event_transition_matrix",
-    # === end of the round-9 driver window (50) ===
-    # (the 12 remaining round-3 queries lead round 10's fill:
-    #  regex_extract_long_words, resample_locf_fill, try_cast_dirty_data,
-    #  quality_repetition_signals, pii_redact_blocklist,
-    #  stratified_sample_by_lang, ngram_contamination_check,
-    #  scd2_customer_orders, corpus_shard_assignment,
-    #  inverted_index_postings, dq_constraint_audit,
-    #  curriculum_mixture_sample.)
-    # --- prior windows, kept pinned for deterministic order ---
     "compaction_coalesce_plan",
     "bandit_replay_evaluation",
     "nearest_centroid_accuracy",
@@ -303,33 +354,7 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "quality_precision_at_k",
     "quality_gains_by_band",
-    "unigram_perplexity_score",
-    "grouped_percentiles_approx",
-    "quantiles_exact",
-    "kmeans_embedding_clusters",
-    "timeseries_similarity_topk",
-    "text_tfidf_top_terms",
-    "quality_logreg_score",
-    "collocation_pmi",
-    "bpe_merge_induction",
-    "sim_topk_ivf",
-    "sim_topk_vectorized",
-    "pagerank_nation_trade",
-    "anomaly_zscore_hours",
-    "embedding_int8_quantization",
-    "heavy_hitters_twopass",
-    "weighted_sample_ares",
-    "time_decay_user_scores",
-    "rfm_customer_segments",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "fuzzy_match_blocked",
-    "boilerplate_shingle_prune",
-    "phrase_search_positional",
-    "bm25_topk",
-    "table_profile",
 )
-
 
 def _ordered() -> dict[str, QuerySpec]:
     head = [n for n in _PRIORITY if n in REGISTRY]
@@ -384,3 +409,4 @@ from . import pipeline_queries25  # noqa: E402,F401
 from . import pipeline_queries26  # noqa: E402,F401
 from . import pipeline_queries27  # noqa: E402,F401
 from . import pipeline_queries28  # noqa: E402,F401
+from . import pipeline_queries29  # noqa: E402,F401

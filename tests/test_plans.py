@@ -309,6 +309,9 @@ BNL_ALLOWED = {
     "sim_topk_bruteforce",            # |query set| = 5 broadcast rows
     "sim_topk_ivf",                   # |query set| = 5 broadcast rows
     "ivf_probe_recall_audit",         # 16-row centroid + 4-row probe dims
+    "ivf_kmeans_recall_audit",        # same bounded dims, x2 quantizers
+    "sim_topk_ivf_kmeans",            # 16-row trained-centroid broadcast
+    "ivf_quantizer_balance_audit",    # 16-row centroid broadcast per half
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
     "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
     "unigram_perplexity_score",       # 1-row corpus token total
