@@ -166,6 +166,20 @@ def main() -> int:
     # Auditability: the fp-sweep default redirect makes the effective
     # data directory non-obvious from the command line alone.
     print(f"== checking {len(names)} queries against {args.sf_dir}")
+    # Conf probe (round-10, generalizing the round-9 Arrow-off lesson):
+    # every invariance-axis run must RECORD the effective value of the
+    # conf it claims to sweep — PYSPARK_SUBMIT_ARGS silently loses to
+    # session-pinned confs, so a recorded matrix without this line can
+    # be vacuous.  One line per run; the axis log IS the evidence.
+    probe = {
+        "master": spark.sparkContext.master,
+        "shuffle": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "arrow": spark.conf.get("spark.sql.execution.arrow.pyspark.enabled"),
+        "codegen": spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+        "ansi": spark.conf.get("spark.sql.ansi.enabled"),
+    }
+    print("== conf probe: " + " ".join(f"{k}={v}" for k, v in probe.items()))
     n_pass = n_fail = n_rowsonly = 0
     t_all = time.time()
     for name in names:
