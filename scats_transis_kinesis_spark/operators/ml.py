@@ -24,8 +24,21 @@ round (the same footprint as ``RDD.zipWithIndex``'s summary collect).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _mean_agg_cols(vec_col: str, dim: int) -> list[Column]:
+    """The round-6 per-dimension centroid-update means — ONE definition
+    shared by the Lloyd loop's between-round update and the
+    :func:`kmeans_centroids` export, so the "one more update" contract
+    with the oracle's ``_kmeans_ctes(final_update=True)`` chain cannot
+    silently fork (a digit or cast change in one copy would break
+    cross-engine equality with no compile-time signal)."""
+    return [
+        F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
+        for i in range(dim)
+    ]
 
 
 def _kmeans_final_assignment(
@@ -107,12 +120,7 @@ def _kmeans_final_assignment(
             break
         new_cents = (
             assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*_mean_agg_cols(vec_col, dim))
             .collect()
         )
         prev = dict(cents)
@@ -195,12 +203,7 @@ def kmeans_centroids(
     assigned = _kmeans_final_assignment(
         vectors, k, iters, dim, id_col, vec_col, tol=None
     )
-    means = assigned.groupBy("cid").agg(
-        *[
-            F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
-            for i in range(dim)
-        ]
-    )
+    means = assigned.groupBy("cid").agg(*_mean_agg_cols(vec_col, dim))
     return means.select(
         F.col("cid").cast("long").alias("centroid_id"),
         F.array(*[f"d{i}" for i in range(dim)]).alias("cvec"),

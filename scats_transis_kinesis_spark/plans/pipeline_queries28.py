@@ -505,6 +505,17 @@ SPAN_INCR_ORACLE = f"""
     """
 
 
+def _span_inventory(flat: DataFrame) -> DataFrame:
+    """The state-table unit both incremental twins maintain: per-span
+    distinct-doc counts.  ONE definition shared by the batch merge
+    below and the round-10 streaming twin (pipeline_queries29) — the
+    twins answer to the SAME oracle, so their inventory must be
+    structurally identical by construction, not by convention."""
+    return flat.groupBy("g").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+
+
 @register(
     "incremental_span_coverage",
     oracle=SPAN_INCR_ORACLE,
@@ -531,21 +542,15 @@ def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("doc_id") % SPAN_DELTA_MOD == 0
     base_flat, _ = _repeated_span_flat(docs.where(~is_delta))
     delta_flat, _ = _repeated_span_flat(docs.where(is_delta))
-
-    def inventory(flat: DataFrame) -> DataFrame:
-        return flat.groupBy("g").agg(
-            F.countDistinct("doc_id").alias("nd")
-        )
-
     # Yesterday's materialized state: built once from base positions
     # and pinned — the refresh below never re-reads base_flat.
-    base_inv = inventory(base_flat).localCheckpoint(eager=True)
+    base_inv = _span_inventory(base_flat).localCheckpoint(eager=True)
     # Delta positions feed BOTH the delta inventory and the coverage
     # join; pin the slim (doc_id, n_toks, pos, g) frame so the delta
     # shingling runs once.
     delta_flat = delta_flat.localCheckpoint(eager=True)
     rep = (
-        base_inv.unionByName(inventory(delta_flat))
+        base_inv.unionByName(_span_inventory(delta_flat))
         .groupBy("g")
         .agg(F.sum("nd").alias("nd"))
         .where(F.col("nd") >= 2)

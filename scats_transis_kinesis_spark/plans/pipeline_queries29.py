@@ -32,7 +32,8 @@ double moves between engines; floor-micros ratios via ``_idiv``;
 integer counts end to end.  The span stream's result is split-invariant
 by construction (distinct-doc counts over disjoint doc sets merge by
 sum), so micro-batch boundaries cannot change the answer — pinned by
-the batch-count sweep in tests/test_round10_properties.py.
+the plain-Python m-way identity in tests/test_round10_properties.py
+and the Spark micro-batch sweep (1/2/4) in tests/test_round10_anchors.py.
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ from .pipeline_queries28 import (
     SPAN_DELTA_MOD,
     SPAN_INCR_ORACLE,
     _ivf_audit_frame,
+    _span_inventory,
 )
 from .registry import register
 
@@ -404,12 +406,6 @@ def ivf_quantizer_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming twin of incremental span coverage ----------------------------
 
 
-def _span_inventory(flat: DataFrame) -> DataFrame:
-    return flat.groupBy("g").agg(
-        F.countDistinct("doc_id").cast("long").alias("nd")
-    )
-
-
 def _span_coverage_stream(
     spark: SparkSession, sf_dir: str, n_batches: int
 ) -> DataFrame:
@@ -529,7 +525,9 @@ def _span_coverage_stream(
     SAME full-recompute-restricted-to-delta SQL as the batch twin:
     because per-span distinct-doc counts over disjoint doc sets merge
     by sum, the final state is independent of how the delta was split
-    into batches (swept 1..4 in tests/test_round10_properties.py) —
+    into batches (micro-batch counts 1/2/4 swept in
+    tests/test_round10_anchors.py; the m-way merge identity itself is
+    a hypothesis property in tests/test_round10_properties.py) —
     which is exactly why the continuous form is safe to deploy.  Scale
     shape per batch: |batch spans| shingle rows + one |state|-sized
     sum-merge; the state table is span-keyed (at 100 TB: a keyed store

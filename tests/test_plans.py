@@ -313,7 +313,8 @@ BNL_ALLOWED = {
     "sim_topk_ivf_kmeans",            # 16-row trained-centroid broadcast
     "ivf_quantizer_balance_audit",    # 16-row centroid broadcast per half
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
-    "fuzzy_match_levenshtein",        # declared all-pairs baseline (blocked twin timed)
+    "fuzzy_match_levenshtein",        # declared all-pairs baseline (timed
+                                      # since r10 alongside its blocked twin)
     "unigram_perplexity_score",       # 1-row corpus token total
     "bm25_topk",                      # 1-row (n_docs, avgdl) aggregate
     "emb_hard_negatives",             # |query set| = 5 broadcast rows
