@@ -268,6 +268,11 @@ HEADLINE = [
     "bpe_merge_induction",
     "fuzzy_match_levenshtein",
     "correlated_subquery_orders",
+    # round-10 extended-session additions: dedup-state stream twin and
+    # the quantizer-lifecycle audits
+    "incremental_exact_dedup_stream",
+    "ivf_quantizer_stability_audit",
+    "ivf_seeding_recall_audit",
 ]
 # lsh_parameter_planner is correctness-gated but not timed: it is a
 # constant 32-row frame with no table scan — timing it measures nothing.

@@ -177,6 +177,82 @@ def kmeans_assign(
     )
 
 
+def kcenter_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic farthest-point (Gonzalez k-center) seeding — the
+    derandomized form of k-means++'s D² rule (pick the point FARTHEST
+    from the chosen set instead of D²-proportionally at random): start
+    from the smallest-id vector, then ``k-1`` rounds of argmax over
+    each vector's min squared distance to the selected set, smallest-id
+    tiebreak.  Returns the picks as a ``(centroid_id, cvec)`` quantizer
+    frame (centroid_id = selection rank), the external-quantizer shape
+    ``cosine_topk_bucketed`` / the IVF audits take.
+
+    Distances use the k-means contract's rounded-6 left-fold squared
+    euclidean, so the oracle's unrolled argmax chain
+    (plans/pipeline_queries30.py:_kcenter_ctes) agrees bit-for-bit.
+
+    Scale shape: the min-distance column is maintained INCREMENTALLY —
+    each round is one narrow ``least(md, dist-to-new-pick)`` projection
+    over the corpus plus a 1-row argmax collect (k·dim driver scalars
+    total, the greedy_source_coverage collect class); lineage is cut
+    per round.  O(k) scans, never O(k²) distance recomputation.  A
+    production run over 100 TB would seed from a per-partition sample
+    first; the traversal itself is the standard coreset/seeding
+    primitive (Gonzalez '85).
+    """
+    from ..sources.loaders import ensure_parallelism
+
+    vectors = ensure_parallelism(vectors).cache()
+
+    def dist_to(pick: list[float]):
+        arr = F.array(*[F.lit(x) for x in pick])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    first = (
+        vectors.orderBy(id_col).limit(1).select(id_col, vec_col).collect()
+    )
+    if not first:
+        raise ValueError("kcenter_centroids: empty corpus")
+    picks = [[float(x) for x in first[0][vec_col]]]
+    cur = vectors.select(
+        id_col, vec_col, dist_to(picks[0]).alias("md")
+    ).localCheckpoint(eager=True)
+    for _ in range(1, k):
+        nxt = (
+            cur.orderBy(F.desc("md"), F.asc(id_col))
+            .limit(1)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        picks.append([float(x) for x in nxt[0][vec_col]])
+        cur = cur.select(
+            id_col,
+            vec_col,
+            F.least(F.col("md"), dist_to(picks[-1])).alias("md"),
+        ).localCheckpoint(eager=True)
+    vectors.unpersist(blocking=False)
+    spark = cur.sparkSession
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(picks)],
+        "centroid_id long, cvec array<double>",
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,

@@ -630,6 +630,8 @@ def _kmeans_ctes(
     iters: int = KM_ITERS,
     dim: int = KM_DIM,
     final_update: bool = False,
+    prefix: str = "",
+    source: str = "embeddings",
 ) -> tuple[list[str], str]:
     """Exactly-unrolled Lloyd iterations as chained CTEs: assignment
     d{t}/a{t}/s{t}, centroid update c{t+1} — every FP intermediate
@@ -641,47 +643,59 @@ def _kmeans_ctes(
     query's oracle byte-identical.  ``final_update=True`` appends one
     more centroid-update CTE ``c{iters}`` computed FROM the final
     assignment (the trained-centroid export, unused by the assignment
-    contract itself) and returns its name instead."""
+    contract itself) and returns its name instead.
+
+    ``prefix``/``source`` (round 10, stability audit): a non-empty
+    prefix renames every CTE ``{prefix}e``/``{prefix}c0``/... so TWO
+    independent Lloyd chains can coexist in one oracle, and ``source``
+    is the FROM clause of the corpus CTE (e.g. ``embeddings WHERE
+    vec_id % 2 = 0`` trains on a deterministic half).  With the
+    defaults the emitted SQL is byte-identical to the pre-parameter
+    form — pinned by sha256 in tests/test_round10b_anchors.py."""
+    p = prefix
     dist = (
         f"round(list_reduce(list_transform(generate_series(1, {dim}),"
         " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])),"
         " (x, y) -> x + y), 6)"
     )
     mean_list = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim))
+    # The assignment CTE references alias ``e``; a prefixed chain keeps
+    # that alias (``FROM {p}e e``) so the dist expression is shared.
+    e_ref = f"{p}e e" if p else "e"
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (
+        f"{p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {source})",
+        f"""{p}c0 AS (
             SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
                    v AS c
-            FROM e ORDER BY vec_id LIMIT {k}
+            FROM {p}e ORDER BY vec_id LIMIT {k}
         )""",
     ]
     for t in range(iters):
         ctes.append(
-            f"""d{t} AS (
+            f"""{p}d{t} AS (
                 SELECT e.vec_id, e.v, c.cid, {dist} AS dist
-                FROM e CROSS JOIN c{t} c
+                FROM {e_ref} CROSS JOIN {p}c{t} c
             )"""
         )
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
                 SELECT vec_id, v, cid, dist,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist, cid) AS rn
-                FROM d{t}
+                FROM {p}d{t}
             )"""
         )
         ctes.append(
-            f"s{t} AS (SELECT vec_id, v, cid, dist FROM a{t} WHERE rn = 1)"
+            f"{p}s{t} AS (SELECT vec_id, v, cid, dist FROM {p}a{t} WHERE rn = 1)"
         )
         if t + 1 < iters or final_update:
             ctes.append(
-                f"""c{t + 1} AS (
+                f"""{p}c{t + 1} AS (
                     SELECT cid, [{mean_list}] AS c
-                    FROM s{t} GROUP BY cid
+                    FROM {p}s{t} GROUP BY cid
                 )"""
             )
-    return ctes, (f"c{iters}" if final_update else f"s{iters - 1}")
+    return ctes, (f"{p}c{iters}" if final_update else f"{p}s{iters - 1}")
 
 
 def _kmeans_oracle() -> str:

@@ -61,10 +61,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 #       trained-quantizer search path, the quantizer balance audit, the
 #       streaming span-coverage twin — each with oracle + replay anchor
 #       + property test, per the growth contract),
-# 17    ivf_probe_recall_audit — its body was refactored into the
+# 17-19 the round-10 EXTENDED-SESSION additions (streaming exact-dedup
+#       state twin, quantizer retrain-stability audit, seeding-strategy
+#       recall audit — same contract; they consumed three of the vetted
+#       round-11 candidates, BACKLOG.md),
+# 20    ivf_probe_recall_audit — its body was refactored into the
 #       shared audit helper this round, so it re-verifies the refactor,
-# 18-50 the oldest round-4-stale cohort in registration order (33 of
-#       41; the remaining 8 lead round 11's fill, listed below).
+# 21-50 the oldest round-4-stale cohort in registration order (30 of
+#       41; the remaining 11 lead round 11's fill, listed below).
 # Names listed here appear first (in this order); everything else
 # follows in registration order.  Unknown names are ignored so the
 # list can name queries added later in a round.
@@ -88,6 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf_kmeans",
     "ivf_quantizer_balance_audit",
     "incremental_span_coverage_stream",
+    # --- round-10 extended-session additions ---
+    "incremental_exact_dedup_stream",
+    "ivf_quantizer_stability_audit",
+    "ivf_seeding_recall_audit",
     # --- refactor-touched this round ---
     "ivf_probe_recall_audit",
     # --- fill: oldest round-4 cohort, registration order (33 of 41) ---
@@ -121,15 +129,18 @@ _PRIORITY: tuple[str, ...] = (
     "table_profile",
     "quality_logreg_score",
     "time_decay_user_scores",
+    # === end of the round-10 driver window (50) ===
+    # (the 11 remaining round-4 queries lead round 11's fill — the 8
+    #  pinned at lock time plus the 3 the extended-session additions
+    #  displaced: ngram_novelty_decay, emb_hard_negatives,
+    #  embedding_label_margin, length_bucketed_batches,
+    #  mixture_epoch_plan, quality_calibrate_by_source,
+    #  mixture_materialize, vocab_oov_rate, unigram_perplexity_score,
+    #  asof_click_next_purchase, bm25_topk.)
+    # --- prior windows, kept pinned for deterministic order ---
     "unigram_perplexity_score",
     "asof_click_next_purchase",
     "bm25_topk",
-    # === end of the round-10 driver window (50) ===
-    # (the 8 remaining round-4 queries lead round 11's fill:
-    #  ngram_novelty_decay, emb_hard_negatives, embedding_label_margin,
-    #  length_bucketed_batches, mixture_epoch_plan,
-    #  quality_calibrate_by_source, mixture_materialize, vocab_oov_rate.)
-    # --- prior windows, kept pinned for deterministic order ---
     "exact_substring_cut",
     "exact_substring_cut_savings",
     "incremental_span_coverage",
@@ -410,3 +421,4 @@ from . import pipeline_queries26  # noqa: E402,F401
 from . import pipeline_queries27  # noqa: E402,F401
 from . import pipeline_queries28  # noqa: E402,F401
 from . import pipeline_queries29  # noqa: E402,F401
+from . import pipeline_queries30  # noqa: E402,F401

@@ -310,6 +310,7 @@ BNL_ALLOWED = {
     "sim_topk_ivf",                   # |query set| = 5 broadcast rows
     "ivf_probe_recall_audit",         # 16-row centroid + 4-row probe dims
     "ivf_kmeans_recall_audit",        # same bounded dims, x2 quantizers
+    "ivf_seeding_recall_audit",       # same bounded dims, x3 quantizers
     "sim_topk_ivf_kmeans",            # 16-row trained-centroid broadcast
     "ivf_quantizer_balance_audit",    # 16-row centroid broadcast per half
     "dedup_embedding_cosine",         # declared all-pairs baseline (LSH twin timed)
@@ -359,6 +360,9 @@ BNL_ALLOWED = {
     "naive_bayes_lang_eval",          # |langs|-row prior/default broadcast
     "spearman_daily_kpis",            # calendar-bounded distinct-value rank join
     "lang_id_agreement_ari",          # three 1-row pair-count broadcasts
+    "ivf_quantizer_stability_audit",  # 16-row centroid broadcasts per
+                                      # quantizer + three 1-row
+                                      # pair-count broadcasts
     "shard_shuffle_quality",          # two 1-row aggregate broadcasts
     "pca_top_component",              # 1-row n / max-norm / Rayleigh broadcasts
     "kruskal_wallis_priority_spend",  # 32-row bucket-prefix join + 1-row ties

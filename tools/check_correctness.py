@@ -65,6 +65,7 @@ FP_SENSITIVE = [
     "domain_shift_kl",           # KL log-ratio doubles
     "window_distribution_stats", # percent_rank/cume_dist contract
     "dsir_importance_weights",   # log-importance doubles
+    "ivf_quantizer_stability_audit",  # ARI fixed-order double (round 10)
 ]
 
 
