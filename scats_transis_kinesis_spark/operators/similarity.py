@@ -44,6 +44,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two norms taken from PRE-COMPUTED
+    columns (round-10 optimization): in a join context, ``cosine``
+    re-evaluates ``_norm`` — an interpreted higher-order fold over the
+    whole vector — once per PAIR for each side; hoisting the norms into
+    per-row columns before the join evaluates each exactly once per
+    row.  Bit-identical by construction: ``na``/``nb`` hold the very
+    same ``_norm`` expression values (storing a double in a column is
+    exact) and the division tree is unchanged."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -59,15 +71,27 @@ def cosine_topk_bruteforce(
     from pyspark.sql import Window as W
 
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    pairs = embeddings.alias("c").join(
+    pairs = embeddings.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("_cn")
+    ).alias("c").join(
         F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(f"c.{vec_col}")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("qvec"),
+                F.col(f"c.{vec_col}"),
+                F.col("_qn"),
+                F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -101,15 +125,26 @@ def hard_negative_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col(label_col).alias("qlabel"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    pairs = embeddings.alias("c").join(
+    pairs = embeddings.select(
+        id_col, vec_col, label_col, _norm(F.col(vec_col)).alias("_cn")
+    ).alias("c").join(
         F.broadcast(q), F.col(f"c.{label_col}") != F.col("qlabel")
     )
     scored = pairs.select(
         "query_id",
         F.col(f"c.{id_col}").alias("negative_id"),
         F.col(f"c.{label_col}").alias("negative_label"),
-        F.round(cosine(F.col("qvec"), F.col(f"c.{vec_col}")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("qvec"),
+                F.col(f"c.{vec_col}"),
+                F.col("_qn"),
+                F.col("_cn"),
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     return top_k_per_group(
         scored,
@@ -132,11 +167,19 @@ def assign_to_centroids(
     is a small ``(centroid_id, cvec)`` frame, broadcast."""
     from pyspark.sql import Window as W
 
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+    cents_n = centroids.withColumn("_ctn", _norm(F.col("cvec")))
+    scored = embeddings.withColumn(
+        "_vn", _norm(F.col(vec_col))
+    ).crossJoin(F.broadcast(cents_n)).select(
         id_col,
         vec_col,
         "centroid_id",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("c_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("cvec"), F.col("_vn"), F.col("_ctn")
+            ),
+            6,
+        ).alias("c_sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     return (
@@ -194,15 +237,23 @@ def cosine_topk_bucketed(
         cents = centroids
         assigned = assign_to_centroids(embeddings, cents, id_col, vec_col)
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     q_probe = (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents.withColumn("_ctn", _norm(F.col("cvec")))))
         .select(
             "query_id",
             "qvec",
+            "_qn",
             "centroid_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("c_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_ctn")
+                ),
+                6,
+            ).alias("c_sim"),
         )
         .withColumn(
             "rn",
@@ -211,15 +262,20 @@ def cosine_topk_bucketed(
             ),
         )
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", "_qn", "centroid_id")
     )
-    pairs = assigned.join(F.broadcast(q_probe), "centroid_id").where(
-        F.col(id_col) != F.col("query_id")
-    )
+    pairs = assigned.withColumn("_cn", _norm(F.col(vec_col))).join(
+        F.broadcast(q_probe), "centroid_id"
+    ).where(F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
