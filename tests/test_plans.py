@@ -177,6 +177,12 @@ def test_no_rowwise_python_udf_anywhere(spark):
         # Arrow-batched Python UDTF (ArrowEvalPythonUDTF) — the declared
         # set-returning-function surface query.
         "udtf_chunk_spans",
+        # Round-10 optimization (guide §4.2): the Lloyd assignment is an
+        # Arrow-batched numpy projection (operators/ml.py:_assign_batches)
+        # instead of an interpreted zip_with/aggregate fold per centroid.
+        # Only this query's final frame keeps the lineage — the other
+        # k-means users export checkpointed centroids.
+        "kmeans_embedding_clusters",
     }, pandas_users
 
 
