@@ -944,7 +944,11 @@ def incremental_embedding_dedup(
     every near-dup through.
 
     Returns the surviving ``(id, v)`` rows (v = double vector)."""
-    from .similarity import cosine
+    # Norms hoisted to per-row columns before the verify joins
+    # (round-10, similarity.cosine_with_norms): the interpreted norm
+    # fold runs once per ROW instead of once per candidate pair per
+    # side; bit-identical.
+    from .similarity import _norm, cosine_with_norms
 
     spark = new_vecs.sparkSession
     vecs = (
@@ -992,17 +996,29 @@ def incremental_embedding_dedup(
         dup_vs_history = (
             cand.join(
                 survivors.select(
-                    F.col(id_col).alias("new_id"), F.col("v").alias("nv")
+                    F.col(id_col).alias("new_id"),
+                    F.col("v").alias("nv"),
+                    _norm(F.col("v")).alias("_nn"),
                 ),
                 "new_id",
             )
             .join(
                 seen.select(
-                    F.col(id_col).alias("hist_id"), F.col("v").alias("hv")
+                    F.col(id_col).alias("hist_id"),
+                    F.col("v").alias("hv"),
+                    _norm(F.col("v")).alias("_nh"),
                 ),
                 "hist_id",
             )
-            .where(F.round(cosine(F.col("nv"), F.col("hv")), 6) >= threshold)
+            .where(
+                F.round(
+                    cosine_with_norms(
+                        F.col("nv"), F.col("hv"), F.col("_nn"), F.col("_nh")
+                    ),
+                    6,
+                )
+                >= threshold
+            )
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
@@ -1026,14 +1042,30 @@ def incremental_embedding_dedup(
     )
     batch_dups = (
         pairs.join(
-            survivors.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")),
+            survivors.select(
+                F.col(id_col).alias("id_a"),
+                F.col("v").alias("va"),
+                _norm(F.col("v")).alias("_na"),
+            ),
             "id_a",
         )
         .join(
-            survivors.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")),
+            survivors.select(
+                F.col(id_col).alias("id_b"),
+                F.col("v").alias("vb"),
+                _norm(F.col("v")).alias("_nb"),
+            ),
             "id_b",
         )
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

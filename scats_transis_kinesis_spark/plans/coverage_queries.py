@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.envelope import THROTTLE_ERROR, failed_subset
 from ..operators.multimodal import extract_features, sample_frames
-from ..operators.similarity import cosine
+
 from ..sources.loaders import load_table
 from .registry import register
 
@@ -212,15 +212,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # Norms hoisted to per-row columns before the verify joins
+    # (round-10, similarity.cosine_with_norms): the interpreted norm
+    # fold runs once per ROW instead of once per candidate pair per
+    # side; bit-identical.
+    from ..operators.similarity import _norm, cosine_with_norms
+
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("_na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("_nb"),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= LSH_DUP_THRESHOLD)
     )

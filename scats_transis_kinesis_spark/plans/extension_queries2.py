@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine
+
 from ..sources.loaders import load_table
 from .registry import register
 
@@ -40,15 +40,33 @@ EMBED_DUP_THRESHOLD = 0.4  # tuned to the synthetic corpus (max pair ≈ 0.51)
     scored.""",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms hoisted to per-row columns before the pair join (round-10,
+    # similarity.cosine_with_norms): the interpreted norm fold runs
+    # once per ROW instead of once per pair per side; bit-identical.
+    from ..operators.similarity import _norm, cosine_with_norms
+
     e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= EMBED_DUP_THRESHOLD)
     )

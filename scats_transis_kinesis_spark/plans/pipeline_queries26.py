@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine
+
 from ..sources.loaders import load_table
 from .coverage_queries import LSH_BANDS, LSH_BITS, LSH_DUP_THRESHOLD, _sign_bucket
 from .pipeline_queries3 import _SPAN_FLAT_CTES, SPAN_N, _repeated_span_flat
@@ -111,15 +111,34 @@ def _verified_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
     """Exact-cosine verification of LSH candidates at the family's
     round-6 / >= LSH_DUP_THRESHOLD contract (hash equi-joins on vec_id,
     co-partitioned at scale)."""
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # Norms hoisted to per-row columns before the verify joins
+    # (round-10, similarity.cosine_with_norms): the interpreted norm
+    # fold runs once per ROW instead of once per candidate pair per
+    # side; bit-identical.
+    from ..operators.similarity import _norm, cosine_with_norms
+
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("_na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("_nb"),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= LSH_DUP_THRESHOLD)
     )

@@ -259,13 +259,24 @@ def ivf_kmeans_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    seed = _ivf_audit_frame(
-        spark, emb, seed_cents, exact,
-        quantizer="seed", query_ids=IVFK_QUERY_IDS,
-    )
-    km = _ivf_audit_frame(
-        spark, emb, _trained_cents(emb), exact,
-        quantizer="kmeans", query_ids=IVFK_QUERY_IDS,
+    # The two quantizer branches are independent driver-sequenced
+    # pipelines (the Lloyd loop's per-iteration collects, each audit's
+    # eager candidate checkpoint) — overlap them on driver threads
+    # (guide §2.6 / operators/overlap.py); both frames are
+    # bit-identical to the serial build.
+    from ..operators.overlap import run_concurrently
+
+    seed, km = run_concurrently(
+        [
+            lambda: _ivf_audit_frame(
+                spark, emb, seed_cents, exact,
+                quantizer="seed", query_ids=IVFK_QUERY_IDS,
+            ),
+            lambda: _ivf_audit_frame(
+                spark, emb, _trained_cents(emb), exact,
+                quantizer="kmeans", query_ids=IVFK_QUERY_IDS,
+            ),
+        ]
     )
     return seed.unionByName(km)
 

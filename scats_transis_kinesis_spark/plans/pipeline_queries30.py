@@ -311,14 +311,23 @@ def _stability_oracle() -> str:
 def ivf_quantizer_stability_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.overlap import run_concurrently
+
     emb = load_table(spark, "embeddings", sf_dir)
-    full_cents = _trained_cents(emb)
     half = emb.where(F.col("vec_id") % 2 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    half_cents = kmeans_centroids(
-        half, k=IVF_CENTROIDS, iters=KM_ITERS, dim=KM_DIM
-    ).localCheckpoint(eager=True)
+    # The two Lloyd trainings are independent driver-sequenced loops —
+    # overlap them (guide §2.6 / operators/overlap.py); each exported
+    # centroid frame is bit-identical to the serial build.
+    full_cents, half_cents = run_concurrently(
+        [
+            lambda: _trained_cents(emb),
+            lambda: kmeans_centroids(
+                half, k=IVF_CENTROIDS, iters=KM_ITERS, dim=KM_DIM
+            ).localCheckpoint(eager=True),
+        ]
+    )
     fa = S.assign_to_centroids(emb, full_cents).select(
         "vec_id", F.col("centroid_id").alias("ca")
     )
@@ -493,29 +502,48 @@ def _ivf_seeding_audit_oracle() -> str:
     halves.""",
 )
 def ivf_seeding_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.overlap import run_concurrently
+
     emb = load_table(spark, "embeddings", sf_dir)
     seed_cents, _ = S.assign_centroids(emb, IVF_CENTROIDS)
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    kc_cents = kcenter_centroids(
-        e, k=IVF_CENTROIDS, dim=KM_DIM
-    ).localCheckpoint(eager=True)
     # One brute-force exact pass shared by all three halves.
     exact = (
         S.cosine_topk_bruteforce(emb, query_ids=list(IVFK_QUERY_IDS), k=IVF_K)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    halves = [
-        _ivf_audit_frame(
-            spark, emb, cents, exact, quantizer=name,
+
+    # The three quantizer branches are INDEPENDENT driver-sequenced
+    # pipelines (k-center's per-round argmax collects, the Lloyd loop's
+    # per-iteration update collects, each audit's eager candidate
+    # checkpoint).  Overlapping them on driver threads (guide §2.6 /
+    # operators/overlap.py) fills each branch's job-floor gaps with the
+    # others' tasks; every branch's frame — and therefore the union —
+    # is bit-identical to the serial build (round-10 optimization:
+    # 11.8 s → max-branch wall).
+    def seed_half():
+        return _ivf_audit_frame(
+            spark, emb, seed_cents, exact, quantizer="seed",
             query_ids=IVFK_QUERY_IDS,
         )
-        for name, cents in (
-            ("seed", seed_cents),
-            ("kcenter", kc_cents),
-            ("kmeans", _trained_cents(emb)),
+
+    def kcenter_half():
+        kc_cents = kcenter_centroids(
+            e, k=IVF_CENTROIDS, dim=KM_DIM
+        ).localCheckpoint(eager=True)
+        return _ivf_audit_frame(
+            spark, emb, kc_cents, exact, quantizer="kcenter",
+            query_ids=IVFK_QUERY_IDS,
         )
-    ]
+
+    def kmeans_half():
+        return _ivf_audit_frame(
+            spark, emb, _trained_cents(emb), exact, quantizer="kmeans",
+            query_ids=IVFK_QUERY_IDS,
+        )
+
+    halves = run_concurrently([seed_half, kcenter_half, kmeans_half])
     return halves[0].unionByName(halves[1]).unionByName(halves[2])
