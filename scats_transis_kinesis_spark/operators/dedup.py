@@ -834,26 +834,31 @@ def connected_components(
     if n_pairs < 1_000_000:
         edges = edges.coalesce(1)
     vertices = raw.select("u").union(raw.select("v")).distinct()
-    # Order-insensitive edge-set checksum: equal consecutive rounds ⇒
-    # the star composition reached its fixed point (a star forest —
-    # the composition has no cycles: its potential strictly decreases,
-    # Kiveris et al. Thm 3).  One scalar-row collect per round.
-    prev_sig = None
+    # DIRECT star-forest fixed-point test (round-10 optimization): each
+    # composed round leaves every edge pointing strictly downward
+    # (large-star emits (u, m) with m <= v < u; small-star emits (u, m)
+    # with m < u), and both steps preserve the component partition
+    # (Kiveris et al. Lemma 1), so a round's output is the fixed point
+    # ⟺ no vertex is both a child and a parent: a connected downward
+    # depth-1 graph has exactly one parent — the component minimum —
+    # and one more composed round provably leaves such a star forest
+    # unchanged.  This replaces the edge-set-checksum equality test,
+    # which could only SEE convergence one full round late (the
+    # confirming round re-ran both star steps), and the lazy
+    # localCheckpoint makes the test job itself materialize the
+    # round's edges — ONE job per round instead of two (the k-center
+    # lazy-persist lesson).  One scalar per round reaches the driver.
     rounds = 0
     for _ in range(max_iters):
         edges = _cc_star_step(
             _cc_star_step(edges, large=True), large=False
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         rounds += 1
-        row = edges.agg(
-            F.count("*").alias("n"),
-            # decimal sum: a long sum of 64-bit hashes overflows ANSI
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
+        parents = edges.select(F.col("v").alias("x"))
+        children = edges.select(F.col("u").alias("x"))
+        nonstar = parents.join(children, "x", "left_semi").limit(1).count()
+        if nonstar == 0:
             break
-        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
