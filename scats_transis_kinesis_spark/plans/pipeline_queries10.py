@@ -56,8 +56,9 @@ from ..sources.loaders import load_table
 from .pipeline_queries5 import (
     _COPURCHASE_EDGE_CTES,
     _COPURCHASE_LINES_CTE,
+    _basket_pairs,
+    _copurchase_baskets,
     _copurchase_edges,
-    _copurchase_lines,
 )
 from .registry import register
 
@@ -188,12 +189,15 @@ def bloom_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.""",
 )
 def copurchase_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _copurchase_lines(spark, sf_dir)
+    # Basket-array form (round-10, guide §2.4): degrees explode
+    # narrowly off the one checkpointed (ok, ps) build and pair counts
+    # come from the generator pipeline instead of the ok self-join.
+    baskets = _copurchase_baskets(spark, sf_dir)
+    lines = baskets.select("ok", F.explode("ps").alias("pk"))
     deg = lines.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
-    a, b = lines.alias("a"), lines.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        _basket_pairs(baskets)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("co_count"))
     )
     sim = (

@@ -629,11 +629,19 @@ _CUST_LINES_CTE = """lines AS (
 def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # ONE exchange builds the basket table (round-10 optimization,
+    # guide §2.4): hash-partitioning by ok satisfies the (ok, pk)
+    # dedup's clustering requirement (subset key), so repartition
+    # FIRST and let dropDuplicates run exchange-free on top — the old
+    # distinct-then-repartition shape paid a second full (ok, pk)
+    # shuffle just to land on the ok layout the self-join needs.
+    # Numberless repartition sizes from spark.sql.shuffle.partitions
+    # (scale-adaptive) instead of a pinned 32.
     lines = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .repartition(32, "ok")
+        .repartition(F.col("ok"))
+        .dropDuplicates(["ok", "pk"])
         .localCheckpoint(eager=True)
     )
     n = lines.select("ok").distinct().agg(
@@ -650,19 +658,36 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top of this would change mined supports, so it stays out; at real
     # 100 TB retail shape, raise ASSOC3_MIN with the data like any
     # min-support knob and the projection does the capping.)
-    f1 = item.where(F.col("c") >= ASSOC3_MIN).select("pk")
-    lines_f = (
-        lines.join(f1, "pk", "left_semi")
-        .repartition(32, "ok")
+    # f1 pins as a tiny checkpoint so each downstream action broadcasts
+    # it without re-running the item aggregate; the L1 semi-join itself
+    # is a broadcast probe that PRESERVES the checkpoint's ok
+    # partitioning, so lines_f needs neither its own repartition nor a
+    # second 600k-row materialization (round-10: the old second
+    # checkpoint cost a full extra pass for layout the semi-join never
+    # destroyed).
+    f1 = (
+        item.where(F.col("c") >= ASSOC3_MIN)
+        .select("pk")
         .localCheckpoint(eager=True)
     )
-    a, b = lines_f.alias("a"), lines_f.alias("b")
-    bp = a.join(
-        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
-    ).select(
-        F.col("a.ok").alias("ok"),
-        F.col("a.pk").alias("u"),
-        F.col("b.pk").alias("v"),
+    lines_f = lines.join(F.broadcast(f1), "pk", "left_semi")
+    # L2 pair generation without the ok self-join (round-10, guide
+    # §2.4): collect each basket's frequent items into ONE sorted array
+    # (one exchange — the basket rows are already distinct, so
+    # collect_list suffices) and emit the u < v pairs with chained
+    # generators, a narrow codegen'd pipeline; the old self-join
+    # re-exchanged both checkpoint sides (AQE checkpoints forget their
+    # partitioning and no ReusedExchange fires).  The map-side partial
+    # aggregation on (u, v) stays: at sf0.1 it dedups almost nothing
+    # (13.1M pairs → 12.7M distinct) but at real retail scale pair
+    # counts repeat heavily and the partial pass is what keeps the
+    # shuffle bounded.
+    fb = lines_f.groupBy("ok").agg(
+        F.sort_array(F.collect_list("pk")).alias("ps")
+    )
+    bp = fb.select("ps", F.posexplode("ps").alias("i", "u")).select(
+        "u",
+        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("v"),
     )
     pc = bp.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
@@ -813,16 +838,15 @@ def _sssp_oracle() -> str:
     scalar and the report is TakeOrdered.""",
 )
 def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline_queries5 import _copurchase_lines
+    from .pipeline_queries5 import _basket_pairs, _copurchase_baskets
 
-    lines = _copurchase_lines(spark, sf_dir)
-    fanned = lines.repartition(32, "ok")
-    a, b = fanned.alias("a"), fanned.alias("b")
+    # Basket-array pair counts (round-10, guide §2.4): the generator
+    # pipeline replaces the ok self-join and its two post-checkpoint
+    # exchanges; identical (u, v, c) weights by construction.
+    baskets = _copurchase_baskets(spark, sf_dir)
     pw = (
-        a.join(
-            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
-        )
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        _basket_pairs(baskets)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     wexpr = (F.lit(1) + _idiv(F.lit(1_000_000), F.col("c"))).alias("w")

@@ -235,7 +235,9 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (portable_hash64("shingle") % COVER_BUCKETS).alias("bucket"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint (round-10): the n_universe count right below
+        # is the job that materializes it — one pass instead of two.
+        .localCheckpoint(eager=False)
     )
     rep_schema = (
         "sel_round long, source string, gain_buckets long, covered_buckets long"
@@ -251,12 +253,24 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sources = cov.select("source").distinct()
     picked: list[str] = []
-    covered: DataFrame | None = None
+    # The covered-bucket set lives on the DRIVER (round-10
+    # optimization): it is grid-bounded at <= COVER_BUCKETS = 4096
+    # ints BY CONSTRUCTION (the same bounded-summary class as the
+    # 1-row argmax collect below), so each round is exactly TWO
+    # bounded jobs — the argmax and the winner's bucket list — instead
+    # of argmax + eager checkpoint + count, and the uncovered filter
+    # is a broadcast anti-join against a local 1-column frame rather
+    # than a join against a per-round checkpoint.
+    covered: set[int] = set()
     report: list[tuple[int, str, int, int]] = []
     for r in range(1, GREEDY_ROUNDS + 1):
-        uncov = (
-            cov if covered is None else cov.join(covered, "bucket", "left_anti")
-        )
+        if not covered:
+            uncov = cov
+        else:
+            cov_df = spark.createDataFrame(
+                [(b,) for b in sorted(covered)], "bucket long"
+            )
+            uncov = cov.join(F.broadcast(cov_df), "bucket", "left_anti")
         gains = (
             sources.where(~F.col("source").isin(picked))
             .join(
@@ -278,11 +292,13 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         top = rows[0]
         picked.append(top["source"])
-        sel = cov.where(F.col("source") == top["source"]).select("bucket")
-        covered = (
-            sel if covered is None else covered.union(sel).distinct()
-        ).localCheckpoint(eager=True)  # bounded: <= COVER_BUCKETS rows
-        report.append((r, top["source"], int(top["gain"]), covered.count()))
+        sel = (
+            cov.where(F.col("source") == top["source"])
+            .select("bucket")
+            .collect()  # bounded: <= COVER_BUCKETS rows
+        )
+        covered.update(row["bucket"] for row in sel)
+        report.append((r, top["source"], int(top["gain"]), len(covered)))
     rep = spark.createDataFrame(report, rep_schema)
     return rep.select(
         "sel_round",

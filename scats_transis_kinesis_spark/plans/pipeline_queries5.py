@@ -473,28 +473,77 @@ def _copurchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 1995 order's SORTED DISTINCT part array ``(ok, ps)`` — the
+    round-10 basket representation behind the co-purchase pair
+    builders (guide §2.4).  One exchange builds it (``collect_set``
+    dedups inside the aggregate); flat basket rows come back with a
+    narrow ``explode``, and within-basket pairs with chained
+    generators (``_basket_pairs``) instead of an ok self-join — which,
+    across a localCheckpoint (whose partitioning AQE forgets), paid
+    TWO more full exchanges.  Eagerly checkpointed for consumers that
+    read it more than once; per-basket memory is |basket| longs, so
+    the whale-basket economics match the flat form."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """The ``u < v`` within-basket pairs of a ``(ok, ps)`` basket-array
+    frame, one row per (basket, pair), as a narrow codegen'd
+    generator pipeline: ``posexplode`` picks ``u`` and its position,
+    ``slice(ps, i + 2, ...)`` yields exactly the strictly-greater
+    elements (``ps`` is sorted).  Bit-identical to the old ok
+    self-join's pair multiset (verified value-equal at sf0.1) with no
+    join and no exchange."""
+    return baskets.select("ps", F.posexplode("ps").alias("i", "u")).select(
+        "u",
+        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("v"),
+    )
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected 1995 co-purchase edges ``(u, v)`` with
     ``u < v`` — the shared graph behind the triangle and community
     queries.  Eagerly checkpointed: every consumer reads the edge list
     several times, and at 100 TB this is a written adjacency table, not
     a recomputed lineage."""
-    lines = _copurchase_lines(spark, sf_dir)
-    # Explicit repartition before the within-basket self-join: basket
-    # rows are two longs (tiny shuffle bytes) but the join emits
-    # sum(|basket|^2) pair rows (heavy compute + the distinct that
-    # follows), so AQE coalesces the exchange to ~2 tasks if allowed —
-    # user repartition with an explicit count is exempt.  This helper
-    # feeds every co-purchase graph query, so the fan-out pays off
-    # seven times per bench pass.
-    fanned = lines.repartition(32, "ok")
-    a, b = fanned.alias("a"), fanned.alias("b")
-    return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Round-10 optimization (guide §2.4 — remove shuffles outright):
+    # the old shape materialized the distinct basket lines (one
+    # exchange), then self-joined them on ok — and because a
+    # localCheckpoint under AQE forgets its partitioning, the self-join
+    # re-exchanged BOTH sides (verified: no ReusedExchange fires across
+    # the checkpoint scan).  The basket-array build (one exchange) +
+    # generator pair emission replaces all of that; the baskets are
+    # built inline (not checkpointed) since this helper only reads
+    # them once on the way to the edge checkpoint.  2.5 s → 1.5 s
+    # isolated at sf0.1, bit-identical edge set (value-equal checked).
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    baskets = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
+    return _basket_pairs(baskets).distinct().localCheckpoint(eager=True)
 
 
 @register(
@@ -733,15 +782,18 @@ ASSOC_MIN_PAIR = 2
     once.""",
 )
 def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _copurchase_lines(spark, sf_dir)
-    n = lines.select("ok").distinct().agg(F.count("*").alias("n_baskets"))
+    # Basket-array form (round-10, guide §2.4): one checkpointed
+    # (ok, ps) build; n_baskets is the checkpoint's row count, item
+    # supports explode narrowly, and the pair counts come from the
+    # generator pipeline instead of the ok self-join (which paid two
+    # post-checkpoint exchanges).  Identical counts by construction.
+    baskets = _copurchase_baskets(spark, sf_dir)
+    n = baskets.agg(F.count("*").alias("n_baskets"))
+    lines = baskets.select("ok", F.explode("ps").alias("pk"))
     item = lines.groupBy(F.col("pk")).agg(F.count("*").alias("c"))
-    a, b = lines.alias("a"), lines.alias("b")
     pair = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(
-            F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b")
-        )
+        _basket_pairs(baskets)
+        .groupBy(F.col("u").alias("pk_a"), F.col("v").alias("pk_b"))
         .agg(F.count("*").alias("c_ab"))
     )
     top = (
