@@ -170,23 +170,33 @@ def shingle_sets(
     2-word document would build the descending sequence ``[0, -1]`` and
     crash ``slice(start=0)``.  The clamp makes the expression total
     (short docs yield one garbage window the filter then drops); found
-    by the round-7 novelty anchor on a corpus with a sub-n-word doc."""
+    by the round-7 novelty anchor on a corpus with a sub-n-word doc.
+
+    The token array is projected into its own column BEFORE the window
+    transform: interpreted higher-order lambdas re-evaluate every
+    sub-expression per element, so referencing ``split(text)`` inside
+    the lambda re-split the document once per window (measured 5x the
+    whole shingle cost at sf0.1).  CollapseProject keeps the split
+    materialized because the downstream transform references the column
+    more than once."""
     from ..sources.loaders import ensure_parallelism
 
     toks = F.split(F.col(text_col), " ")
-    return (
-        ensure_parallelism(df).where(F.size(toks) >= n)
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                )
-            ).alias("shingles"),
-        )
+    toked = (
+        ensure_parallelism(df)
+        .where(F.size(toks) >= n)
+        .select(F.col(id_col), toks.alias("__toks"))
+    )
+    return toked.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+            )
+        ).alias("shingles"),
     )
 
 
