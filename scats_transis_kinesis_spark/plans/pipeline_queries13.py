@@ -682,9 +682,13 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (13.1M pairs → 12.7M distinct) but at real retail scale pair
     # counts repeat heavily and the partial pass is what keeps the
     # shuffle bounded.
+    # The basket-array frame feeds BOTH the L2 counting pass and the
+    # L3 candidate extension (round-10: the extension used to re-join
+    # basket LINES on ok — the dominant shuffle of the whole query);
+    # checkpointing it (|baskets| rows) makes each pass a scan.
     fb = lines_f.groupBy("ok").agg(
         F.sort_array(F.collect_list("pk")).alias("ps")
-    )
+    ).localCheckpoint(eager=True)
     bp = fb.select("ps", F.posexplode("ps").alias("i", "u")).select(
         "u",
         F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("v"),
@@ -697,22 +701,37 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    # Candidate (basket, u, v) rows are RECONSTRUCTED from the tiny
-    # frequent-pair set rather than by re-running the |basket|² self-
-    # join: broadcast f2 against the basket lines on u, then semi-join
-    # the (ok, v) membership — the candidate frame is Σ support(f2)
-    # rows (≈3·|f2|), orders of magnitude under the raw pair frame.
-    # This is the true Apriori shape: ONE L2 counting pass (bp→pc),
-    # then frequent-pair-driven candidate generation.
-    c1 = lines_f.join(
-        F.broadcast(f2), lines_f.pk == f2.u, "inner"
-    ).select("ok", "u", "v")
-    cand = c1.join(
-        lines_f.select("ok", F.col("pk").alias("v")), ["ok", "v"], "left_semi"
+    # L3 extension straight off the sorted basket array (round-10,
+    # guide §2.1/§3.6: a join that can be a generator should not be a
+    # join): re-emit the u < v pairs KEEPING the array and v's
+    # position, broadcast-semi-join the frequent-pair set, and explode
+    # the array tail past v as the third item — every element after
+    # position(v) in the sorted distinct array is exactly {w ∈ basket:
+    # w > v}, so this is the old cand ⋈ lines_f(ok, w) ⋈ w > v without
+    # the ok shuffle (the whole L3 stage is one narrow codegen'd
+    # pipeline over the checkpointed baskets).  u is at 1-based
+    # position i + 1, v at i + j + 2, so the tail starts at i + j + 3
+    # with length size - i - j - 2 (≥ 0 — v's position never exceeds
+    # size, and slice with length 0 yields []).
+    bpv = (
+        fb.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select(
+            "ps",
+            "i",
+            "u",
+            F.posexplode(
+                F.expr("slice(ps, i + 2, size(ps) - i - 1)")
+            ).alias("j", "v"),
+        )
     )
-    ext = cand.join(
-        lines_f.select(F.col("ok"), F.col("pk").alias("w")), "ok"
-    ).where(F.col("w") > F.col("v"))
+    cand = bpv.join(F.broadcast(f2), ["u", "v"], "left_semi")
+    ext = cand.select(
+        "u",
+        "v",
+        F.explode(
+            F.expr("slice(ps, i + j + 3, size(ps) - i - j - 2)")
+        ).alias("w"),
+    )
     ext = ext.join(
         F.broadcast(f2.select(F.col("u").alias("v"), F.col("v").alias("w"))),
         ["v", "w"],
