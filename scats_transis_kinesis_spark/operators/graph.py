@@ -225,6 +225,15 @@ def bfs_distances(
         .withColumn("hop", F.lit(0))
         .localCheckpoint(eager=True)
     )
+    # Round-10 optimization (guide §1.2 step 1 — one job per round).
+    # Each round used to pay THREE jobs: an eager checkpoint of the
+    # frontier, the emptiness probe, and an eager re-checkpoint of the
+    # whole visited union (which re-copied every previously visited row
+    # each round — O(|V|·depth) copies over the traversal).  Now the
+    # frontier checkpoint is lazy and the per-round count() is the job
+    # that materializes it, and the visited set stays a lazy union of
+    # the already-checkpointed per-hop frontiers — the anti-join reads
+    # k checkpoint scans instead of a re-materialized copy.
     frontier = visited.select("v")
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -233,11 +242,11 @@ def bfs_distances(
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("v")
     return visited
 

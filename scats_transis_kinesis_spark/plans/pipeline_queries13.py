@@ -621,10 +621,14 @@ _CUST_LINES_CTE = """lines AS (
     (every frequent triple's sub-pairs are frequent), so the candidate
     triple enumeration touches a vanishing fraction of the naive
     |basket|^3 blow-up.  The oracle applies the identical (lossless)
-    prune.  Scale shape: basket self-joins are ok-keyed equi-joins
-    bounded by per-basket width, F2 is a filtered aggregate that
-    broadcasts, and the {ASSOC3_TOPK}-row report frame broadcasts into
-    the metric joins (the pairs-query pattern).""",
+    prune.  Scale shape: within-basket pairs are emitted by narrow
+    generators over the ONE-exchange sorted basket arrays (no basket
+    self-join anywhere); the L2 count shuffles one PACKED long per
+    pair; F2 is a filtered aggregate that broadcasts; the L3 extension
+    semi-joins the narrow pair stream and re-attaches the basket array
+    to the few survivors only (broadcast on the basket key); and the
+    {ASSOC3_TOPK}-row report frame broadcasts into the metric joins
+    (the pairs-query pattern).""",
 )
 def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
@@ -689,56 +693,71 @@ def association_rules_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = lines_f.groupBy("ok").agg(
         F.sort_array(F.collect_list("pk")).alias("ps")
     ).localCheckpoint(eager=True)
-    bp = fb.select("ps", F.posexplode("ps").alias("i", "u")).select(
-        "u",
-        F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("v"),
+    # The within-basket u < v pairs, NARROW (ok + the pair packed into
+    # one long — partkeys fit in 32 bits at any TPC-H scale factor, and
+    # the sf-boundary property sweep would catch a violation).  One
+    # generate feeds both the L2 count (pruned to just the packed key —
+    # the 13M-row shuffle carries ONE long per pair instead of two) and
+    # the candidate filter (pruned to ok + key).  Round-10 session 2:
+    # the previous shape re-emitted every pair CARRYING the basket
+    # array (ps copied onto 13M rows) just so the few f2 survivors kept
+    # their tail; profiling showed that array traffic + the 2-long
+    # shuffle were the two dominant stages of the whole query.
+    bp = (
+        fb.select("ok", "ps", F.posexplode("ps").alias("i", "u"))
+        .select(
+            "ok",
+            "u",
+            F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("v"),
+        )
+        .select(
+            "ok",
+            (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("uv"),
+        )
     )
-    pc = bp.groupBy("u", "v").agg(
+    pc = bp.groupBy("uv").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )
     f2 = (
         pc.where(F.col("c_ab") >= ASSOC3_MIN)
-        .select("u", "v")
+        .select("uv")
         .localCheckpoint(eager=True)
     )
-    # L3 extension straight off the sorted basket array (round-10,
-    # guide §2.1/§3.6: a join that can be a generator should not be a
-    # join): re-emit the u < v pairs KEEPING the array and v's
-    # position, broadcast-semi-join the frequent-pair set, and explode
-    # the array tail past v as the third item — every element after
-    # position(v) in the sorted distinct array is exactly {w ∈ basket:
-    # w > v}, so this is the old cand ⋈ lines_f(ok, w) ⋈ w > v without
-    # the ok shuffle (the whole L3 stage is one narrow codegen'd
-    # pipeline over the checkpointed baskets).  u is at 1-based
-    # position i + 1, v at i + j + 2, so the tail starts at i + j + 3
-    # with length size - i - j - 2 (≥ 0 — v's position never exceeds
-    # size, and slice with length 0 yields []).
-    bpv = (
-        fb.select("ps", F.posexplode("ps").alias("i", "u"))
+    # L3 extension: the frequent-pair semi-join survives only
+    # |f2| × c_ab occurrence rows (thousands, not millions), so the
+    # basket array is re-attached to the SURVIVORS ONLY — broadcast the
+    # survivor frame against the checkpointed baskets on ok, recover
+    # v's position with array_position (ps is sorted DISTINCT, so the
+    # first occurrence is the only one), and explode the tail past v as
+    # the third item: every element after position(v) is exactly
+    # {w ∈ basket : w > v} (guide §8 — decide with small rows, move the
+    # heavy arrays once).  Both closing sub-pairs then semi-join f2 as
+    # before.
+    cand = bp.join(F.broadcast(f2), "uv", "left_semi").select(
+        "ok",
+        F.shiftright("uv", 32).alias("u"),
+        F.col("uv").bitwiseAND(F.lit((1 << 32) - 1)).alias("v"),
+    )
+    ext = (
+        fb.join(F.broadcast(cand), "ok")
+        .select("u", "v", "ps", F.expr("array_position(ps, v)").alias("p"))
         .select(
-            "ps",
-            "i",
             "u",
-            F.posexplode(
-                F.expr("slice(ps, i + 2, size(ps) - i - 1)")
-            ).alias("j", "v"),
+            "v",
+            F.explode(
+                F.expr("slice(ps, p + 1, size(ps) - p)")
+            ).alias("w"),
         )
     )
-    cand = bpv.join(F.broadcast(f2), ["u", "v"], "left_semi")
-    ext = cand.select(
-        "u",
-        "v",
-        F.explode(
-            F.expr("slice(ps, i + j + 3, size(ps) - i - j - 2)")
-        ).alias("w"),
-    )
     ext = ext.join(
-        F.broadcast(f2.select(F.col("u").alias("v"), F.col("v").alias("w"))),
-        ["v", "w"],
+        F.broadcast(f2.select(F.col("uv").alias("uv_vw"))),
+        F.shiftleft(F.col("v").cast("long"), 32) + F.col("w")
+        == F.col("uv_vw"),
         "left_semi",
     ).join(
-        F.broadcast(f2.select(F.col("u"), F.col("v").alias("w"))),
-        ["u", "w"],
+        F.broadcast(f2.select(F.col("uv").alias("uv_uw"))),
+        F.shiftleft(F.col("u").cast("long"), 32) + F.col("w")
+        == F.col("uv_uw"),
         "left_semi",
     )
     tri = (

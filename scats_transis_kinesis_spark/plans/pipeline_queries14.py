@@ -113,43 +113,63 @@ def _textrank_oracle() -> str:
     hundreds of nodes with wide in-neighborhoods, so the lockstep
     contract rounds EVERY round to 6 decimals in both engines (the
     k-means convention) — FP addition-order noise cannot compound
-    across rounds.  Scale shape: the vocabulary prune is a broadcast
-    semi-join (domain_shift_kl economics); adjacency is a positional
-    self-equi-join on (doc, i+1) — never |vocab|²; each round is one
-    keyed join + grouped sum on |vocab|-bounded frames; report is
-    TakeOrdered top-{TR_TOPK}.""",
+    across rounds.  Scale shape: adjacent pairs are read straight off
+    each row's token array by a narrow generator (no positional
+    self-join, never |vocab|²); the vocabulary prune is two broadcast
+    semi-joins on the heavy-hitter list (domain_shift_kl economics);
+    each round is one keyed join + grouped sum on |vocab|-bounded
+    frames; report is TakeOrdered top-{TR_TOPK}.""",
 )
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    # Round-10 optimization (guide §3.6 — a join that can be a
+    # generator should not be a join; §1.2 step 1).  Adjacency lives
+    # inside each row's token ARRAY, so the old positional self-join
+    # (explode all tokens, shuffle on (doc, i), join b.i = a.i + 1) is
+    # a narrow generator instead: posexplode keeps the array, the
+    # successor is element_at(tk, i0 + 2).  The vocabulary filter moves
+    # AFTER pair emission (two broadcast semi-joins — same pair
+    # multiset: a pair survives iff both endpoints are heavy hitters,
+    # exactly the old both-sides-pre-filtered join condition).  The
+    # tiny heavy-hitter list is checkpointed once (it feeds two
+    # broadcasts); the co frame is the single eager materialization —
+    # edges/nodes/nrm re-derive from it narrowly instead of each
+    # paying an eager job.
+    tk = docs.select(F.split("text", " ").alias("tk"))
     vocab = (
-        toks.groupBy("tok").count().where(F.col("count") >= TR_HH).select("tok")
-    )
-    vt = toks.join(F.broadcast(vocab), "tok", "left_semi")
-    a, b = vt.alias("a"), vt.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.i") == F.col("a.i") + 1)
-            & (F.col("a.tok") != F.col("b.tok")),
-        )
-        .groupBy(
-            F.least("a.tok", "b.tok").alias("u"),
-            F.greatest("a.tok", "b.tok").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    edges = (
-        co.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
-        .unionAll(co.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+        tk.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .where(F.col("count") >= TR_HH)
+        .select("tok")
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
+    bg = (
+        tk.select("tk", F.posexplode("tk").alias("i0", "a"))
+        .where(F.col("i0") + 2 <= F.size("tk"))
+        .select("a", F.element_at("tk", F.col("i0") + 2).alias("b"))
+        .where(F.col("a") != F.col("b"))
     )
+    co = (
+        bg.join(
+            F.broadcast(vocab.select(F.col("tok").alias("a"))), "a", "left_semi"
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("b"))), "b", "left_semi"
+        )
+        .groupBy(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    edges = co.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        co.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError(

@@ -144,7 +144,12 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     mi = mv.select("mv", F.posexplode("mv").alias("pos", "vi")).select(
         "mv", (F.col("pos") + 1).alias("i"), "vi"
     )
-    t = mi.groupBy("i").agg(F.sum("vi").alias("ti"))
+    # Materialize the 64-row dimension-sums frame once: it feeds the
+    # covariance twice (ta/tb broadcasts) and seeds v0, and without the
+    # cut each reference re-ran the full explode+aggregate — the before
+    # plan showed 64 parquet scans (guide §1.2 step 1).  3 scans after
+    # (t's job, nn's count, the covariance job).
+    t = mi.groupBy("i").agg(F.sum("vi").alias("ti")).localCheckpoint(eager=True)
     s = (
         mi.select("i", "vi", F.posexplode("mv").alias("pos2", "vj"))
         .groupBy("i", (F.col("pos2") + 1).alias("j"))
@@ -196,6 +201,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0))
             ).cast("long").alias("vv"),
         )
+    # The converged 64-row vector is read four ways below (w_fin, num,
+    # den, the final select) — cut its 3-round lineage once so the
+    # iteration chain executes a single time instead of per reference.
+    v = v.localCheckpoint(eager=True)
     w_fin = matvec(v)
     num = (
         v.join(w_fin, "i")

@@ -164,7 +164,12 @@ def equidepth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
-    vals = x.groupBy("v").agg(F.count("*").alias("c"))
+    # Materialize the distinct-value frame once: the bound probe, the
+    # in-bucket window, BOTH sides of the bucket-prefix join and the nn
+    # total each re-derived it, so the lineitem scan + grouped count ran
+    # 8× (before plan: 8 parquet scans).  One scan after; every
+    # downstream frame reads the |distinct v|-row checkpoint.
+    vals = x.groupBy("v").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
     lo, hi = probe_min_max(
         vals, "v", query="equidepth_histogram_stats", sf_dir=sf_dir
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_hash32_sql, portable_hash32
-from ..sources.loaders import load_table
+from ..sources.loaders import ensure_parallelism, load_table
 from .pipeline_queries13 import _idiv
 from .registry import register
 
@@ -122,11 +122,17 @@ def fdr_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
         F.round("o_totalprice").cast("long").alias("xd"),
     )
+    # Materialize the |nations|-row sufficient-stats frame ONCE: every
+    # downstream frame (tot, p twice via the rank self-join, m, cut,
+    # the final select) re-derives from g, and without the cut the
+    # fact-dim join + aggregate re-ran per reference — the before plan
+    # showed 50 parquet scans with zero ReusedExchange (guide §1.2
+    # step 1 / §5 localCheckpoint-to-truncate).  One scan after.
     g = x.groupBy("nk").agg(
         F.count("*").alias("n"),
         F.sum("xd").alias("s"),
         F.sum(F.col("xd") * F.col("xd")).alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("n").alias("nn"), F.sum("s").alias("ss"), F.sum("q").alias("qq")
     )
@@ -283,19 +289,36 @@ def poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
         F.round("o_totalprice").cast("long").alias("xd"),
     )
-    reps = spark.range(_PB_REPLICATES).select(F.col("id").alias("b"))
-    rep = x.crossJoin(F.broadcast(reps)).select(
-        "b",
+    # Round-10 fan-out rework (guide §1.2 step 2, §3.6; measured).  The
+    # ×32 replicate fan-out was a crossJoin(broadcast(reps)) — a
+    # BroadcastNestedLoopJoin whose per-row copy machinery, running on
+    # the ONE partition a small parquet scan produces, dominated the
+    # whole query (5.4 s isolated; the pure hash floor for the same
+    # 4.8M rows is 0.33 s).  Now: fan the scan out across cores first
+    # (tiny shuffle of two longs per row), then emit the replicates
+    # with a codegen'd explode over a 32-element literal array — no
+    # join machinery at all.  The replicate-constant "pb:<b>" prefix
+    # and the row-constant ":<okey>" suffix are each built once on
+    # their own side, so the hash input bytes — and every weight — are
+    # bit-identical to the old 4-way concat.
+    xs = ensure_parallelism(x, bytes_per_slot=1).select(
+        "xd", F.concat(F.lit(":"), F.col("okey").cast("string")).alias("_sfx")
+    )
+    reps_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("b"),
+                F.lit(f"pb:{b}").alias("_pfx"),
+            )
+            for b in range(_PB_REPLICATES)
+        ]
+    )
+    rep = xs.select("xd", "_sfx", F.explode(reps_arr).alias("r")).select(
+        F.col("r.b").alias("b"),
         "xd",
         (
-            portable_hash32(
-                F.concat(
-                    F.lit("pb:"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("okey").cast("string"),
-                )
-            ).cast("double")
+            portable_hash32(F.concat(F.col("r._pfx"), F.col("_sfx")))
+            .cast("double")
             / F.lit(4294967296.0)
         ).alias("u"),
     )

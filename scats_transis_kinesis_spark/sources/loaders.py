@@ -136,7 +136,11 @@ def write_partitioned(
 _MIN_FANOUT_BYTES_PER_SLOT = 1 << 20
 
 
-def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    multiple: int = 1,
+    bytes_per_slot: int | None = None,
+) -> DataFrame:
     """Fan a narrow CPU-bound pipeline out to the cluster when the scan
     produced fewer splits than cores (small files, single-file tables).
 
@@ -150,7 +154,13 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
     fans out fully.  At 100 TB scans already produce ~1 split per
     128 MB and this is a no-op — the guard matters exactly when inputs
     are small-to-mid-size but per-row work is heavy (the CPU-bound
-    dedup/sketch operators)."""
+    dedup/sketch operators).
+
+    ``bytes_per_slot`` overrides the per-slot floor for callers whose
+    downstream work is NOT proportional to input bytes — a per-row
+    replicate fan-out multiplies the compute behind every input byte,
+    so the default floor (sized for byte-proportional pipelines) would
+    under-parallelize exactly the inputs that need the cores most."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     current = df.rdd.getNumPartitions()
     if current >= target:
@@ -162,7 +172,12 @@ def ensure_parallelism(df: DataFrame, multiple: int = 1) -> DataFrame:
     if est_bytes is not None:
         # Unknown stats surface as Catalyst's huge default → full fan-out
         # (the safe direction for genuinely big unknown inputs).
-        target = min(target, est_bytes // _MIN_FANOUT_BYTES_PER_SLOT)
+        floor = (
+            _MIN_FANOUT_BYTES_PER_SLOT
+            if bytes_per_slot is None
+            else max(1, bytes_per_slot)
+        )
+        target = min(target, est_bytes // floor)
     if current < target:
         return df.repartition(target)
     return df
