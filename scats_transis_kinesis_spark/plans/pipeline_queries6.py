@@ -492,10 +492,27 @@ def approx_top_k_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_near_dups, simhash_near_dup_pairs
+    from ..operators.overlap import run_concurrently
 
     docs = load_table(spark, "documents", sf_dir)
-    mh = minhash_lsh_near_dups(docs).select("id_a", "id_b")
-    sh = simhash_near_dup_pairs(docs).select("id_a", "id_b")
+    # Round-10 (session 2): the final plan referenced each detector's
+    # pair frame TWICE (its own count + the overlap join) with no
+    # exchange reuse across the subtrees, so BOTH full dedup pipelines
+    # ran twice in one action.  Pin each pair list once — they are
+    # bounded candidate lists, the dedup-pair lifecycle — and run the
+    # two INDEPENDENT pipelines from driver threads (guide §2.6,
+    # the change-3 overlap pattern) so one branch's job gaps back-fill
+    # with the other's tasks.
+    mh, sh = run_concurrently(
+        [
+            lambda: minhash_lsh_near_dups(docs)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+            lambda: simhash_near_dup_pairs(docs)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True),
+        ]
+    )
     n_mh = mh.agg(F.count("*").cast("long").alias("n_minhash"))
     n_sh = sh.agg(F.count("*").cast("long").alias("n_simhash"))
     n_both = mh.join(sh, ["id_a", "id_b"]).agg(

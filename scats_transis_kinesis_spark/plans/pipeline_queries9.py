@@ -490,23 +490,39 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern; measured 5.4 s -> ~3 s at sf0.1).
     adjd = adjd.repartition(32, "w")
     a, b = adjd.alias("a"), adj.repartition(32, "w").alias("b")
+    # The wedge aggregate shuffles one PACKED long per wedge instead of
+    # the (u, v) pair (the Apriori change-12 pattern — partkeys fit in
+    # 32 bits at any SF), and the existing-edge anti-join probes the
+    # same packed key; u and v unpack on the aggregated (small) frame.
     cn = (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
         )
         .select(
-            F.col("a.n").alias("u"),
-            F.col("b.n").alias("v"),
+            (
+                F.shiftleft(F.col("a.n").cast("long"), 32) + F.col("b.n")
+            ).alias("uv"),
             F.col("a.aa_term").alias("aa_term"),
         )
-        .groupBy("u", "v")
+        .groupBy("uv")
         .agg(
             F.count("*").cast("long").alias("common_n"),
             F.sum("aa_term").cast("long").alias("aa_micros"),
         )
     )
-    ne = cn.join(edges, ["u", "v"], "left_anti")
+    ne = cn.join(
+        edges.select(
+            (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("uv")
+        ),
+        "uv",
+        "left_anti",
+    ).select(
+        F.shiftright("uv", 32).alias("u"),
+        F.col("uv").bitwiseAND(F.lit((1 << 32) - 1)).alias("v"),
+        "common_n",
+        "aa_micros",
+    )
     du = deg.select(F.col("vertex").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("vertex").alias("v"), F.col("d").alias("dv"))
     return (
