@@ -169,10 +169,15 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("isref"),
     )
+    # Round-10 session 2 (change-8 pattern): the distinct-value frame
+    # and the prefix-summed frame each feed several downstream frames
+    # (bound probe, tot, the D-statistic twice via max + argmax, the
+    # report) — without the cuts the orders scan + grouped count and
+    # the window pass re-ran per reference (before plan: 14 scans).
     g = v.groupBy("val").agg(
         F.sum("isref").cast("long").alias("rc"),
         F.sum(1 - F.col("isref")).cast("long").alias("cc"),
-    )
+    ).localCheckpoint(eager=True)
     lo, hi = g.agg(F.min("val"), F.max("val")).first()
     if hi == lo:
         bucket = F.lit(0)
@@ -189,7 +194,7 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_vb",
         [F.col("val")],
         {"rc": "cr", "cc": "ccum"},
-    )
+    ).localCheckpoint(eager=True)
     tot = pre.agg(
         F.max("cr").alias("rn"), F.max("ccum").alias("cn")
     )
@@ -268,13 +273,17 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # Change-8 pattern: the |days|-row prefix-summed frame feeds tot,
+    # the scaled statistic twice (max + argmax) and the report — pin it
+    # once instead of re-running the daily aggregate + window pass per
+    # reference.
     pre = bucketed_prefix_sums(
         daily.withColumn("_yb", F.year("d").cast("long")),
         "_yb",
         [F.col("d")],
         {"cents": "cum"},
         row_index="i",
-    )
+    ).localCheckpoint(eager=True)
     tot = pre.agg(F.max("i").alias("n"), F.max("cum").alias("t"))
     sc = pre.crossJoin(F.broadcast(tot)).select(
         "d",
@@ -368,6 +377,11 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         )
+        # Change-8 pattern: f feeds the median aggregate and BOTH dev
+        # references (MAD aggregate + final fence count) — one
+        # materialization instead of re-running the fact joins per
+        # reference (before plan: 24 scans).
+        .localCheckpoint(eager=True)
     )
     med = f.groupBy("nation").agg(
         F.count("*").cast("long").alias("n_orders"),
