@@ -147,17 +147,24 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hm", F.lit(1_000_000).cast("long")
     )
     auth = None
+    # Round-10 session 2 (change-8 class, multiplicative variant): each
+    # raw-score frame feeds BOTH its own max and the normalized scores,
+    # and the rounds nest, so the lazy unrolled loop re-evaluated the
+    # ce-join subtrees ~4^rounds times in the final action.  Pinning
+    # araw/hraw per round makes each half-round exactly one join +
+    # grouped sum over the edge checkpoint (the Pregel superstep shape
+    # the doc promises).
     for _ in range(HITS_ROUNDS):
         araw = ce.join(hub, "c").groupBy("p").agg(
             F.sum("hm").cast("long").alias("ar")
-        )
+        ).localCheckpoint(eager=True)
         amax = araw.agg(F.max("ar").alias("m"))
         auth = araw.crossJoin(F.broadcast(amax)).select(
             "p", _idiv(F.col("ar") * F.lit(1_000_000), F.col("m")).alias("am")
         )
         hraw = ce.join(auth, "p").groupBy("c").agg(
             F.sum("am").cast("long").alias("hr")
-        )
+        ).localCheckpoint(eager=True)
         hmax = hraw.agg(F.max("hr").alias("m"))
         hub = hraw.crossJoin(F.broadcast(hmax)).select(
             "c", _idiv(F.col("hr") * F.lit(1_000_000), F.col("m")).alias("hm")
@@ -529,10 +536,18 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     rt = tc.groupBy("prev").agg(F.sum("c").cast("long").alias("tot"))
+    # Round-10 session 2 (change-8 class): the transition matrix and the
+    # state list are loop invariants referenced by every unrolled round,
+    # and each reference re-ran the per-user lag window + aggregates
+    # over the full event log (before plan: 22 parquet scans).  Both are
+    # |types|-bounded — pin them once; the iteration itself is broadcast
+    # arithmetic over the checkpoints.
     pm = tc.join(rt, "prev").select(
         "prev", "nxt", _idiv(F.col("c") * F.lit(1_000_000), F.col("tot")).alias("p")
-    )
-    st = events.select(F.col("event_type").alias("s")).distinct()
+    ).localCheckpoint(eager=True)
+    st = events.select(
+        F.col("event_type").alias("s")
+    ).distinct().localCheckpoint(eager=True)
     k = st.agg(F.count(F.lit(1)).cast("long").alias("kk"))
     v = st.crossJoin(F.broadcast(k)).select(
         "s", _idiv(F.lit(1_000_000), F.col("kk")).alias("vm")
