@@ -218,31 +218,44 @@ def _greedy_oracle() -> str:
     the (1-1/e) greedy for submodular coverage — the diversity-driven
     data-selection shape where a big-but-redundant source loses to a
     small-but-novel one.  Scale shape: the corpus is shingled ONCE into
-    a distinct (source, bucket) cover relation bounded by |sources| x
+    a (source, bucket) cover relation bounded by |sources| x
     {COVER_BUCKETS} rows regardless of corpus size (the bucket universe
-    is the coarsening knob); every greedy round is one aggregate + one
-    anti-join over that bounded, locally-checkpointed relation, and the
-    per-round driver traffic is the 1-row argmax (bounded-summary
-    contract, same as the k-means centroid collect).""",
+    is the coarsening knob), collapsed map-side by a source-keyed
+    collect_set; the bounded per-source bucket sets collect to the
+    driver in ONE action and every greedy round is pure set arithmetic
+    there (bounded-summary contract, same as the k-means centroid
+    collect — the corpus-sized shingle/hash work stays
+    distributed).""",
 )
 def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    cov = (
+    # ONE action for the whole greedy (round-10, session 3): the cover
+    # relation is grid-bounded at |sources| × COVER_BUCKETS = 4096 rows
+    # BY CONSTRUCTION regardless of corpus size, so the per-source
+    # bucket sets collect to the driver whole — the same bounded-
+    # summary class as the per-round 1-row argmax + winner-bucket-list
+    # collects this replaces (those were already driver-side; this
+    # folds their 2 jobs × GREEDY_ROUNDS plus the universe count into
+    # the one collect).  collect_set also subsumes the old explicit
+    # .distinct() exchange: dedup happens inside the source-keyed
+    # aggregate, map-side.  The corpus-sized work — shingle, hash,
+    # partial-dedup — is unchanged and stays distributed.
+    per_src = (
         shingle_sets(docs, id_col="source", n=COVER_NGRAM)
         .select("source", F.explode("shingles").alias("shingle"))
         .select(
             "source",
             (portable_hash64("shingle") % COVER_BUCKETS).alias("bucket"),
         )
-        .distinct()
-        # Lazy checkpoint (round-10): the n_universe count right below
-        # is the job that materializes it — one pass instead of two.
-        .localCheckpoint(eager=False)
+        .groupBy("source")
+        .agg(F.collect_set("bucket").alias("bs"))
+        .collect()
     )
     rep_schema = (
         "sel_round long, source string, gain_buckets long, covered_buckets long"
     )
-    n_universe = cov.select("bucket").distinct().count()
+    sets = {r["source"]: set(r["bs"]) for r in per_src}
+    n_universe = len(set().union(*sets.values())) if sets else 0
     if n_universe == 0:
         # Degenerate corpus (no doc reaches COVER_NGRAM tokens): the
         # oracle's per-round picks are empty SELECTs, so emit the same
@@ -251,54 +264,24 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], rep_schema).withColumn(
             "coverage_micros", F.lit(None).cast("long")
         )
-    sources = cov.select("source").distinct()
-    picked: list[str] = []
-    # The covered-bucket set lives on the DRIVER (round-10
-    # optimization): it is grid-bounded at <= COVER_BUCKETS = 4096
-    # ints BY CONSTRUCTION (the same bounded-summary class as the
-    # 1-row argmax collect below), so each round is exactly TWO
-    # bounded jobs — the argmax and the winner's bucket list — instead
-    # of argmax + eager checkpoint + count, and the uncovered filter
-    # is a broadcast anti-join against a local 1-column frame rather
-    # than a join against a per-round checkpoint.
+    # Pure-Python greedy over the collected sets: argmax by (gain DESC,
+    # source ASC) — identical to the old per-round Spark argmax, where
+    # zero-gain sources stayed candidates via the left join's na.fill.
     covered: set[int] = set()
+    remaining = set(sets)
     report: list[tuple[int, str, int, int]] = []
     for r in range(1, GREEDY_ROUNDS + 1):
-        if not covered:
-            uncov = cov
-        else:
-            cov_df = spark.createDataFrame(
-                [(b,) for b in sorted(covered)], "bucket long"
-            )
-            uncov = cov.join(F.broadcast(cov_df), "bucket", "left_anti")
-        gains = (
-            sources.where(~F.col("source").isin(picked))
-            .join(
-                uncov.groupBy("source").agg(
-                    F.countDistinct("bucket").alias("gain")
-                ),
-                "source",
-                "left",
-            )
-            .na.fill(0, ["gain"])
-        )
-        # 1-row bounded collect per round: the greedy argmax itself.
-        rows = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()
-        if not rows:
+        if not remaining:
             # Fewer sources than GREEDY_ROUNDS: the oracle's round-r
             # pick is an empty SELECT, so stop and emit the shorter
             # report instead of indexing into nothing (round-8 ADVICE
             # guard).
             break
-        top = rows[0]
-        picked.append(top["source"])
-        sel = (
-            cov.where(F.col("source") == top["source"])
-            .select("bucket")
-            .collect()  # bounded: <= COVER_BUCKETS rows
-        )
-        covered.update(row["bucket"] for row in sel)
-        report.append((r, top["source"], int(top["gain"]), len(covered)))
+        top = min(remaining, key=lambda s: (-len(sets[s] - covered), s))
+        gain = len(sets[top] - covered)
+        remaining.discard(top)
+        covered |= sets[top]
+        report.append((r, top, gain, len(covered)))
     rep = spark.createDataFrame(report, rep_schema)
     return rep.select(
         "sel_round",

@@ -455,69 +455,78 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kleinberg '03): common-neighbor count, Jaccard of neighborhoods,
     and Adamic–Adar (Σ 1/ln deg(w), per-wedge terms rounded to integer
     micros BEFORE the sum — wedge centers have degree ≥ 2, so ln is
-    never zero).  Scale shape: wedges come from one adjacency self-
-    equi-join on the center vertex (the output IS the wedge set, so
-    Σ deg(w)² is inherent to the exact scores; at 100 TB a power-law
-    graph caps hub centers first — the LSH-style candidate cap the
-    dedup family already applies), partial-aggregated into (u,v)
-    scores, anti-joined against the edge list to keep non-edges, and
-    top-k'd via TakeOrderedAndProject.  No cartesian anywhere; every
-    join is an equi-join.""",
+    never zero).  Scale shape: each center's sorted distinct neighbor
+    array is built in ONE vertex-keyed exchange and the wedges are
+    emitted by chained posexplode/slice generators — no self-join (the
+    output IS the wedge set, so Σ deg(w)² rows are inherent to the
+    exact scores; at 100 TB a power-law graph caps hub centers first —
+    the LSH-style candidate cap the dedup family already applies),
+    partial-aggregated into packed-key (u,v) scores, anti-joined
+    against the edge list to keep non-edges, and top-k'd via
+    TakeOrderedAndProject.  No cartesian anywhere; every join is an
+    equi-join.""",
 )
 def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("vertex"))
-        .unionAll(edges.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count("*").cast("long").alias("d"))
-    )
     adj = edges.select(
         F.col("u").alias("w"), F.col("v").alias("n")
     ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("n")))
-    # Attach deg(w) — and the per-wedge Adamic–Adar term, which depends
-    # only on the center — to the EDGE-sized adjacency before the
-    # self-join, so the wedge set (the largest intermediate, Σ deg²)
-    # never enters another join: wedges inherit the term from side a.
-    # The division is guarded even though degree-1 centers never reach
-    # the wedge set (one adjacency row cannot self-join under n < n):
-    # whether their rows EVALUATE aa_term before the join prunes them
-    # is a plan-shape accident — under local[7]/AQE the projection
-    # lands before the wedge join and ln(1) = 0 raised ANSI
-    # DIVIDE_BY_ZERO at sf0.01, while local[32] deferred it past the
-    # join and passed.  CASE WHEN evaluates lazily in codegen, so the
-    # doomed division never runs; degree-1 rows carry NULL, which no
-    # surviving wedge ever reads.  (The shingle_sets clamp lesson:
-    # expressions must be TOTAL on every row the plan might evaluate,
-    # not just the rows the query semantics keep.)
-    adjd = adj.join(deg.withColumnRenamed("vertex", "w"), "w").withColumn(
-        "aa_term",
-        F.when(
-            F.col("d") > 1, F.round(F.lit(1e6) / F.log(F.col("d")))
-        ).cast("long"),
+    # Per-center SORTED DISTINCT neighbor array in ONE exchange (the
+    # _basket_pairs / change-5 pattern: a join that can be a generator
+    # should not be a join).  The old shape paid a vertex-keyed degree
+    # exchange, an adj⋈deg join, two explicit repartition(32, w)
+    # exchanges and a SortMergeJoin to emit the wedges; the array form
+    # pays the one groupBy(w) exchange and emits the identical wedge
+    # multiset (u < v pairs of distinct neighbors per center — edges
+    # are distinct, so collect_set loses nothing) through chained
+    # posexplode/slice generators.  Degree and the per-wedge
+    # Adamic–Adar term both read off the SAME array (deg(w) = size(ns)
+    # = the old endpoint-count — one row per incident edge); the
+    # CASE keeps the ln division total on degree-1 centers, which emit
+    # no wedge but whose aa_term the projection still evaluates (the
+    # shingle_sets clamp lesson).  Checkpointed: the frame feeds the
+    # wedge generator once and the final deg(u)/deg(v) joins twice.
+    # Explicit user repartition between the aggregate and the
+    # checkpoint: the nbrs frame is |V| tiny rows, so AQE coalesces the
+    # groupBy exchange to ~2 tasks — but the generator chained on the
+    # checkpoint scan emits sum(deg(w)²) wedge rows (heavy compute) at
+    # the checkpoint's partition count.  User repartition with an
+    # explicit count is AQE-exempt (the SemDeDup/containment-verify
+    # pattern, sized to the session's core count, not a constant).
+    nbrs = (
+        adj.groupBy("w")
+        .agg(F.array_sort(F.collect_set("n")).alias("ns"))
+        .withColumn("d", F.size("ns").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, "w")
+        .localCheckpoint(eager=True)
     )
-    # Explicit repartition before the wedge self-join: the adjacency
-    # rows are a few longs each (tiny shuffle bytes) but the join emits
-    # sum(deg(w)^2) wedge rows (heavy compute), so AQE coalesces the
-    # exchange to ~2 tasks if allowed — user repartition with an
-    # explicit count is exempt (the SemDeDup/containment-verify
-    # pattern; measured 5.4 s -> ~3 s at sf0.1).
-    adjd = adjd.repartition(32, "w")
-    a, b = adjd.alias("a"), adj.repartition(32, "w").alias("b")
+    deg = nbrs.select(F.col("w").alias("vertex"), F.col("d"))
     # The wedge aggregate shuffles one PACKED long per wedge instead of
     # the (u, v) pair (the Apriori change-12 pattern — partkeys fit in
     # 32 bits at any SF), and the existing-edge anti-join probes the
     # same packed key; u and v unpack on the aggregated (small) frame.
     cn = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.n") < F.col("b.n")),
+        nbrs.select(
+            "ns",
+            F.when(
+                F.col("d") > 1, F.round(F.lit(1e6) / F.log(F.col("d")))
+            )
+            .cast("long")
+            .alias("aa_term"),
+            F.posexplode("ns").alias("i", "nu"),
+        )
+        .select(
+            "aa_term",
+            "nu",
+            F.explode(
+                F.expr("slice(ns, i + 2, size(ns) - i - 1)")
+            ).alias("nv"),
         )
         .select(
             (
-                F.shiftleft(F.col("a.n").cast("long"), 32) + F.col("b.n")
+                F.shiftleft(F.col("nu").cast("long"), 32) + F.col("nv")
             ).alias("uv"),
-            F.col("a.aa_term").alias("aa_term"),
+            "aa_term",
         )
         .groupBy("uv")
         .agg(
