@@ -201,7 +201,7 @@ def _ndcg_oracle() -> str:
 )
 def ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import hierarchical_row_number
-    from ..operators.text import quality_score
+    from ..operators.text import quality_expr
 
     docs = load_table(spark, "documents", sf_dir)
     gain = (
@@ -209,10 +209,10 @@ def ndcg_quality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "de", 1)
         .otherwise(0)
     )
-    scored = (
-        quality_score(docs)
-        .select("doc_id", "quality")
-        .join(docs.select("doc_id", gain.alias("gain")), "doc_id")
+    # One projection instead of scan + scan + 1:1 self-join on doc_id
+    # (round-10, session 3 — the quality_auc_en pattern).
+    scored = docs.select(
+        "doc_id", quality_expr("text").alias("quality"), gain.alias("gain")
     )
     # Both cuts are bounded at NDCG_K rows BEFORE ranking; ranks come
     # from the engine's hierarchical row_number (never an unpartitioned

@@ -295,9 +295,14 @@ def burst_detection_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Pinned: the gap-filled day grid is bounded at |types| × |days|
+    # rows and BOTH the per-type base-rate aggregate and the day-cost
+    # projection read it — without the cut each re-derived the
+    # bounds probe + distinct-types + grouped-count event scans
+    # (change-8 waist; 6 effective scans → 3).
     daily = grid.join(actual, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     rates = daily.groupBy("event_type").agg(
         (F.sum("c").cast("double") / F.count(F.lit(1))).alias("r0")
     )

@@ -125,12 +125,23 @@ def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     train = tok.where(F.col("doc_id") % 2 == 0)
-    vocab = train.agg(F.countDistinct("term").alias("v"))
-    lang_tok = train.groupBy("lang").agg(F.count("*").alias("n_tok"))
-    lang_stats = lang_tok.crossJoin(F.broadcast(vocab))
-    ll = (
+    # ONE token-stream tally feeds vocabulary size, per-language token
+    # totals AND the likelihood table (round-10, session 3): the old
+    # shape re-exploded the training half three times (vocab count,
+    # lang totals, lang-term counts).  The (lang, term) count frame is
+    # the natural waist — vocab = its distinct terms, lang totals = its
+    # per-lang sums, all exact integers — pinned because three
+    # consumers read it.
+    ltc = (
         train.groupBy("lang", "term")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = ltc.agg(F.countDistinct("term").alias("v"))
+    lang_tok = ltc.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    lang_stats = lang_tok.crossJoin(F.broadcast(vocab))
+    ll = (
+        ltc
         .join(F.broadcast(lang_stats), "lang")
         .select(
             "lang",
@@ -152,13 +163,18 @@ def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d_micros"),
     )
-    n_train = docs.where(F.col("doc_id") % 2 == 0).agg(
-        F.count("*").alias("n_docs")
-    )
-    prior = (
+    # One scan for the priors: the |langs|-row class-count frame also
+    # yields the training-doc total (sum over its rows) — the old shape
+    # scanned the training docs twice (total + grouped).
+    lang_docs = (
         docs.where(F.col("doc_id") % 2 == 0)
         .groupBy("lang")
         .agg(F.count("*").alias("nl"))
+        .localCheckpoint(eager=True)
+    )
+    n_train = lang_docs.agg(F.sum("nl").alias("n_docs"))
+    prior = (
+        lang_docs
         .crossJoin(F.broadcast(n_train))
         .select(
             "lang",

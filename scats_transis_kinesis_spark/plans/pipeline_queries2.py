@@ -838,7 +838,11 @@ def curriculum_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(MIXTURE_WEIGHTS.items()), "lang string, wt double"
     )
     counts = docs.groupBy("lang").agg(F.count("*").alias("total_docs"))
-    j = counts.join(weights, "lang")
+    # Pinned ≤|langs|-row stats frame (change-8 waist): the cap
+    # aggregate and the rate table both read it, and the rate table is
+    # itself read twice (keep-filter join + final report) — without the
+    # cut each reference re-derived the per-language corpus count scan.
+    j = counts.join(weights, "lang").localCheckpoint(eager=True)
     cap = j.agg(F.min(F.col("total_docs") / F.col("wt")).alias("n"))
     rates = j.crossJoin(F.broadcast(cap)).select(
         "lang",

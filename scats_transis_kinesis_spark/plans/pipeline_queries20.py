@@ -129,9 +129,14 @@ def pav_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
         "y",
     )
+    # Pinned ≤_PAV_BANDS-row band tally (change-8 waist): it feeds both
+    # sides of the prefix self-join, and `pre` in turn feeds the
+    # interval frame twice, the band list and the final join — without
+    # the cut every reference re-derived the banded corpus scan (12
+    # effective scans in the before plan).
     bands = banded.groupBy("band").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
-    )
+    ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     pre = (
         a.join(F.broadcast(b), F.col("b.band") < F.col("a.band"), "left")
@@ -262,6 +267,12 @@ def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
+    # Pinned per-vector score frame (change-8 waist; 3 slim columns,
+    # one row per calibration/test vector): the calibration branch
+    # reads it three ways (count/k probe, range probe, in-bucket rank)
+    # and the test branch once more — without the cut each reference
+    # re-derived the dimension explode + centroid join + per-vector
+    # aggregate (10 effective scans in the before plan).
     sc = (
         m.where(F.col("part").isin(1, 2))
         .join(F.broadcast(cent), ["label", "i"])
@@ -272,6 +283,7 @@ def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     cal = sc.where(F.col("part") == 1).select("vec_id", "score")
     nk = cal.agg(
@@ -420,31 +432,44 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("xv"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    mm = x.agg(
+    # ONE probe scan for min/max AND the totals (round-10, session 3:
+    # the old shape ran separate mm and tot aggregates over the same
+    # projection — two scans where one suffices; the expressions are
+    # unchanged, so every derived value is identical).
+    stats = x.agg(
         F.min("xv").alias("lo"),
         F.greatest(
             (F.max("xv") - F.min("xv")).cast("double") / (_STUMP_CUTS + 1),
             F.lit(1e-9),
         ).alias("w"),
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
     )
     cuts = (
         spark.range(1, _STUMP_CUTS + 1)
         .select(F.col("id").alias("cut_no"))
-        .crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(stats))
         .select(
             "cut_no",
             (F.col("lo") + F.round(F.col("cut_no") * F.col("w")))
             .cast("long")
             .alias("threshold"),
+            "n",
+            "pos",
         )
     )
-    tot = x.agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    # Pinned ≤_STUMP_CUTS-row tally (change-8 waist): the Gini frame
+    # feeds both the argmax and the final select, and without the cut
+    # each re-derived the broadcast-tally corpus scan.  The totals ride
+    # the cuts frame, so no separate tot crossJoin re-scans the corpus.
     split = (
         F.broadcast(cuts)
         .crossJoin(x)
         .groupBy("cut_no")
         .agg(
             F.first("threshold").alias("threshold"),
+            F.first("n").alias("n"),
+            F.first("pos").alias("pos"),
             F.sum(F.when(F.col("xv") <= F.col("threshold"), 1).otherwise(0)).alias(
                 "n_left"
             ),
@@ -452,8 +477,9 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("xv") <= F.col("threshold"), F.col("y")).otherwise(0)
             ).alias("pos_left"),
         )
+        .localCheckpoint(eager=True)
     )
-    g0 = split.crossJoin(F.broadcast(tot))
+    g0 = split
     d = F.col
     p = d("pos").cast("double") / d("n")
     parent = 1 - p * p - (1 - p) * (1 - p)

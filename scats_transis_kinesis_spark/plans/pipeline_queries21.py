@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.hashing import portable_hash64
-from ..operators.text import quality_score, stopword_ratio
+from ..operators.text import quality_expr, stopword_ratio
 from ..sources.loaders import load_table
 from .analytics_queries import QUALITY_MIN
 from .extension_queries import _H64, _STOPLIST_SQL
@@ -91,12 +91,17 @@ from .registry import register
 )
 def curation_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    q = quality_score(docs).select("doc_id", "quality")
+    # One projection carries stop_r, the content hash AND quality
+    # (round-10, session 3): the old shape scanned documents twice and
+    # 1:1-self-joined the halves on doc_id.  Persisted because BOTH the
+    # canonical-keeper aggregate and the decision join read it — the
+    # minhash-pipeline persist pattern; one text-scoring scan total.
     scored = docs.select(
         "doc_id",
         stopword_ratio("text").alias("stop_r"),
         portable_hash64("text").alias("h"),
-    ).join(q, "doc_id")
+        quality_expr("text").alias("quality"),
+    ).persist()
     canon = scored.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     s = scored.join(canon, "h")
     reason = (

@@ -376,6 +376,10 @@ def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
+    # Pinned |eval vectors| × |labels| distance frame (change-8 waist):
+    # the per-vector min, the argmin join and the majority baseline all
+    # read it, and without the cut each re-derived the dimension
+    # explode + centroid join + per-pair aggregate.
     dist = (
         m.where(F.col("part") != 0)
         .join(F.broadcast(cent), "i")
@@ -386,6 +390,7 @@ def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d2"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     mn = dist.groupBy("vec_id").agg(F.min("d2").alias("md"))
     best = (

@@ -101,18 +101,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (portable_hash32(F.col("t")) % DSIR_BUCKETS).alias("bucket"),
     )
-    raw_c = tok.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt_c = (
-        tok.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # ONE tally pass for BOTH unigram models (round-10, session 3: the
+    # old shape ran separate raw and target groupBys over the token
+    # stream plus a left join to line them up — the conditional count
+    # inside one aggregate produces the identical (cr, ct) pairs, with
+    # ct = 0 exactly where the old join's coalesce(NULL) landed).  The
+    # ≤DSIR_BUCKETS-row tally is pinned: the totals row and the ratio
+    # projection both read it, and the final scoring join is the only
+    # other token-stream pass — 5 effective corpus scans → 2.
+    tally = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = raw_c.agg(F.sum("cr").alias("nr")).crossJoin(
-        F.broadcast(tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    tot = tally.agg(
+        F.sum("cr").alias("nr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
     )
     ratio = (
-        raw_c.join(tgt_c, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        tally.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.round(
@@ -908,11 +920,13 @@ PREC_AT_K = 100
     sort) — followed by one scalar aggregate.""",
 )
 def quality_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import quality_score
+    from ..operators.text import quality_expr
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = quality_score(docs).select("doc_id", "quality").join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # One projection instead of scan + scan + 1:1 self-join on doc_id
+    # (round-10, session 3 — the quality_auc_en pattern).
+    scored = docs.select(
+        "doc_id", quality_expr("text").alias("quality"), "lang"
     )
     top = scored.orderBy(F.desc("quality"), F.asc("doc_id")).limit(PREC_AT_K)
     pos = F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
@@ -986,12 +1000,14 @@ AUC_BUCKETS = 32
 def quality_auc_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.text import quality_score
+    from ..operators.text import quality_expr
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = quality_score(docs).select("doc_id", "quality").join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # ONE projection carries quality AND the label (round-10, session
+    # 3): the old shape scanned documents twice and equi-joined the two
+    # halves back together on doc_id — a 1:1 self-join whose only
+    # purpose was re-attaching `lang` to the score.
+    scored = docs.select(quality_expr("text").alias("quality"), "lang")
     g = scored.groupBy("quality").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
@@ -1002,7 +1018,13 @@ def quality_auc_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("quality") * AUC_BUCKETS).cast("long"),
         F.lit(AUC_BUCKETS - 1),
     )
-    g = g.withColumn("_b", bucket)
+    # Pin the bounded distinct-score frame (≤ 1e6+1 rows by the
+    # round-6 grid): the bucket-offset collect, the ranked window and
+    # the totals row all hang off it, and without the cut each one
+    # re-derived the full text-scoring scan — 4 effective corpus scans
+    # in the before plan (the change-8 waist pattern).  Lazy: the
+    # offset collect right below is the job that materializes it.
+    g = g.withColumn("_b", bucket).localCheckpoint(eager=False)
     per_bucket = {
         int(r["_b"]): int(r["s"])
         for r in g.groupBy("_b").agg(F.sum("n").alias("s")).collect()

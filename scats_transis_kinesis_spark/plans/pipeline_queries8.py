@@ -190,23 +190,27 @@ def chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     integers; every ratio is one deterministic double division.""",
 )
 def quality_gains_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import quality_score
+    from ..operators.text import quality_expr
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = quality_score(docs).select("doc_id", "quality").join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # One projection instead of scan + scan + 1:1 self-join on doc_id
+    # (round-10, session 3 — the quality_auc_en pattern).
+    scored = docs.select(quality_expr("text").alias("quality"), "lang")
     band = F.least(
         F.floor(F.col("quality") * GAINS_BANDS).cast("long"),
         F.lit(GAINS_BANDS - 1),
     )
+    # Pin the ≤GAINS_BANDS-row band aggregate: the totals row and the
+    # cumulative fan-out both hang off it, and each re-derived the full
+    # text-scoring scan (change-8 waist; eager — both consumers sit in
+    # the same final action, so there is no earlier job to ride).
     band_agg = scored.select(
         band.alias("band"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     ).groupBy("band").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("npos"),
-    )
+    ).localCheckpoint(eager=True)
     tot = band_agg.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("npos").cast("long").alias("pt"),
