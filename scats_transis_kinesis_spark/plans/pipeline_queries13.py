@@ -344,10 +344,14 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # Pinned |orders|-row interval frame (change-8 waist): BOTH sides
+    # of the +1/−1 delta union read it, and without the cut each
+    # re-derived the full lineitem⋈orders join + per-order aggregate.
     iv = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
         .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+        .localCheckpoint(eager=True)
     )
     delta = iv.select(
         F.col("s").alias("day"), F.lit(1).alias("dlt")

@@ -133,7 +133,13 @@ def kruskal_wallis_priority_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderpriority").alias("grp"),
         F.round("o_totalprice").cast("long").alias("xd"),
     )
-    vals = x.groupBy("xd").agg(F.count("*").alias("c"))
+    # Pinned distinct-value frame (change-8 waist): the min/max probe,
+    # the in-bucket window, both prefix-join sides and the tie
+    # aggregate all read it — without the cut each re-derived the
+    # grouped fact scan.  Eager: the probe collect follows immediately.
+    vals = x.groupBy("xd").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
     lo, hi = probe_min_max(
         vals, "xd", query="kruskal_wallis_priority_spend", sf_dir=sf_dir
     )

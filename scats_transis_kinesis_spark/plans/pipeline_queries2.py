@@ -443,18 +443,26 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     )
-    bg_counts = (
+    # Pinned bigram tally (change-8 waist): the PMI join reads the
+    # frequent pairs and the total-instance count reads the SAME tally
+    # (n_bg = Σ counts — exactly the old bigrams.count()), so the
+    # bigram window explode runs once instead of twice.  Same for the
+    # unigram table: n_uni and both join sides read one pinned frame
+    # instead of re-exploding the token stream three times.
+    bg_all = (
         bigrams.groupBy("bg.w1", "bg.w2")
         .agg(F.count("*").cast("double").alias("c12"))
-        .where(F.col("c12") >= 10)
+        .localCheckpoint(eager=True)
     )
+    bg_counts = bg_all.where(F.col("c12") >= 10)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    n_bg = bigrams.agg(F.count("*").cast("double").alias("n_bg"))
+    n_bg = bg_all.agg(F.sum("c12").alias("n_bg"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     return (

@@ -217,6 +217,15 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("v") - F.min("v")).cast("double") / _SEL_BANDS, F.lit(1e-9)
         ).alias("w"),
     )
+    # ONE banded tally pass carries the histogram counts, the (lo, w)
+    # scalars AND the per-predicate exact counts (round-10, session 3):
+    # the old shape scanned the fact column three times (min/max probe
+    # duplicated under both consumers, banded counts, per-predicate
+    # actuals).  The per-band conditional sums add up to the exact
+    # per-predicate counts (Σ_band Σ_rows-in-band [pred] = Σ_rows
+    # [pred], exact integers), and the pinned ≤_SEL_BANDS-row tally
+    # feeds both the estimator and the actuals — 2 scans total, then
+    # bounded arithmetic.
     bands = (
         x.crossJoin(F.broadcast(mm))
         .groupBy(
@@ -227,7 +236,21 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("band")
         )
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("v") >= F.lit(plo)) & (F.col("v") < F.lit(phi)),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_a{i}")
+                for i, (_, plo, phi) in enumerate(_SEL_PREDICATES)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
     preds = spark.createDataFrame(
         list(_SEL_PREDICATES), "pred string, plo long, phi long"
@@ -248,7 +271,6 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         F.broadcast(preds)
         .crossJoin(bands)
-        .crossJoin(F.broadcast(mm))
         .groupBy("pred")
         .agg(
             F.first("plo").alias("plo"),
@@ -258,18 +280,24 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    actual = (
-        F.broadcast(preds)
-        .crossJoin(x)
-        .groupBy("pred")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("v") >= F.col("plo")) & (F.col("v") < F.col("phi")), 1
-                ).otherwise(0)
-            ).alias("actual_rows")
-        )
-    )
+    actual = bands.agg(
+        *[
+            F.sum(F.col(f"_a{i}")).cast("long").alias(f"_a{i}")
+            for i in range(len(_SEL_PREDICATES))
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("pred"),
+                        F.col(f"_a{i}").alias("actual_rows"),
+                    )
+                    for i, (lbl, _, _) in enumerate(_SEL_PREDICATES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
     return (
         contrib.join(actual, "pred")
         .select(
