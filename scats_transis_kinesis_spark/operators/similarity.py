@@ -164,29 +164,87 @@ def assign_to_centroids(
     cosine with a centroid-id tiebreak — the one assignment definition
     shared by the seed and trained (k-means) quantizers, so a recall
     comparison between them isolates centroid QUALITY.  ``centroids``
-    is a small ``(centroid_id, cvec)`` frame, broadcast."""
-    from pyspark.sql import Window as W
+    is a small ``(centroid_id, cvec)`` frame (bounded; collected into
+    the kernel closure, the k-means-assignment pattern).
 
-    cents_n = centroids.withColumn("_ctn", _norm(F.col("cvec")))
-    scored = embeddings.withColumn(
-        "_vn", _norm(F.col(vec_col))
-    ).crossJoin(F.broadcast(cents_n)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        F.round(
-            cosine_with_norms(
-                F.col(vec_col), F.col("cvec"), F.col("_vn"), F.col("_ctn")
-            ),
-            6,
-        ).alias("c_sim"),
+    Round-10 optimization (guide §4.2, the ml._assign_batches
+    precedent): the assignment is ONE Arrow-batched numpy projection
+    instead of a broadcast cross-join + interpreted zip_with cosine
+    fold per (row, centroid) + row_number window.  Bit-identical by
+    construction: dot and both norm folds accumulate dimension by
+    dimension in float64 (the SAME left-to-right IEEE sequence the
+    higher-order fold evaluated, with the float→double element cast
+    applied up front — exact), the division tree is ``dot / (vn·cn)``
+    unchanged, rounding is the exact ``_round6_half_up`` emulation of
+    Spark's ``round(_, 6)``, and ``np.argmax`` returns the FIRST
+    maximum over centroids pre-sorted by ascending id — the
+    (c_sim DESC, centroid_id ASC) row_number tiebreak (NaN, which
+    Spark's DESC order also puts first, propagates through argmax the
+    same way).  No join, no shuffle, no row blowup."""
+    import math as _math
+
+    from ..sources.loaders import ensure_parallelism
+    from .ml import _round6_half_up
+
+    cent_rows = centroids.select("centroid_id", "cvec").collect()
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cent_rows
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
+    out_schema = f"`{id_col}` long, `{vec_col}` array<double>, centroid_id long"
+    if not cents:
+        # Degenerate quantizer: the old cross-join against an empty
+        # centroid frame produced zero rows.
+        return (
+            e.where(F.lit(False))
+            .withColumn("centroid_id", F.lit(None).cast("long"))
+        )
+    cids = [c for c, _ in cents]
+    cvals = [v for _, v in cents]
+    # Centroid norms: the same scalar left fold _norm evaluates.
+    cn_list = []
+    for v in cvals:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        cn_list.append(_math.sqrt(acc))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array(cvals, dtype=np.float64)  # (k, dim)
+        cn = np.array(cn_list, dtype=np.float64)
+        k = len(cids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            n, dim = x.shape
+            vacc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                vacc = vacc + x[:, d] * x[:, d]
+            vn = np.sqrt(vacc)
+            sims = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + x[:, d] * cmat[j, d]
+                cos = acc / (vn * cn[j])
+                sims[:, j] = [_round6_half_up(v) for v in cos]
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "centroid_id": [cids[b] for b in best],
+                }
+            )
+
+    return ensure_parallelism(e).mapInPandas(fn, out_schema)
 
 
 def assign_centroids(

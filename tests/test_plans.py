@@ -183,6 +183,16 @@ def test_no_rowwise_python_udf_anywhere(spark):
         # Only this query's final frame keeps the lineage — the other
         # k-means users export checkpointed centroids.
         "kmeans_embedding_clusters",
+        # Round-10 optimization, session 3 (same pattern): the IVF
+        # nearest-centroid assignment (similarity.assign_to_centroids)
+        # is an Arrow-batched numpy cosine argmax.  The probe audits
+        # checkpoint their candidate frames, so only the queries whose
+        # final frame keeps the assignment lineage appear here.
+        "sim_topk_ivf",
+        "sim_topk_ivf_kmeans",
+        "ann_recall_audit",
+        "ivf_quantizer_stability_audit",
+        "ivf_quantizer_balance_audit",
     }, pandas_users
 
 
