@@ -54,6 +54,50 @@ def _round6_half_up(v: float) -> float:
     return 0.0 if f == 0.0 else f
 
 
+def _round6_half_up_arr(a):
+    """Vectorized :func:`_round6_half_up` over a float64 numpy array —
+    bit-identical by construction (round-11; the per-value
+    ``Decimal(repr(v))`` loop was the dominant cost of every Arrow
+    assignment kernel: ~0.09 s per 32k values vs ~2 ms vectorized).
+
+    Fast path: HALF_UP on the scaled value is ``sign · floor(|v·1e6|)
+    (+1 if frac >= 0.5)``, and ``m / 1e6`` is IEEE-correctly rounded to
+    the nearest double of the exact decimal ``m·10⁻⁶`` — the same
+    double ``float(Decimal)`` produces — whenever the integer ``m`` is
+    exact, i.e. ``|v·1e6| < 2^52``.  The fast path can only disagree
+    with the exact path when the true decimal target (``repr``'s
+    shortest decimal, within ulp/2 of ``v``) sits on the other side of
+    a half boundary than the computed ``v*1e6`` (relative error
+    ≤ 2^-52 combined); every value whose scaled fractional part lies
+    within ``|s|·2^-50 + 1e-300`` of 0.5 — a superset of the
+    ambiguous band — falls back to the per-value Decimal emulation.
+    Ties are detectable exactly, so bit-identity holds for EVERY
+    input (property-tested over generated half-boundary values in
+    tests/test_round6_vectorized.py).  NaN/±Inf pass through; -0.0
+    results normalize to +0.0 (the BigDecimal quirk)."""
+    import numpy as np
+
+    out = np.array(a, dtype=np.float64, copy=True)
+    finite = np.isfinite(out)
+    v = out[finite]
+    if v.size:
+        s = v * 1e6
+        av = np.abs(s)
+        fl = np.floor(av)
+        frac = av - fl
+        m = np.copysign(np.where(frac >= 0.5, fl + 1.0, fl), s)
+        res = m / 1e6
+        unsafe = (np.abs(frac - 0.5) <= (av * 2.0**-50 + 1e-300)) | (
+            av >= 2.0**52
+        )
+        if unsafe.any():
+            idx = np.nonzero(unsafe)[0]
+            res[idx] = [_round6_half_up(float(x)) for x in v[idx]]
+        res[res == 0.0] = 0.0
+        out[finite] = res
+    return out
+
+
 def _sql_double(x: float) -> str:
     """A SQL literal that parses back to EXACTLY the same IEEE double.
 
@@ -90,6 +134,26 @@ def _dist6_sql(vec_col: str, pick: list[float]) -> Column:
     )
 
 
+def _rounded_dists(x, cmat, dim: int):
+    """The rounded-6 squared-euclidean distance matrix shared by the
+    assignment and update kernels: distances accumulate dimension by
+    dimension in float64 — ``acc = acc + (x_i - c_i)²`` vectorized
+    across rows is the SAME left-to-right IEEE fold per row the
+    zip_with form evaluated — then round via the exact
+    ``_round6_half_up_arr`` emulation."""
+    import numpy as np
+
+    n = len(x)
+    dists = np.empty((n, cmat.shape[0]), dtype=np.float64)
+    for j in range(cmat.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dim):
+            d = x[:, i] - cmat[j, i]
+            acc = acc + d * d
+        dists[:, j] = _round6_half_up_arr(acc)
+    return dists
+
+
 def _assign_batches(
     cents: list[tuple[int, list[float]]],
     id_col: str,
@@ -97,14 +161,12 @@ def _assign_batches(
     dim: int,
 ):
     """The Arrow-batched argmin-over-centroids assignment (guide §4.2):
-    per batch, distances accumulate dimension by dimension in float64 —
-    ``acc = acc + (x_i - c_i)²`` vectorized across rows is the SAME
-    left-to-right IEEE fold per row the zip_with form evaluated — then
-    round via the exact ``_round6_half_up`` emulation; ``np.argmin``
-    returns the FIRST minimum, and the centroid columns are ordered by
-    ascending cid, so ties break to the smallest cid exactly like
-    ``array_min`` over (dist, cid) structs.  Centroids ride the closure
-    (k·dim scalars); the matrix is built once per task (§4.5)."""
+    per batch, the rounded-6 distance matrix (see
+    :func:`_rounded_dists`), then ``np.argmin`` — which returns the
+    FIRST minimum, and the centroid columns are ordered by ascending
+    cid, so ties break to the smallest cid exactly like ``array_min``
+    over (dist, cid) structs.  Centroids ride the closure (k·dim
+    scalars); the matrix is built once per task (§4.5)."""
     import numpy as np
 
     cids = [cid for cid, _ in cents]
@@ -119,13 +181,7 @@ def _assign_batches(
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
             n = len(x)
-            dists = np.empty((n, len(cids)), dtype=np.float64)
-            for j in range(cmat.shape[0]):
-                acc = np.zeros(n, dtype=np.float64)
-                for i in range(dim):
-                    d = x[:, i] - cmat[j, i]
-                    acc = acc + d * d
-                dists[:, j] = [_round6_half_up(v) for v in acc]
+            dists = _rounded_dists(x, cmat, dim)
             best = np.argmin(dists, axis=1)
             yield pd.DataFrame(
                 {
@@ -139,17 +195,112 @@ def _assign_batches(
     return fn
 
 
-def _mean_agg_cols(vec_col: str, dim: int) -> list[Column]:
-    """The round-6 per-dimension centroid-update means — ONE definition
-    shared by the Lloyd loop's between-round update and the
-    :func:`kmeans_centroids` export, so the "one more update" contract
-    with the oracle's ``_kmeans_ctes(final_update=True)`` chain cannot
-    silently fork (a digit or cast change in one copy would break
-    cross-engine equality with no compile-time signal)."""
-    return [
-        F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"d{i}")
-        for i in range(dim)
-    ]
+def _update_batches(
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    dim: int,
+):
+    """The centroid-UPDATE kernel (round-11, guide §2.3 "aggregate
+    before you shuffle" / §5 bounded driver summaries): per Arrow
+    batch, assign via the SAME rounded-6 distance matrix + first-min
+    argmin as :func:`_assign_batches`, then emit only the per-cluster
+    partial ``(cid, n, s0..s{dim-1})`` sufficient statistics — ≤ k rows
+    per batch instead of the full per-row assignment.  An update round
+    therefore ships k·(dim+2) scalars out of Python instead of the
+    whole corpus, and the downstream aggregate is over per-batch
+    partials, not rows.
+
+    The partials ride ONE array column ``w = [n, s0..s{dim-1}]`` (the
+    count is exact as a double up to 2^53) — a 2-column plan.  The
+    first cut emitted dim+2 flat columns and lost the kernel's win to
+    per-round query planning: each training round builds a NEW plan
+    (fresh closure), and planning/codegen for the 66-column
+    mapInPandas + 65-buffer aggregate + 64-expression projection cost
+    1.5–3 s per round (measured; the executed job itself was 0.2 s).
+
+    FP contract: the per-dimension sums accumulate in ROW ORDER within
+    the batch (``np.add.accumulate`` is defined sequentially) — exactly
+    the order Spark's ``avg`` partial aggregation adds rows within a
+    partition — and cross-batch/cross-partition partials merge in
+    arbitrary order on both forms, so the rounded-6 means are
+    bit-identical whenever a partition is one Arrow batch (the bench
+    shape) and within the already-accepted partial-merge-order class
+    otherwise (Spark's own ``avg`` has never promised a merge order;
+    the round-6 contract absorbs it — oracle-verified ×3 SFs)."""
+    import numpy as np
+
+    cids = [cid for cid, _ in cents]
+    cvals = [list(map(float, c)) for _, c in cents]
+
+    def fn(batches):
+        import pandas as pd
+
+        cmat = np.array(cvals, dtype=np.float64)  # (k, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            dists = _rounded_dists(x, cmat, dim)
+            best = np.argmin(dists, axis=1)
+            out_cid: list[int] = []
+            out_w: list[list[float]] = []
+            for j, cid in enumerate(cids):
+                mask = best == j
+                cnt = int(mask.sum())
+                if not cnt:
+                    continue
+                xm = x[mask]
+                s = (
+                    np.add.accumulate(xm, axis=0)[-1]
+                    if cnt > 1
+                    else xm[0]
+                )
+                out_cid.append(cid)
+                out_w.append([float(cnt)] + [float(v) for v in s])
+            yield pd.DataFrame({"cid": out_cid, "w": out_w})
+
+    return fn
+
+
+def _mean_update(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    dim: int,
+) -> list[tuple[int, list[float]]]:
+    """ONE centroid-update round as ONE bounded-summary job: the Arrow
+    kernel emits per-batch per-cluster (count, sum) partials packed in
+    one array column, a trivial (cid, i)-keyed sum merges them, and
+    the driver computes the rounded-6 means ``round(Σs_i / Σn, 6)`` —
+    the exact arithmetic of Spark's ``round(avg(x), 6)``, which
+    evaluates as sum/count: the division is the same IEEE double
+    divide and :func:`_round6_half_up` is the proven-bit-identical
+    emulation of Spark's ``round(double, 6)``
+    (tests/test_round6_vectorized.py pins it against Spark itself).
+    Driver payload: k·(dim+1) scalars.  Clusters that receive no
+    members drop out, same as the grouped-avg form."""
+    if not cents:
+        return []
+    parts = vectors.select(vec_col).mapInPandas(
+        _update_batches(cents, vec_col, dim), "cid int, w array<double>"
+    )
+    rows = (
+        parts.select("cid", F.posexplode("w").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    by: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by.setdefault(r["cid"], {})[r["i"]] = r["s"]
+    out: list[tuple[int, list[float]]] = []
+    for cid in sorted(by):
+        d = by[cid]
+        n = d[0]
+        out.append(
+            (cid, [_round6_half_up(d[i + 1] / n) for i in range(dim)])
+        )
+    return out
 
 
 def _kmeans_final_assignment(
@@ -181,32 +332,15 @@ def _kmeans_final_assignment(
     assign_schema = (
         f"`{id_col}` long, `{vec_col}` array<double>, cid int, dist double"
     )
-    assigned = None
-    for it in range(iters):
-        # Assignment as ONE narrow Arrow-batched numpy projection
-        # (round-10 optimization, see _assign_batches): no join, no row
-        # blowup, no shuffle — and neither the per-scalar py4j literal
-        # tree (~1.3 s of driver time per iteration at k=16/dim=64) nor
-        # the interpreted zip_with fold (~0.8 s per scan) of the
-        # earlier forms.  Arithmetic is bit-identical by construction.
-        assigned = vectors.mapInPandas(
-            _assign_batches(cents, id_col, vec_col, dim), assign_schema
-        )
-        # The only shuffle per iteration: k groups × dim partial-agg
-        # means, rounded before they feed the next round.  The last
-        # round's update feeds nothing (the contract returns the final
-        # ASSIGNMENT) — skip that whole job.
-        if it + 1 == iters:
-            break
-        new_cents = (
-            assigned.groupBy("cid")
-            .agg(*_mean_agg_cols(vec_col, dim))
-            .collect()
-        )
+    # Each update round is ONE bounded-summary job (round-11, see
+    # _update_batches/_mean_update): the Arrow kernel assigns AND emits
+    # the per-cluster (count, sum) partials, so only k·(dim+2) scalars
+    # leave Python per round instead of the whole per-row assignment.
+    # The last round's update feeds nothing (the contract returns the
+    # final ASSIGNMENT) — skip that whole job.
+    for _ in range(iters - 1):
         prev = dict(cents)
-        cents = sorted(
-            (r["cid"], [r[f"d{i}"] for i in range(dim)]) for r in new_cents
-        )
+        new_cents = _mean_update(vectors, cents, vec_col, dim)
         if tol is not None:
             # Max squared movement over clusters alive in BOTH rounds
             # (a dropped cluster has no successor to move).  Driver-side
@@ -214,14 +348,26 @@ def _kmeans_final_assignment(
             movement = max(
                 (
                     sum((a - b) * (a - b) for a, b in zip(prev[cid], c))
-                    for cid, c in cents
+                    for cid, c in new_cents
                     if cid in prev
                 ),
                 default=0.0,
             )
             if movement <= tol:
+                # Converged: the returned assignment is the one under
+                # the PRE-update centroids, exactly as the original
+                # loop (which built the assignment before updating)
+                # behaved — the tol anchors pin this.
                 break
-    return assigned
+        cents = new_cents
+    # The final-round assignment is the ONE per-row Arrow projection of
+    # the whole training (round-10 optimization, see _assign_batches):
+    # no join, no row blowup, no shuffle — and neither the per-scalar
+    # py4j literal tree nor the interpreted zip_with fold of the
+    # earlier forms.  Arithmetic is bit-identical by construction.
+    return vectors.mapInPandas(
+        _assign_batches(cents, id_col, vec_col, dim), assign_schema
+    )
 
 
 def kmeans_assign(
@@ -357,18 +503,32 @@ def kmeans_centroids(
     This is one more centroid UPDATE after the last assignment round
     (the oracle unrolls it as CTE ``c{iters}`` via
     ``_kmeans_ctes(final_update=True)``), so the exported centroids use
-    the full information of the final assignment.  Same determinism
-    contract as the loop: every mean rounds to 6 before export.
-    Clusters that lost all members drop out — the quantizer can be
-    narrower than ``k`` and both engines agree.  Scale shape: the loop's
-    per-iteration broadcast scan + k-group aggregate, then one more
-    k-group aggregate; the result is k·dim scalars, broadcast-sized by
-    construction."""
-    assigned = _kmeans_final_assignment(
-        vectors, k, iters, dim, id_col, vec_col, tol=None
+    the full information of the final assignment — i.e. exactly
+    ``iters`` applications of the rounded-6 mean update to the seed.
+    Same determinism contract as the loop: every mean rounds to 6
+    before export.  Clusters that lost all members drop out — the
+    quantizer can be narrower than ``k`` and both engines agree.
+
+    Round-11: each update round is ONE bounded-summary job (see
+    :func:`_mean_update` — the Arrow kernel emits per-cluster partial
+    sums, k·dim scalars reach the driver), and the trained quantizer is
+    exported as a LOCAL frame built from those scalars — the
+    :func:`kcenter_centroids` shape — so downstream consumers that
+    collect it into kernel closures (``assign_to_centroids``) or
+    broadcast it pay no extra cluster job.  Scale shape per round: one
+    corpus scan, k·(dim+2) scalars out of Python, a k-group merge."""
+    from ..sources.loaders import ensure_parallelism
+
+    spark = vectors.sparkSession
+    vectors = ensure_parallelism(vectors).cache()
+    first_k = (
+        vectors.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     )
-    means = assigned.groupBy("cid").agg(*_mean_agg_cols(vec_col, dim))
-    return means.select(
-        F.col("cid").cast("long").alias("centroid_id"),
-        F.array(*[f"d{i}" for i in range(dim)]).alias("cvec"),
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(first_k)]
+    for _ in range(iters):
+        cents = _mean_update(vectors, cents, vec_col, dim)
+    vectors.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in c]) for cid, c in cents],
+        "centroid_id long, cvec array<double>",
     )

@@ -184,7 +184,7 @@ def assign_to_centroids(
     import math as _math
 
     from ..sources.loaders import ensure_parallelism
-    from .ml import _round6_half_up
+    from .ml import _round6_half_up_arr
 
     cent_rows = centroids.select("centroid_id", "cvec").collect()
     cents = sorted(
@@ -234,7 +234,7 @@ def assign_to_centroids(
                 for d in range(dim):
                     acc = acc + x[:, d] * cmat[j, d]
                 cos = acc / (vn * cn[j])
-                sims[:, j] = [_round6_half_up(v) for v in cos]
+                sims[:, j] = _round6_half_up_arr(cos)
             best = np.argmax(sims, axis=1)
             yield pd.DataFrame(
                 {
