@@ -459,23 +459,57 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("block"),
     )
-    a = variants.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    # Round-11 (guide §2.3/§3.6 and §8 "decide with small rows, move
+    # heavy payloads once"; the _basket_pairs pattern): the old shape
+    # SELF-JOINED the variant rows on the block key — two full
+    # exchanges of (id, name, block) occurrence rows — and then paid a
+    # third exchange deduplicating (id_a, id_b) pairs STILL CARRYING
+    # both name strings.  Dedup pairs BEFORE scoring stays (candidate
+    # occurrences outnumber distinct pairs ~5.5x at sf0.1; the O(len²)
+    # levenshtein DP per occurrence costs more than the dedup), but:
+    # - per-block sorted distinct id ARRAYS build in ONE exchange
+    #   (collect_set dedups duplicate (id, block) variants map-side —
+    #   the old join emitted those as duplicate occurrences and
+    #   dropDuplicates paid for them),
+    # - u < v candidate pairs come from chained posexplode/slice
+    #   generators (no join, no second exchange) PACKED into one long
+    #   (custkeys fit 32 bits at any TPC-H SF), so the dedup exchange
+    #   carries 8 bytes per occurrence instead of two ids + two names,
+    # - names re-attach AFTER the dedup via two equi-joins against the
+    #   customer projection (AQE broadcasts them at gate scale; at
+    #   100 TB they are key-joins on the已-deduped narrow pair frame —
+    #   names cross the network once, not once per occurrence).
+    # Pair multiset is identical: distinct u < v pairs sharing >= 1
+    # block key either way; the all-pairs oracle pins it.
+    blocks = variants.groupBy("block").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
     )
-    b = variants.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    pairs = (
+        blocks.select("ids", F.posexplode("ids").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("b"),
+        )
+        .select(F.shiftleft(F.col("a"), 32).bitwiseOR(F.col("b")).alias("uv"))
+        .distinct()
     )
-    # Dedup pairs BEFORE scoring: candidate occurrences outnumber
-    # distinct pairs ~5.5x here (measured at sf0.1: 1.46M occurrences vs
-    # 262k pairs; dedup-first 3.7 s vs score-first 10 s) — the O(len²)
-    # levenshtein DP per occurrence costs more than shuffling the name
-    # strings once on (id_a, id_b).
-    candidates = (
-        a.join(b, "block")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = pairs.select(
+        F.shiftrightunsigned(F.col("uv"), 32).alias("id_a"),
+        F.col("uv").bitwiseAND(F.lit(0xFFFFFFFF)).alias("id_b"),
     )
-    return candidates.select(
-        "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
-    ).where(F.col("edit_dist") <= 1)
+    return (
+        cand.join(
+            c.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")),
+            "id_a",
+        )
+        .join(
+            c.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 1)
+    )

@@ -50,6 +50,14 @@ _M = 1_000_000
 COVER_NGRAM = 3
 COVER_BUCKETS = 4096
 GREEDY_ROUNDS = 4
+# Max sources whose bucket sets the greedy may pull to the driver in
+# one action (round-11, VERDICT-r10 item 2/5): caps the driver payload
+# at (CAP + 1) × COVER_BUCKETS ints regardless of |sources|; corpora
+# with more sources fall back to per-round argmax collects (bounded
+# per round by construction).  512 × 4096 ≈ 2M ints ≈ tens of MB of
+# Python sets — comfortably inside any driver, far above any curated
+# source dimension.
+GREEDY_COLLECT_CAP = 512
 
 
 @register(
@@ -229,18 +237,12 @@ def _greedy_oracle() -> str:
 )
 def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    # ONE action for the whole greedy (round-10, session 3): the cover
-    # relation is grid-bounded at |sources| × COVER_BUCKETS = 4096 rows
-    # BY CONSTRUCTION regardless of corpus size, so the per-source
-    # bucket sets collect to the driver whole — the same bounded-
-    # summary class as the per-round 1-row argmax + winner-bucket-list
-    # collects this replaces (those were already driver-side; this
-    # folds their 2 jobs × GREEDY_ROUNDS plus the universe count into
-    # the one collect).  collect_set also subsumes the old explicit
-    # .distinct() exchange: dedup happens inside the source-keyed
-    # aggregate, map-side.  The corpus-sized work — shingle, hash,
-    # partial-dedup — is unchanged and stays distributed.
-    per_src = (
+    # The cover relation is grid-bounded at |sources| × COVER_BUCKETS
+    # rows BY CONSTRUCTION regardless of corpus size (collect_set
+    # subsumes the old explicit .distinct() exchange: dedup happens
+    # inside the source-keyed aggregate, map-side).  The corpus-sized
+    # work — shingle, hash, partial-dedup — stays distributed.
+    agg = (
         shingle_sets(docs, id_col="source", n=COVER_NGRAM)
         .select("source", F.explode("shingles").alias("shingle"))
         .select(
@@ -249,39 +251,97 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(F.collect_set("bucket").alias("bs"))
-        .collect()
     )
+    # Round-11 (VERDICT-r10 item 2/5): the round-10 form collected the
+    # per-source bucket sets UNCONDITIONALLY — O(|sources| × 4096) ints
+    # on the driver, fine for a curated-dimension source column but a
+    # driver OOM on an open-domain corpus with millions of sources.
+    # The one-action fast path survives behind a CONSTANT cap: collect
+    # at most GREEDY_COLLECT_CAP + 1 source rows (driver payload
+    # <= (CAP + 1) × 4096 ints by construction); if the limit probe
+    # shows more sources than the cap, fall back to the round-9 shape —
+    # GREEDY_ROUNDS bounded per-round argmax collects over the
+    # persisted cover relation (1-row winner + its <= 4096-bucket set
+    # per round), which is constant-bounded in |sources|.
     rep_schema = (
         "sel_round long, source string, gain_buckets long, covered_buckets long"
     )
-    sets = {r["source"]: set(r["bs"]) for r in per_src}
-    n_universe = len(set().union(*sets.values())) if sets else 0
-    if n_universe == 0:
-        # Degenerate corpus (no doc reaches COVER_NGRAM tokens): the
-        # oracle's per-round picks are empty SELECTs, so emit the same
-        # empty report instead of dividing by a zero universe
-        # (round-8 ADVICE guard).
-        return spark.createDataFrame([], rep_schema).withColumn(
-            "coverage_micros", F.lit(None).cast("long")
+    # coalesce(1) keeps the capped probe a ONE-job action: the k-group
+    # final aggregate collapses to a single task (bounded rows by
+    # construction), so CollectLimit's incremental partition scan-up —
+    # which re-ran the final stage across several jobs — never fires.
+    # The map-side partial aggregation stays fully parallel.
+    per_src = (
+        agg.coalesce(1).limit(GREEDY_COLLECT_CAP + 1).collect()
+    )
+    if len(per_src) <= GREEDY_COLLECT_CAP:
+        sets = {r["source"]: set(r["bs"]) for r in per_src}
+        n_universe = len(set().union(*sets.values())) if sets else 0
+        if n_universe == 0:
+            # Degenerate corpus (no doc reaches COVER_NGRAM tokens):
+            # the oracle's per-round picks are empty SELECTs, so emit
+            # the same empty report instead of dividing by a zero
+            # universe (round-8 ADVICE guard).
+            return spark.createDataFrame([], rep_schema).withColumn(
+                "coverage_micros", F.lit(None).cast("long")
+            )
+        # Pure-Python greedy over the collected sets: argmax by (gain
+        # DESC, source ASC) — identical to the per-round Spark argmax,
+        # where zero-gain sources stay candidates.
+        covered: set[int] = set()
+        remaining = set(sets)
+        report: list[tuple[int, str, int, int]] = []
+        for r in range(1, GREEDY_ROUNDS + 1):
+            if not remaining:
+                # Fewer sources than GREEDY_ROUNDS: the oracle's
+                # round-r pick is an empty SELECT, so stop and emit the
+                # shorter report (round-8 ADVICE guard).
+                break
+            top = min(remaining, key=lambda s: (-len(sets[s] - covered), s))
+            gain = len(sets[top] - covered)
+            remaining.discard(top)
+            covered |= sets[top]
+            report.append((r, top, gain, len(covered)))
+    else:
+        # |sources| > cap: per-round argmax over the (now persisted)
+        # cover relation.  Each round collects ONE winner row (source,
+        # gain, <= COVER_BUCKETS bucket list); the covered set rides
+        # the plan as a <= COVER_BUCKETS-int literal.  Same argmax
+        # order ((gain DESC, source ASC), zero-gain sources remain
+        # candidates via array_except = 0) and the same report rows as
+        # the fast path.  The persist is fallback-only so the common
+        # path pays no cache write.
+        agg = agg.persist()
+        n_universe = (
+            agg.select(F.explode("bs").alias("b"))
+            .agg(F.countDistinct("b").alias("n"))
+            .collect()[0]["n"]
         )
-    # Pure-Python greedy over the collected sets: argmax by (gain DESC,
-    # source ASC) — identical to the old per-round Spark argmax, where
-    # zero-gain sources stayed candidates via the left join's na.fill.
-    covered: set[int] = set()
-    remaining = set(sets)
-    report: list[tuple[int, str, int, int]] = []
-    for r in range(1, GREEDY_ROUNDS + 1):
-        if not remaining:
-            # Fewer sources than GREEDY_ROUNDS: the oracle's round-r
-            # pick is an empty SELECT, so stop and emit the shorter
-            # report instead of indexing into nothing (round-8 ADVICE
-            # guard).
-            break
-        top = min(remaining, key=lambda s: (-len(sets[s] - covered), s))
-        gain = len(sets[top] - covered)
-        remaining.discard(top)
-        covered |= sets[top]
-        report.append((r, top, gain, len(covered)))
+        covered = set()
+        picked: list[str] = []
+        report = []
+        for r in range(1, GREEDY_ROUNDS + 1):
+            cand = agg.where(~F.col("source").isin(picked)) if picked else agg
+            cov_lit = F.array(
+                *[F.lit(int(b)) for b in sorted(covered)]
+            ).cast("array<long>")
+            win = (
+                cand.select(
+                    "source",
+                    "bs",
+                    F.size(F.array_except("bs", cov_lit)).alias("gain"),
+                )
+                .orderBy(F.desc("gain"), F.asc("source"))
+                .limit(1)
+                .collect()
+            )
+            if not win:
+                break
+            top, gain = win[0]["source"], int(win[0]["gain"])
+            picked.append(top)
+            covered |= set(win[0]["bs"])
+            report.append((r, top, gain, len(covered)))
+    agg.unpersist(blocking=False)
     rep = spark.createDataFrame(report, rep_schema)
     return rep.select(
         "sel_round",

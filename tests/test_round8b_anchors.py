@@ -214,3 +214,42 @@ def test_greedy_empty_shingle_universe_emits_empty_report(spark, tmp_path):
         "coverage_micros",
     ]
     assert out.count() == 0
+
+
+def test_greedy_fallback_argmax_path_matches_fast_path(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 driver-payload cap (VERDICT-r10 item 2/5): when
+    |sources| exceeds GREEDY_COLLECT_CAP the greedy switches to
+    per-round argmax collects over the persisted cover relation.  With
+    the cap forced below this corpus's 5 sources, the fallback must
+    reproduce the replay — same picks, gains, coverage — proving the
+    two paths compute the identical greedy."""
+    import scats_transis_kinesis_spark.plans.pipeline_queries27 as pq27
+
+    rows = []
+    i = 0
+    for src, docs in _SOURCE_DOCS.items():
+        for text in docs:
+            rows.append((i, text, "en", src, len(text)))
+            i += 1
+    _write_documents(spark, tmp_path, rows)
+    monkeypatch.setattr(pq27, "GREEDY_COLLECT_CAP", 2)
+
+    cover = {
+        s: {_bucket(t) for t in docs} for s, docs in _SOURCE_DOCS.items()
+    }
+    want = _replay_greedy(cover, rounds=4)
+    got = [
+        (
+            r["sel_round"],
+            r["source"],
+            r["gain_buckets"],
+            r["covered_buckets"],
+            r["coverage_micros"],
+        )
+        for r in pq27.greedy_source_coverage(spark, str(tmp_path))
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got == want
