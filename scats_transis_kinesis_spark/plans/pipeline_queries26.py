@@ -325,9 +325,11 @@ def lsh_banding_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repeated_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     flat, rep = _repeated_span_flat(docs)
-    occ = (
-        flat.join(rep, "g", "left_semi").select("doc_id", "pos").distinct()
-    )
+    # No .distinct(): flat is one row per (doc_id, pos) BY CONSTRUCTION
+    # (the span generator emits each position once), so the semi-join
+    # output is already unique — the old distinct was a full extra
+    # exchange deduplicating nothing (round-11, guide §2.4).
+    occ = flat.join(rep, "g", "left_semi").select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

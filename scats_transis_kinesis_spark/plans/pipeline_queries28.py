@@ -69,10 +69,13 @@ def _covered_positions(docs: DataFrame) -> DataFrame:
     audit persist lesson; measured 1.8 -> 1.0 s isolated at sf0.1)."""
     flat, _ = _repeated_span_flat(docs)
     flat = flat.localCheckpoint(eager=True)
+    # min != max over non-null doc_id ⟺ countDistinct >= 2, without the
+    # two-phase distinct expansion (the _repeated_span_flat rationale,
+    # round-11) — here over the checkpointed flat.
     rep = (
         flat.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .where(F.col("_d0") != F.col("_d1"))
         .select("g")
     )
     return (

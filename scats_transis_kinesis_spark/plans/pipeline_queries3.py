@@ -226,10 +226,16 @@ def _repeated_span_flat(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .select("doc_id", "n_toks", "s.pos", "s.g")
     )
+    # "Seen in >= 2 distinct documents" as min(doc_id) != max(doc_id) —
+    # value-identical to countDistinct(doc_id) >= 2 (doc_id is non-null)
+    # but a SINGLE partial-aggregated pass: countDistinct plans as a
+    # two-phase distinct expansion (an extra aggregate + exchange over
+    # (g, doc_id)) that this span-text-keyed shuffle paid on every
+    # consumer (round-11, guide §2.3).
     rep = (
         flat.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .where(F.col("_d0") != F.col("_d1"))
         .select("g")
     )
     return flat, rep
