@@ -445,8 +445,12 @@ def _span_coverage_stream(
         # must be CUT each batch or batch N replays batches 1..N-1's
         # shingling (and the cut also sidesteps the recacheByPath trap
         # of caches whose lineage reads a path being appended to).
+        # The flat pin is LAZY (round-11, the k-center lazy-persist
+        # pattern): the state-merge job below reads flat through
+        # _span_inventory and materializes the checkpoint on the way —
+        # one job per batch instead of two, same cut.
         flat, _ = _repeated_span_flat(batch_df)
-        flat = flat.localCheckpoint(eager=True)
+        flat = flat.localCheckpoint(eager=False)
         state["flat"] = (
             flat
             if state["flat"] is None
